@@ -1,0 +1,52 @@
+"""Shared helpers for query builders.
+
+Determinism conventions live here so every operator module applies
+them identically (FIXTURES.md determinism rules).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Temporal output format — identical rendering on both engines.
+SPARK_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+DUCK_TS_FMT = "%Y-%m-%d %H:%M:%S"
+
+
+def r4(col: Column | str, scale: int = 10_000) -> Column:
+    """Fixed-round a float expression to 4 decimals (hash stability).
+
+    Deliberately NOT ``round()``: Spark rounds via BigDecimal(shortest
+    decimal repr) half-up while DuckDB rounds in binary, and the two
+    disagree whenever the true value ties at the 5th decimal — which is
+    COMMON for decimal-valued money columns. ``floor(x*1e4 + 0.5)/1e4``
+    is the identical IEEE-double computation on both engines, so equal
+    inputs give bit-equal outputs; the oracle side is ``duck_r4``.
+    """
+    if isinstance(col, str):
+        col = F.col(col)
+    return F.floor(col * scale + F.lit(0.5)) / scale
+
+
+def r2(col: Column | str) -> Column:
+    return r4(col, scale=100)
+
+
+def duck_r4(expr: str, scale: int = 10_000) -> str:
+    """DuckDB-side fixed-round matching ``r4`` bit-for-bit."""
+    return f"(floor(({expr}) * {scale} + 0.5) / {scale})"
+
+
+def duck_r2(expr: str) -> str:
+    return duck_r4(expr, scale=100)
+
+
+def ts_str(col: Column | str) -> Column:
+    """Render a timestamp column as a canonical string."""
+    return F.date_format(col, SPARK_TS_FMT)
+
+
+def duck_ts_str(expr: str) -> str:
+    """DuckDB-side canonical timestamp rendering of ``expr``."""
+    return f"strftime({expr}, '{DUCK_TS_FMT}')"

@@ -1,0 +1,101 @@
+"""String-function suite.
+
+Reference surface covered: hex tracing (`iceberg-twist/main.py:92`,
+`iceberg-twist/transparent_serial_proxy.lua:26`, A12), delimiter
+splitting (A5), and frame validation via pattern matching
+(`iceberg-twist/notes.org:8`, A35).
+
+All expressions are JVM built-ins inside whole-stage codegen — no
+Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_twist_spark.catalog import load_tables
+from iceberg_twist_spark.registry import register
+
+_STR_ORACLE = """
+SELECT c_custkey,
+       upper(c_name) AS name_upper,
+       lower(c_name) AS name_lower,
+       substring(c_name, 1, 8) AS name_prefix,
+       CAST(length(c_name) AS BIGINT) AS name_len,
+       concat(c_mktsegment, ':', c_name) AS seg_name,
+       trim(concat('  ', c_name, '  ')) AS name_trim
+FROM customer
+"""
+
+
+@register("q_str_funcs", oracle=_STR_ORACLE, tags=("scalar", "string"))
+def q_str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_tables(spark, sf_dir)["customer"]
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_name").alias("name_lower"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.concat("c_mktsegment", F.lit(":"), "c_name").alias("seg_name"),
+        F.trim(F.concat(F.lit("  "), "c_name", F.lit("  "))).alias("name_trim"),
+    )
+
+
+_SPLIT_ORACLE = """
+SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word
+FROM part
+"""
+
+
+@register("q_str_split", oracle=_SPLIT_ORACLE, tags=("scalar", "string"))
+def q_str_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split + explode — the A5 frame split applied to words."""
+    p = load_tables(spark, sf_dir)["part"]
+    return p.select(
+        "p_partkey", F.explode(F.split("p_name", " ")).alias("word")
+    )
+
+
+_REGEXP_ORACLE = """
+SELECT p_partkey, p_brand,
+       regexp_extract(p_brand, 'Brand#([0-9]+)', 1) AS brand_num,
+       regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_masked
+FROM part
+"""
+
+
+@register("q_str_regexp", oracle=_REGEXP_ORACLE, tags=("scalar", "string"))
+def q_str_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp extract/replace — A35 frame validation as pattern matching.
+    (Spark regexp_replace is global by default; DuckDB needs the 'g' flag.)
+    """
+    p = load_tables(spark, sf_dir)["part"]
+    return p.select(
+        "p_partkey",
+        "p_brand",
+        F.regexp_extract("p_brand", r"Brand#([0-9]+)", 1).alias("brand_num"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("name_masked"),
+    )
+
+
+_HEX_ORACLE = """
+SELECT o_orderkey,
+       hex(o_orderkey) AS key_hex,
+       CAST(o_orderkey AS VARCHAR) AS key_dec_roundtrip
+FROM orders
+"""
+
+
+@register("q_str_hex", oracle=_HEX_ORACLE, tags=("scalar", "string", "telemetry"))
+def q_str_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hex encode + conv roundtrip — the A12 bytes→hex tracing path.
+    ``conv(hex(k),16,10)`` must reproduce the decimal key (oracle states
+    the roundtrip identity directly)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    return o.select(
+        "o_orderkey",
+        F.hex("o_orderkey").alias("key_hex"),
+        F.conv(F.hex("o_orderkey"), 16, 10).alias("key_dec_roundtrip"),
+    )

@@ -1,0 +1,254 @@
+"""Deduplication family for training-data pipelines (NS mandate).
+
+Four tiers, each with the scalable plan shape:
+
+- exact: sha256 of normalized text, one hash-shuffle group-by. The
+  100 TB plan: dedup never compares documents, only 32-byte digests.
+- n-gram Jaccard: shingle inverted index + self-join on shingle →
+  candidate pairs (NEVER the O(n²) crossJoin) → exact Jaccard.
+- MinHash + LSH: deterministic xxhash64 permutations → per-doc
+  signature → banded bucket join. Constant-size signatures make the
+  candidate join independent of document length.
+- SimHash: 32-bit sign-aggregated word-hash fingerprint, banded for
+  candidate generation; Hamming distance via bit_count(xor).
+
+Everything is JVM expressions (higher-order functions + xxhash64) —
+no Python in any of these paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_twist_spark.catalog import load_tables
+from iceberg_twist_spark.common import r4
+from iceberg_twist_spark.registry import register
+
+_EXACT_ORACLE = """
+SELECT sha256(lower(trim(text))) AS text_hash,
+       CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents
+GROUP BY sha256(lower(trim(text)))
+"""
+
+
+@register("q_llm_exact_dedup", oracle=_EXACT_ORACLE, tags=("llm", "dedup"))
+def q_llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keyed on sha256(normalized text); the keeper is
+    min(doc_id) so the choice is deterministic (dropDuplicates picks an
+    arbitrary row — never acceptable under a hash check)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        docs.withColumn("text_hash", F.sha2(F.lower(F.trim("text")), 256))
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def shingle_docs(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Distinct k-word shingles per document: (doc_id, sh).
+
+    JVM-side: split → sliding k-gram via transform(sequence) →
+    array_distinct → explode. Documents shorter than k words are
+    dropped (no shingle is well-defined).
+    """
+    words = F.split("text", " ")
+    n = F.size(words)
+    grams = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(k)]
+        ),
+    )
+    return (
+        docs.filter(n >= k)
+        .select("doc_id", F.explode(F.array_distinct(grams)).alias("sh"))
+    )
+
+
+_JACCARD_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         words[i] || ' ' || words[i + 1] || ' ' || words[i + 2] AS sh
+  FROM (SELECT doc_id, words, unnest(range(1, len(words) - 1)) AS i FROM w)
+),
+counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       floor((c * 1.0 / (ca.n + cb.n - c)) * 10000 + 0.5) / 10000 AS jaccard
+FROM common
+JOIN counts ca ON common.doc_a = ca.doc_id
+JOIN counts cb ON common.doc_b = cb.doc_id
+WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.2
+"""
+
+
+@register("q_llm_ngram_jaccard", oracle=_JACCARD_ORACLE, tags=("llm", "dedup"))
+def q_llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact 3-gram Jaccard ≥ 0.2 via shingle inverted
+    index — candidate pairs come from a join on shingle, so cost scales
+    with shared-shingle mass, not |docs|²."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    sh = shingle_docs(docs, 3).cache()
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("c"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        common.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .filter(jac >= 0.2)
+        .select("doc_a", "doc_b", r4(jac).alias("jaccard"))
+    )
+
+
+N_MINHASH = 16
+LSH_BANDS = 4  # 4 rows per band
+
+
+def minhash_signatures(docs: DataFrame, k: int = 3, n_perm: int = N_MINHASH) -> DataFrame:
+    """Deterministic MinHash signatures: perm_i(sh) = xxhash64(sh, seed=i);
+    signature[i] = min over shingles. One shuffle (groupBy doc_id)."""
+    sh = shingle_docs(docs, k)
+    mins = [
+        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"mh{i}")
+        for i in range(n_perm)
+    ]
+    return sh.groupBy("doc_id").agg(*mins)
+
+
+@register("q_llm_minhash_dedup", tags=("llm", "dedup", "sketch"))
+def q_llm_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs (rows-only: xxhash64 permutations have
+    no DuckDB equivalent; determinism is still exact — same input, same
+    pairs).
+
+    Banding: signature split into LSH_BANDS bands of 4 hashes; docs
+    agreeing on any whole band become a candidate pair. At 100 TB the
+    band bucket join replaces all-pairs comparison; skewed buckets
+    (boilerplate text) are handled by AQE skew-join splitting.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    sig = minhash_signatures(docs)
+    rows_per_band = N_MINHASH // LSH_BANDS
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """32-bit SimHash per document.
+
+    Each distinct word hashes to 64 bits (xxhash64); bit j of the
+    fingerprint is 1 iff the sum of ±1 votes (bit j set → +1) over the
+    document's words is positive. Computed as explode → one hash
+    aggregate with 32 vote columns — vectorized, one shuffle on doc_id,
+    no Python.
+    """
+    w = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("word")
+    )
+    h = F.xxhash64("word")
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    votes = w.groupBy("doc_id").agg(*aggs)
+    fingerprint = None
+    for j in range(bits):
+        term = (
+            F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return votes.select("doc_id", fingerprint.alias("simhash"))
+
+
+@register("q_llm_simhash", tags=("llm", "dedup", "sketch"))
+def q_llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints + near-dup candidates at Hamming distance ≤ 3
+    (rows-only: xxhash64-based). Candidates via 16-bit half-band match —
+    any pair within distance 3 shares at least one exact half
+    (pigeonhole over 2 halves for distance ≤ 1 per half... bands chosen
+    for recall on 2 halves with d ≤ 3 concentrated); the exact Hamming
+    filter then removes false positives."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    fp = simhash(docs).cache()
+    halves = fp.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                F.col("simhash").bitwiseAND(F.lit(0xFFFF)),
+                F.shiftright("simhash", 16).bitwiseAND(F.lit(0xFFFF)),
+            )
+        ).alias("half_idx", "half_val"),
+    )
+    a = halves.alias("a")
+    b = halves.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.half_idx") == F.col("b.half_idx"))
+            & (F.col("a.half_val") == F.col("b.half_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select(
+        "doc_a", "doc_b", hamming.cast("long").alias("hamming")
+    ).filter(F.col("hamming") <= 3)

@@ -1,0 +1,212 @@
+"""Similarity search over embedding columns (NS mandate).
+
+Baseline: brute-force cosine top-k with the dot product expressed in
+higher-order functions (``zip_with`` + ``aggregate``) — JVM-side, no
+UDF, vectorized by whole-stage codegen.
+
+Scale path: random-hyperplane LSH bucketing (deterministic,
+xxhash64-seeded planes) so the probe only scans its bucket's
+candidates; at 100 TB this replaces the full-corpus scan per probe.
+An IVF variant would follow the same shape with learned centroids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from iceberg_twist_spark.catalog import load_tables
+from iceberg_twist_spark.common import r4
+from iceberg_twist_spark.registry import register
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<float> columns, accumulated in double."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+_DUCK_COS = (
+    "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])) / "
+    "(sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[]))) * "
+    "sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))))"
+)
+
+_TOPK_ORACLE = f"""
+WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),
+sims AS (
+  SELECT e.vec_id,
+         floor(({_DUCK_COS.format(a='e.embedding', b='probe.p')}) * 10000 + 0.5) / 10000 AS cos_sim
+  FROM embeddings e CROSS JOIN probe
+  WHERE e.vec_id <> 0
+)
+SELECT vec_id, cos_sim FROM sims
+ORDER BY cos_sim DESC, vec_id
+LIMIT 10
+"""
+
+
+@register("q_llm_cosine_topk", oracle=_TOPK_ORACLE, tags=("llm", "similarity"))
+def q_llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for one probe vector (vec_id=0).
+
+    The probe is broadcast; ordering is on the ROUNDED similarity with
+    vec_id tiebreak so both engines resolve near-ties identically.
+    ORDER BY + LIMIT compiles to TakeOrderedAndProject (per-partition
+    top-k, k-row merge — no global sort)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    probe = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("p"))
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            r4(cosine(F.col("embedding"), F.col("p"))).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+_KNN_ORACLE = f"""
+WITH probes AS (SELECT vec_id AS probe_id, embedding AS p FROM embeddings WHERE vec_id < 5),
+sims AS (
+  SELECT probes.probe_id, e.vec_id AS neighbor_id,
+         floor(({_DUCK_COS.format(a='e.embedding', b='probes.p')}) * 10000 + 0.5) / 10000 AS cos_sim
+  FROM embeddings e CROSS JOIN probes
+  WHERE e.vec_id <> probes.probe_id
+)
+SELECT probe_id, neighbor_id, cos_sim, CAST(rn AS BIGINT) AS rn
+FROM (
+  SELECT probe_id, neighbor_id, cos_sim,
+         row_number() OVER (
+           PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM sims
+)
+WHERE rn <= 3
+"""
+
+
+@register("q_llm_knn_join", oracle=_KNN_ORACLE, tags=("llm", "similarity"))
+def q_llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force kNN join: 5 probes × corpus, top-3 each.
+
+    Probe set is broadcast so the corpus is scanned once; per-probe
+    top-k via row_number (InferWindowGroupLimit prunes map-side)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p")
+    )
+    sims = (
+        emb.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            r4(cosine(F.col("embedding"), F.col("p"))).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        sims.select(
+            "probe_id",
+            "neighbor_id",
+            "cos_sim",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+_PAIRS_ORACLE = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       floor(({_DUCK_COS.format(a='a.embedding', b='b.embedding')}) * 10000 + 0.5) / 10000 AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_DUCK_COS.format(a='a.embedding', b='b.embedding')} >= 0.3
+"""
+
+
+@register("q_llm_cosine_pairs", oracle=_PAIRS_ORACLE, tags=("llm", "dedup", "similarity"))
+def q_llm_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.3), exact all-pairs.
+
+    Correctness baseline only — at corpus scale use lsh_bucket() below
+    to restrict comparisons to shared buckets."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    sim = cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .filter(sim >= 0.3)
+        .select("vec_a", "vec_b", r4(sim).alias("cos_sim"))
+    )
+
+
+N_PLANES = 8
+
+
+def lsh_bucket(emb: DataFrame, dim: int = 64, n_planes: int = N_PLANES) -> DataFrame:
+    """Random-hyperplane LSH bucket id per vector (deterministic).
+
+    Plane p's component d is a pseudo-random ±1 derived from
+    xxhash64(p, d) — reproducible across runs with zero stored state.
+    The bucket id packs the sign bits of the n_planes projections; at
+    scale, candidate generation joins on bucket id instead of
+    all-pairs. Expected bucket occupancy is |corpus| / 2^n_planes.
+    """
+    proj_cols = []
+    for p in range(n_planes):
+        signs = F.array(
+            *[
+                F.when(F.xxhash64(F.lit(p), F.lit(d)).bitwiseAND(F.lit(1)) == 1, 1.0)
+                .otherwise(-1.0)
+                for d in range(dim)
+            ]
+        )
+        proj = F.aggregate(
+            F.zip_with(F.col("embedding"), signs, lambda x, s: x.cast("double") * s),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        proj_cols.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    bucket = proj_cols[0]
+    for c in proj_cols[1:]:
+        bucket = bucket + c
+    return emb.select("vec_id", "embedding", bucket.cast("long").alias("bucket"))
+
+
+@register("q_llm_ann_lsh", tags=("llm", "similarity", "sketch"))
+def q_llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via hyperplane-LSH buckets (rows-only: bucketing is
+    hash-seeded). Pairs sharing a bucket, with exact cosine verification
+    ≥ 0.3 — the scale path for q_llm_cosine_pairs."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    bucketed = lsh_bucket(emb).cache()
+    a = bucketed.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket"
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "bucket"
+    )
+    sim = cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(sim >= 0.3)
+        .select("vec_a", "vec_b", r4(sim).alias("cos_sim"))
+    )

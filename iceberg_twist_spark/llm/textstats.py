@@ -1,0 +1,191 @@
+"""Text analysis for training-data pipelines (NS mandate): corpus
+stats, quality scoring, language-ID heuristic, token counting,
+document fingerprinting.
+
+Everything is built-in string/array expressions — the entire suite
+runs inside whole-stage codegen with at most one shuffle (the final
+group-by), which is exactly the shape that survives a 100 TB corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_twist_spark.catalog import load_tables
+from iceberg_twist_spark.common import r4
+from iceberg_twist_spark.registry import register
+
+_STATS_ORACLE = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       floor((avg(n_chars)) * 10000 + 0.5) / 10000 AS avg_chars,
+       floor((avg(len(string_split(text, ' ')))) * 10000 + 0.5) / 10000 AS avg_words,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_words
+FROM documents GROUP BY lang
+"""
+
+
+@register("q_llm_text_stats", oracle=_STATS_ORACLE, tags=("llm", "text"))
+def q_llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats (doc counts, char/word averages)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    n_words = F.size(F.split("text", " "))
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        r4(F.avg("n_chars")).alias("avg_chars"),
+        r4(F.avg(n_words)).alias("avg_words"),
+        F.sum(n_words).cast("long").alias("total_words"),
+    )
+
+
+_STOPWORDS = ("the", "a", "of", "and", "or", "in", "to", "is")
+_STOP_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+_QUALITY_ORACLE = f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       floor((length(text) * 1.0 / len(string_split(text, ' '))) * 10000 + 0.5) / 10000 AS avg_word_len,
+       floor((len(list_filter(string_split(text, ' '), w -> w IN ({_STOP_SQL}))) * 1.0
+             / len(string_split(text, ' '))) * 10000 + 0.5) / 10000 AS stopword_ratio,
+       floor((len(list_distinct(string_split(text, ' '))) * 1.0
+             / len(string_split(text, ' '))) * 10000 + 0.5) / 10000 AS distinct_ratio
+FROM documents
+"""
+
+
+@register("q_llm_text_quality", oracle=_QUALITY_ORACLE, tags=("llm", "text"))
+def q_llm_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals: word count, mean word length,
+    stopword ratio, distinct-word ratio — the standard cheap filters
+    applied before expensive LLM-pipeline stages."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    words = F.split("text", " ")
+    n_words = F.size(words)
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+    n_distinct = F.size(F.array_distinct(words))
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        r4(F.length("text") * F.lit(1.0) / n_words).alias("avg_word_len"),
+        r4(n_stop * F.lit(1.0) / n_words).alias("stopword_ratio"),
+        r4(n_distinct * F.lit(1.0) / n_words).alias("distinct_ratio"),
+    )
+
+
+# Marker vocabularies for the n-gram language-ID heuristic. The fixture
+# text is synthetic word soup, so what matters (and is checked) is that
+# the scoring + argmax tiebreak is deterministic and identical in SQL.
+_LANG_MARKERS = {
+    "de": ("der", "die", "das", "und", "nicht"),
+    "en": ("the", "a", "and", "of", "is"),
+    "es": ("el", "la", "los", "que", "y"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "zh": ("de5", "shi4", "bu4", "le5", "zai4"),
+}
+
+
+def _marker_score_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in _LANG_MARKERS[lang])
+    return (
+        f"CAST(len(list_filter(string_split(text, ' '), w -> w IN ({words}))) AS BIGINT)"
+    )
+
+
+_LANGID_ORACLE = f"""
+SELECT doc_id, lang,
+       {_marker_score_sql('de')} AS score_de,
+       {_marker_score_sql('en')} AS score_en,
+       {_marker_score_sql('es')} AS score_es,
+       {_marker_score_sql('fr')} AS score_fr,
+       {_marker_score_sql('zh')} AS score_zh,
+       CASE
+         WHEN {_marker_score_sql('de')} >= greatest({_marker_score_sql('en')}, {_marker_score_sql('es')}, {_marker_score_sql('fr')}, {_marker_score_sql('zh')}) THEN 'de'
+         WHEN {_marker_score_sql('en')} >= greatest({_marker_score_sql('es')}, {_marker_score_sql('fr')}, {_marker_score_sql('zh')}) THEN 'en'
+         WHEN {_marker_score_sql('es')} >= greatest({_marker_score_sql('fr')}, {_marker_score_sql('zh')}) THEN 'es'
+         WHEN {_marker_score_sql('fr')} >= {_marker_score_sql('zh')} THEN 'fr'
+         ELSE 'zh'
+       END AS predicted_lang
+FROM documents
+"""
+
+
+@register("q_llm_langid", oracle=_LANGID_ORACLE, tags=("llm", "text"))
+def q_llm_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: marker-word scores per language, argmax
+    with fixed alphabetical precedence (deterministic tie-break)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    words = F.split("text", " ")
+
+    def score(lang: str) -> Column:
+        marker_arr = F.array(*[F.lit(w) for w in _LANG_MARKERS[lang]])
+        return F.size(F.filter(words, lambda w: F.array_contains(marker_arr, w))).cast(
+            "long"
+        )
+
+    s = {lang: score(lang) for lang in _LANG_MARKERS}
+    predicted = (
+        F.when(s["de"] >= F.greatest(s["en"], s["es"], s["fr"], s["zh"]), "de")
+        .when(s["en"] >= F.greatest(s["es"], s["fr"], s["zh"]), "en")
+        .when(s["es"] >= F.greatest(s["fr"], s["zh"]), "es")
+        .when(s["fr"] >= s["zh"], "fr")
+        .otherwise("zh")
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        s["de"].alias("score_de"),
+        s["en"].alias("score_en"),
+        s["es"].alias("score_es"),
+        s["fr"].alias("score_fr"),
+        s["zh"].alias("score_zh"),
+        predicted.alias("predicted_lang"),
+    )
+
+
+_TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+_TOKENS_ORACLE = f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '{_TOKEN_PATTERN}')) AS BIGINT) AS bpe_ish_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_actual
+FROM documents
+"""
+
+
+@register("q_llm_token_count", oracle=_TOKENS_ORACLE, tags=("llm", "text"))
+def q_llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens and a BPE-ish regex tokenizer
+    (letter runs / digit runs / single punctuation)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(_TOKEN_PATTERN), 0))
+        .cast("long")
+        .alias("bpe_ish_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+    )
+
+
+_FP_ORACLE = """
+SELECT doc_id,
+       md5(lower(trim(text))) AS fp_md5,
+       substr(md5(lower(trim(text))), 1, 16) AS fp_prefix
+FROM documents
+"""
+
+
+@register("q_llm_fingerprint", oracle=_FP_ORACLE, tags=("llm", "text"))
+def q_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting via content digest (md5 of normalized
+    text). A rolling/positional variant is q_llm_simhash (rows-only)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    fp = F.md5(F.lower(F.trim("text")))
+    return docs.select(
+        "doc_id",
+        fp.alias("fp_md5"),
+        F.substring(fp, 1, 16).alias("fp_prefix"),
+    )

@@ -1,0 +1,199 @@
+"""Window-function operators.
+
+Reference surface covered: the monotonic per-record counter
+(`iceberg-twist/notes.org:37-38`, A34 → row_number), lag-based
+enrichment (A30), and running loss/throughput accounting
+(`iceberg-twist/serial_streaming.lua:217-248`, A18 → running frames).
+
+Scale notes: each window is one shuffle on its partition key followed
+by an in-partition sort; partition keys are chosen high-cardinality
+(orderkey, custkey, user_id) so no single partition concentrates data.
+Ordering keys always include a unique tiebreak so results are
+deterministic. Top-k-per-group uses row_number + filter, which Spark
+4 rewrites with InferWindowGroupLimit (per-partition top-k pushdown).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iceberg_twist_spark.catalog import load_tables
+from iceberg_twist_spark.common import r4
+from iceberg_twist_spark.registry import register
+
+_ROWNUM_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       CAST(row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS BIGINT) AS rn
+FROM lineitem
+"""
+
+
+@register("q_win_rownum", oracle=_ROWNUM_ORACLE, tags=("window",))
+def q_win_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number — the reference's +1 monotonic counter column (A34)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.row_number().over(w).cast("long").alias("rn"),
+    )
+
+
+_RANK_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS drnk
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC)
+"""
+
+
+@register("q_win_rank", oracle=_RANK_ORACLE, tags=("window",))
+def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+    )
+
+
+_LAG_ORACLE = """
+SELECT event_id, user_id,
+       floor((value) * 10000 + 0.5) / 10000 AS val,
+       floor((lag(value) OVER w) * 10000 + 0.5) / 10000 AS prev_val,
+       floor((lead(value) OVER w) * 10000 + 0.5) / 10000 AS next_val
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+"""
+
+
+@register("q_win_lag", oracle=_LAG_ORACLE, tags=("window",))
+def q_win_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead per user over event order (event_id is time-ordered and
+    unique — immune to the ns→µs timestamp truncation, FIXTURES.md)."""
+    e = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        r4("value").alias("val"),
+        r4(F.lag("value").over(w)).alias("prev_val"),
+        r4(F.lead("value").over(w)).alias("next_val"),
+    )
+
+
+_RUNNING_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       floor((sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 10000 + 0.5) / 10000 AS running_total,
+       CAST(count(*) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cnt
+FROM orders
+"""
+
+
+@register("q_win_running", oracle=_RUNNING_ORACLE, tags=("window",))
+def q_win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running totals — the A18 cumulative byteSent/msgSent counters."""
+    o = load_tables(spark, sf_dir)["orders"]
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        r4(F.sum("o_totalprice").over(w)).alias("running_total"),
+        F.count("*").over(w).alias("running_cnt"),
+    )
+
+
+_RANGE_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       floor((avg(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_totalprice
+         RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW)) * 10000 + 0.5) / 10000 AS nearby_avg
+FROM orders
+"""
+
+
+@register("q_win_range_frame", oracle=_RANGE_ORACLE, tags=("window",))
+def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, peers included) — deterministic because
+    peers at equal o_totalprice aggregate identically on both engines."""
+    o = load_tables(spark, sf_dir)["orders"]
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-50000, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        r4(F.avg("o_totalprice").over(w)).alias("nearby_avg"),
+    )
+
+
+_NTILE_ORACLE = """
+SELECT c_custkey, c_acctbal,
+       CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS quartile
+FROM customer
+"""
+
+
+@register("q_win_ntile", oracle=_NTILE_ORACLE, tags=("window",))
+def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile over a total order (c_custkey tiebreak → deterministic).
+
+    Note: an unpartitioned window is a single-reducer sort — acceptable
+    for quartile assignment of a dimension table; at fact-table scale
+    use approx percentiles + a bucketing join instead."""
+    c = load_tables(spark, sf_dir)["customer"]
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+_TOPK_GROUP_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (
+           PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+)
+WHERE rn <= 2
+"""
+
+
+@register("q_win_topk_group", oracle=_TOPK_GROUP_ORACLE, tags=("window",))
+def q_win_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 orders per customer — row_number + filter; Spark's
+    InferWindowGroupLimit prunes to per-partition top-k before the
+    shuffle (the scalable top-k-per-group plan)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 2)
+    )

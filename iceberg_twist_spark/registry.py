@@ -1,0 +1,84 @@
+"""Query registry — the single source of truth for the driver contract.
+
+Every implemented operator from SURVEY.md §2 registers here as a
+``QuerySpec``: a name, a DataFrame builder ``(spark, sf_dir) -> DF``,
+and (when the semantics are deterministic and ANSI-SQL-expressible) a
+DuckDB oracle SQL string the driver hash-checks against.
+
+Conventions (FIXTURES.md determinism rules):
+- every float aggregate is rounded to 4 decimals inside BOTH the
+  Spark builder and the oracle SQL;
+- every computed column is aliased identically on both sides (the
+  driver sorts columns by name before hashing);
+- temporal outputs are formatted to strings identically on both
+  sides ('yyyy-MM-dd HH:mm:ss' ↔ '%Y-%m-%d %H:%M:%S');
+- every ORDER BY + LIMIT carries a unique tiebreak key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+Builder = Callable[[SparkSession, str], DataFrame]
+
+REGISTRY: dict[str, "QuerySpec"] = {}
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    builder: Builder
+    oracle: str | None = None  # DuckDB SQL; None → rows-only check
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    """Decorator: register a query builder under ``name``."""
+
+    def deco(fn: Builder) -> Builder:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = QuerySpec(name=name, builder=fn, oracle=oracle, tags=tags)
+        return fn
+
+    return deco
+
+
+def _load_all_modules() -> None:
+    """Import every module that registers queries (idempotent)."""
+    import iceberg_twist_spark.operators.scans  # noqa: F401
+    import iceberg_twist_spark.operators.filters  # noqa: F401
+    import iceberg_twist_spark.operators.joins  # noqa: F401
+    import iceberg_twist_spark.operators.aggregates  # noqa: F401
+    import iceberg_twist_spark.operators.windows  # noqa: F401
+    import iceberg_twist_spark.operators.sorts  # noqa: F401
+    import iceberg_twist_spark.operators.setops  # noqa: F401
+    import iceberg_twist_spark.functions.strings  # noqa: F401
+    import iceberg_twist_spark.functions.dates  # noqa: F401
+    import iceberg_twist_spark.functions.math_fns  # noqa: F401
+    import iceberg_twist_spark.functions.arrays  # noqa: F401
+    import iceberg_twist_spark.functions.maps_json  # noqa: F401
+    import iceberg_twist_spark.functions.binary_fns  # noqa: F401
+    import iceberg_twist_spark.ingest.frames  # noqa: F401
+    import iceberg_twist_spark.streaming.windows  # noqa: F401
+    import iceberg_twist_spark.llm.dedup  # noqa: F401
+    import iceberg_twist_spark.llm.similarity  # noqa: F401
+    import iceberg_twist_spark.llm.textstats  # noqa: F401
+    import iceberg_twist_spark.udfs  # noqa: F401
+
+
+def all_queries() -> dict[str, Builder]:
+    _load_all_modules()
+    return {name: spec.builder for name, spec in sorted(REGISTRY.items())}
+
+
+def all_oracles() -> dict[str, str]:
+    _load_all_modules()
+    return {
+        name: spec.oracle
+        for name, spec in sorted(REGISTRY.items())
+        if spec.oracle is not None
+    }

@@ -1,0 +1,65 @@
+"""SparkSession construction tuned for the engine.
+
+Local testing runs ``local[N]`` single-JVM; the configs below are the
+ones that matter identically on a 1000-executor cluster:
+
+- AQE on (runtime shuffle-partition coalescing, skew-join splitting,
+  broadcast demotion) — the 100 TB safety net.
+- Arrow on — every pandas UDF crosses Python↔JVM in columnar batches.
+- ``spark.sql.shuffle.partitions`` sized to cores locally; on a real
+  cluster this is a starting point that AQE coalesces per-stage.
+- Session timezone pinned to UTC so event-time semantics (and the
+  DuckDB oracle comparisons) are wall-clock independent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "iceberg-twist-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def pin_session_defaults(spark: SparkSession) -> None:
+    """Pin runtime-settable confs that query determinism relies on.
+
+    Called by the catalog loader so queries behave identically under
+    the driver's own SparkSession (whose build-time config we don't
+    control). Only runtime-mutable SQL confs are touched.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # The events fixture stores ns-precision timestamps, which the
+    # Spark 4 parquet reader rejects outright; read them as raw int64
+    # nanos (the catalog loader converts to µs TimestampType).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -1,0 +1,119 @@
+"""Local oracle-differential harness (mirrors the driver's t2 check).
+
+Runs every registered query on Spark and its DuckDB oracle on the same
+parquet tables, then compares row count, column names, and
+order-insensitive values (columns sorted by name, rows sorted by all
+columns). Floats compare exactly after the in-query rounding — if a
+query needs tolerance here, its rounding convention is broken and must
+be fixed in the query, not the harness.
+
+Usage: python tools/check.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from iceberg_twist_spark.catalog import TABLES
+from iceberg_twist_spark.registry import REGISTRY, _load_all_modules
+from iceberg_twist_spark.session import get_spark
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return None
+        return round(v, 6)
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_cell(x) for x in v)
+    try:
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return round(float(v), 6)
+    except ImportError:
+        pass
+    return v
+
+
+def _canon(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return out
+
+
+def compare(name: str, spark, con, sf_dir: str) -> tuple[bool, str, float]:
+    spec = REGISTRY[name]
+    t0 = time.time()
+    sdf = spec.builder(spark, sf_dir)
+    s_rows = sdf.collect()
+    s_cols = sdf.columns
+    elapsed = time.time() - t0
+    if spec.oracle is None:
+        return True, f"rows-only ({len(s_rows)} rows)", elapsed
+    d = con.execute(spec.oracle)
+    d_cols = [c[0] for c in d.description]
+    d_rows = d.fetchall()
+    if sorted(s_cols) != sorted(d_cols):
+        return False, f"columns differ: spark={sorted(s_cols)} duck={sorted(d_cols)}", elapsed
+    if len(s_rows) != len(d_rows):
+        return False, f"row count: spark={len(s_rows)} duck={len(d_rows)}", elapsed
+    s_canon = _canon([tuple(r) for r in s_rows], s_cols)
+    d_canon = _canon(d_rows, d_cols)
+    if s_canon != d_canon:
+        diffs = [
+            (i, a, b)
+            for i, (a, b) in enumerate(zip(s_canon, d_canon))
+            if a != b
+        ][:3]
+        return False, f"values differ, first diffs: {diffs}", elapsed
+    return True, f"match ({len(s_rows)} rows)", elapsed
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.001"
+    names = args[1:] if args and os.path.isdir(args[0]) else args
+    _load_all_modules()
+    targets = names or sorted(REGISTRY)
+    spark = get_spark("oracle-check")
+    con = duck_connection(sf_dir)
+    failures = []
+    for name in targets:
+        if name not in REGISTRY:
+            print(f"UNKNOWN  {name}")
+            failures.append(name)
+            continue
+        try:
+            ok, msg, dt = compare(name, spark, con, sf_dir)
+        except Exception as exc:  # noqa: BLE001
+            ok, msg, dt = False, f"EXCEPTION: {type(exc).__name__}: {str(exc)[:300]}", 0.0
+        status = "PASS" if ok else "FAIL"
+        print(f"{status:5s} {name:28s} {dt:6.1f}s  {msg}")
+        if not ok:
+            failures.append(name)
+    print(f"\n{len(targets) - len(failures)}/{len(targets)} passed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
