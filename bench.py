@@ -1,0 +1,87 @@
+"""Headline benchmark (driver contract: BENCH_r{N}.json).
+
+Runs the headline queries from BASELINE.md §2 at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is timed to completed collect (action-inclusive, plan +
+execute). A short warm-up action first so JVM/codegen startup isn't
+billed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from iceberg_twist_spark.registry import REGISTRY, _load_all_modules
+from iceberg_twist_spark.session import get_spark
+
+# BASELINE.md §2 headline set: flagship agg, join-heavy star join,
+# window suite, kNN over embeddings, plus the LLM dedup pipeline.
+HEADLINE = (
+    "q_agg_group",
+    "q_join_multiway",
+    "q_win_rank",
+    "q_win_running",
+    "q_win_lag",
+    "q_topk",
+    "q_llm_cosine_topk",
+    "q_llm_knn_join",
+    "q_llm_exact_dedup",
+    "q_stream_tumble",
+)
+
+# Queries whose result set is large: execute via the noop sink so the
+# timing measures engine throughput, not Py4J row serialization of a
+# 600k-row collect to the Python driver.
+_NOOP_SINK = frozenset(
+    {"q_join_multiway", "q_win_rank", "q_win_running", "q_win_lag", "q_llm_exact_dedup"}
+)
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or 0)
+    _load_all_modules()
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: touch the JVM, parquet footers, and codegen paths once
+    REGISTRY["q_agg_group"].builder(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = REGISTRY[name].builder(spark, sf_dir)
+        if name in _NOOP_SINK:
+            df.write.format("noop").mode("overwrite").save()
+            n = "noop"
+        else:
+            n = len(df.collect())
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

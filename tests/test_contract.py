@@ -1,0 +1,34 @@
+"""Driver-contract shape tests for __spark_entry__.py."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod
+
+
+def test_registry_shape():
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert len(qs) >= 70
+    # every oracle belongs to a registered query
+    assert set(oracles) <= set(qs)
+    # the vast majority of queries must be hash-checkable
+    assert len(oracles) >= 0.85 * len(qs)
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns[0] == "l_returnflag"
+
+
+def test_queries_callable_and_lazy(spark, sf_dir):
+    qs = entry_mod.queries()
+    # building a plan must not trigger execution (returns DataFrame)
+    df = qs["q_filter_eq"](spark, sf_dir)
+    assert hasattr(df, "collect")
