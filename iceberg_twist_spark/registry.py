@@ -64,10 +64,13 @@ def _load_all_modules() -> None:
     import iceberg_twist_spark.functions.binary_fns  # noqa: F401
     import iceberg_twist_spark.ingest.frames  # noqa: F401
     import iceberg_twist_spark.streaming.windows  # noqa: F401
+    import iceberg_twist_spark.streaming.jobs  # noqa: F401
     import iceberg_twist_spark.llm.dedup  # noqa: F401
     import iceberg_twist_spark.llm.similarity  # noqa: F401
     import iceberg_twist_spark.llm.textstats  # noqa: F401
     import iceberg_twist_spark.udfs  # noqa: F401
+    import iceberg_twist_spark.multimodal  # noqa: F401
+    import iceberg_twist_spark.sources.connectors  # noqa: F401
 
 
 def all_queries() -> dict[str, Builder]:

@@ -63,3 +63,42 @@ def pin_session_defaults(spark: SparkSession) -> None:
     # Spark 4 parquet reader rejects outright; read them as raw int64
     # nanos (the catalog loader converts to µs TimestampType).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensure_package_shipped(spark)
+
+
+_SHIPPED: dict[str, bool] = {}
+
+
+def ensure_package_shipped(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via ``addPyFile``.
+
+    Module-level UDFs (pandas_udf / applyInPandasWithState functions)
+    are cloudpickled BY REFERENCE — the worker re-imports
+    ``iceberg_twist_spark``, which only works if the package is on the
+    worker's import path. Locally that held accidentally via the
+    driver cwd; on a real cluster (or a driver running from another
+    directory) it does not. Same mechanism as ``spark-submit
+    --py-files``: zip the package once per process and register it
+    with the SparkContext.
+    """
+    import tempfile
+    import zipfile
+
+    sc = spark.sparkContext
+    key = sc.applicationId
+    if _SHIPPED.get(key):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"itws_pkg_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        zf.write(full, rel)
+    sc.addPyFile(zip_path)
+    _SHIPPED[key] = True

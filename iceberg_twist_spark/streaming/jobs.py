@@ -1,0 +1,329 @@
+"""Live Structured Streaming jobs — the reference's service surface.
+
+Port map (SURVEY.md §2.A → Spark):
+
+- bounded per-key queue with overflow drop + loss/throughput accounting
+  (`iceberg-twist/serial_streaming.lua:217-248,303-310`, A17/A18) →
+  ``applyInPandasWithState`` with cumulative per-key counters;
+- TTL / data lifetime (`iceberg-twist/serial_streaming.lua:16`, A19) →
+  processing-time state timeout clearing idle keys;
+- watermark + late-data drop (A17/A19) → ``withWatermark`` + windowed agg;
+- streaming dedup (NS) → ``dropDuplicatesWithinWatermark``;
+- 5 Hz → 1 Hz throttle (`iceberg-twist/notes.org:17`, A28) → 1-second
+  tumbling window keeping the first sample;
+- GPS enrichment (`iceberg-twist/notes.org:19,34`, A30) → stream-static
+  broadcast join;
+- status reports / volume accounting (`iceberg-twist/serial_streaming.lua:172-174`,
+  A18/A23/A32) → ``observe()`` metrics drained by a listener/progress.
+
+Execution model: the events table is re-staged as a directory of
+time-ordered parquet chunk files; ``maxFilesPerTrigger=1`` +
+``Trigger.AvailableNow`` replays it as a sequence of micro-batches so
+state genuinely evolves across batches, then terminates. Results land
+in a memory sink and are returned as a normal DataFrame (the driver
+records a rows-only check — streaming state is not SQL-expressible).
+
+At scale the same plans run unchanged against a real source (Kafka /
+files-on-S3): only ``stage_replay_dir`` is test harness.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from iceberg_twist_spark.catalog import load_tables
+from iceberg_twist_spark.registry import register
+
+_REPLAY_CACHE: dict[tuple[str, int], str] = {}
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stage_replay_dir(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> str:
+    """Stage ``events`` as N time-ordered parquet chunks for file replay.
+
+    Chunk k holds the k-th time-quantile slice, so replaying one file
+    per trigger presents data in (roughly) event-time order — the same
+    arrival pattern the satellite link gives the reference service.
+    """
+    key = (sf_dir, n_chunks)
+    if key in _REPLAY_CACHE and os.path.isdir(_REPLAY_CACHE[key]):
+        return _REPLAY_CACHE[key]
+    events = load_tables(spark, sf_dir)["events"].select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    out = tempfile.mkdtemp(prefix="itws_replay_")
+    pdf = events.toPandas().sort_values("ts").reset_index(drop=True)
+    step = (len(pdf) + n_chunks - 1) // n_chunks
+    for k in range(n_chunks):
+        chunk = pdf.iloc[k * step : (k + 1) * step]
+        if len(chunk):
+            # pandas writes datetime64[ns]; Spark's streaming parquet
+            # reader wants µs TimestampType — coerce at write time
+            chunk.to_parquet(
+                os.path.join(out, f"chunk_{k:03d}.parquet"),
+                index=False,
+                coerce_timestamps="us",
+                allow_truncated_timestamps=True,
+            )
+    _REPLAY_CACHE[key] = out
+    return out
+
+
+def read_event_stream(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> DataFrame:
+    """File-replay streaming source over the staged events chunks."""
+    replay = stage_replay_dir(spark, sf_dir, n_chunks)
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+    )
+
+
+def run_to_memory(sdf: DataFrame, output_mode: str = "append") -> DataFrame:
+    """Execute a streaming plan to completion into a memory sink."""
+    name = f"itws_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="itws_ckpt_")
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return sdf.sparkSession.table(name)
+
+
+@register("q_stream_throttle", tags=("streaming",))
+def q_stream_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A28 throttle: 1-minute tumbling windows keeping the first sample
+    per user (min_by on event time), watermarked 10 minutes."""
+    s = read_event_stream(spark, sf_dir)
+    return run_to_memory(
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 minute").alias("w"), "user_id")
+        .agg(
+            F.min_by("value", "ts").alias("first_value"),
+            F.count("*").alias("n_raw"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "user_id", "first_value", "n_raw"
+        )
+    )
+
+
+@register("q_stream_dedup_watermark", tags=("streaming",))
+def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup: each event duplicated 2× upstream, then
+    ``dropDuplicatesWithinWatermark`` on event_id restores uniqueness
+    (state for old keys is reclaimed once the watermark passes)."""
+    s = read_event_stream(spark, sf_dir)
+    doubled = s.withColumn("copy", F.explode(F.array(F.lit(1), F.lit(2)))).drop("copy")
+    return run_to_memory(
+        doubled.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+    )
+
+
+@register("q_stream_late_drop", tags=("streaming",))
+def q_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark + windowed count in append mode: rows later than the
+    10-minute watermark are dropped from closed windows; closed windows
+    emit exactly once."""
+    s = read_event_stream(spark, sf_dir, n_chunks=6)
+    return run_to_memory(
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "cnt")
+    )
+
+
+@register("q_stream_enrich_join", tags=("streaming",))
+def q_stream_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A30 enrichment: stream-static join against the customer dim —
+    the static side is broadcast into every micro-batch (the 'GPS fix
+    attached to every IMU broadcast' pattern)."""
+    s = read_event_stream(spark, sf_dir)
+    customer = load_tables(spark, sf_dir)["customer"].select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_nationkey").alias("nation_key"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    enriched = s.join(F.broadcast(customer), "user_id", "left").select(
+        "event_id", "ts", "user_id", "nation_key", "acctbal", "value"
+    )
+    return run_to_memory(enriched)
+
+
+# ---------------------------------------------------------------------------
+# Bounded per-key queue with loss accounting + TTL (A17–A21)
+# ---------------------------------------------------------------------------
+
+QUEUE_SIZE = 16  # RxQueueSize analogue (serial_streaming.lua:303-310)
+
+_QSTATE = T.StructType(
+    [
+        T.StructField("msg_sent", T.LongType()),
+        T.StructField("msg_lost", T.LongType()),
+        T.StructField("byte_sent", T.LongType()),
+        T.StructField("byte_lost", T.LongType()),
+    ]
+)
+
+_QOUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("batch_events", T.LongType()),
+        T.StructField("msg_sent", T.LongType()),
+        T.StructField("msg_lost", T.LongType()),
+        T.StructField("byte_sent", T.LongType()),
+        T.StructField("byte_lost", T.LongType()),
+        T.StructField("expired", T.BooleanType()),
+    ]
+)
+
+
+TTL_MS = 30 * 60 * 1000  # 30-minute event-time idle TTL
+
+
+def _queue_fn(key, pdf_iter, state: GroupState):
+    """Per-key bounded Rx queue: ≤QUEUE_SIZE events admitted per batch
+    (the rest dropped + counted), queue drained (sent) at batch end,
+    cumulative sent/lost counters kept in state.
+
+    TTL is EVENT-time (watermark-driven): a key idle for 30 event-time
+    minutes is expired and its state reclaimed (A19 lifetime
+    management). Event-time — not processing-time — so the replay is
+    deterministic and an availableNow run terminates instead of
+    spinning no-data batches on the wall clock.
+    """
+    (user_id,) = key
+    if state.hasTimedOut:
+        msg_sent, msg_lost, byte_sent, byte_lost = state.get
+        state.remove()
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": user_id,
+                    "batch_events": 0,
+                    "msg_sent": msg_sent,
+                    "msg_lost": msg_lost,
+                    "byte_sent": byte_sent,
+                    "byte_lost": byte_lost,
+                    "expired": True,
+                }
+            ]
+        )
+        return
+    msg_sent, msg_lost, byte_sent, byte_lost = (
+        state.get if state.exists else (0, 0, 0, 0)
+    )
+    batch_events = 0
+    max_ts_ms = 0
+    for pdf in pdf_iter:
+        sizes = pdf["props"].str.len().fillna(0).astype(int)
+        n = len(pdf)
+        batch_events += n
+        admitted = min(n, QUEUE_SIZE)
+        msg_sent += admitted
+        byte_sent += int(sizes.iloc[:admitted].sum())
+        msg_lost += n - admitted
+        byte_lost += int(sizes.iloc[admitted:].sum())
+        if n:
+            max_ts_ms = max(max_ts_ms, int(pdf["ts"].max().value // 1_000_000))
+    state.update((msg_sent, msg_lost, byte_sent, byte_lost))
+    if max_ts_ms:
+        state.setTimeoutTimestamp(max_ts_ms + TTL_MS)
+    yield pd.DataFrame(
+        [
+            {
+                "user_id": user_id,
+                "batch_events": batch_events,
+                "msg_sent": msg_sent,
+                "msg_lost": msg_lost,
+                "byte_sent": byte_sent,
+                "byte_lost": byte_lost,
+                "expired": False,
+            }
+        ]
+    )
+
+
+@register("q_stream_queue_ttl", tags=("streaming", "stateful"))
+def q_stream_queue_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful bounded queue with loss accounting and TTL — the direct
+    port of the reference's Rx queue service (A17–A21). One status row
+    per (user, micro-batch): cumulative sent/lost message and byte
+    counters, overflow beyond QUEUE_SIZE dropped-and-accounted."""
+    s = read_event_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    stats = s.groupBy("user_id").applyInPandasWithState(
+        _queue_fn,
+        outputStructType=_QOUT,
+        stateStructType=_QSTATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return run_to_memory(stats, output_mode="update")
+
+
+@register("q_stream_observe", tags=("streaming", "metrics"))
+def q_stream_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A18/A23/A32 observed metrics: per-micro-batch row and byte
+    counters via ``observe()``, harvested from query progress — the
+    'status report' channel. Returns one row per micro-batch."""
+    s = read_event_stream(spark, sf_dir)
+    observed = s.observe(
+        "traffic",
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.length("props")).alias("bytes"),
+    )
+    name = f"itws_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="itws_ckpt_")
+    q = (
+        observed.writeStream.format("noop")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+        progress = [
+            (
+                int(p["batchId"]),
+                int(p["observedMetrics"]["traffic"]["rows"]),
+                int(p["observedMetrics"]["traffic"]["bytes"]),
+            )
+            for p in (q.recentProgress or [])
+            if p.get("observedMetrics", {}).get("traffic") is not None
+        ]
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.createDataFrame(
+        progress or [], "batch_id long, rows long, bytes long"
+    )

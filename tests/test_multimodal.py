@@ -1,0 +1,71 @@
+"""Multimodal plumbing tests: blob schema, header parse, byte features."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from iceberg_twist_spark.multimodal import (
+    HEADER_LEN,
+    build_media_table,
+    decode_image_real,
+    extract_byte_features,
+    parse_header,
+)
+
+
+def _media(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return build_media_table(docs)
+
+
+def test_media_blob_layout(spark, sf_dir):
+    media = _media(spark, sf_dir)
+    assert isinstance(media.schema["media"].dataType, BinaryType)
+    row = media.orderBy("doc_id").first()
+    blob = bytes(row.media)
+    assert blob[:4] == b"ITW1"
+    w = int.from_bytes(blob[4:6], "little")
+    h = int.from_bytes(blob[6:8], "little")
+    c = blob[8]
+    assert (w, h, c) == (row.meta.width, row.meta.height, row.meta.channels)
+
+
+def test_parse_header_matches_meta(spark, sf_dir):
+    media = _media(spark, sf_dir)
+    h = parse_header(F.col("media"))
+    mismatches = media.select(
+        ((h.width != F.col("meta.width"))
+         | (h.height != F.col("meta.height"))
+         | (h.channels != F.col("meta.channels"))
+         | (h.magic != "ITW1")).alias("bad")
+    ).filter("bad")
+    assert mismatches.count() == 0
+
+
+def test_byte_features_exact_on_known_blob(spark):
+    blob = b"ITW1" + (32).to_bytes(2, "little") + (16).to_bytes(2, "little") + b"\x01" + b"abca"
+    df = spark.createDataFrame([(1, bytearray(blob))], "doc_id long, media binary")
+    r = extract_byte_features(df).collect()[0]
+    payload = blob[HEADER_LEN:]
+    assert r.mean_byte == sum(payload) / len(payload)
+    assert r.max_byte == max(payload)
+    assert r.n_distinct_bytes == len(set(payload))
+
+
+def test_decode_image_real_is_guarded(spark, sf_dir):
+    media = _media(spark, sf_dir)
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL installed in this environment; stub not applicable")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="PIL"):
+        decode_image_real(media)
