@@ -1,0 +1,111 @@
+"""User-facing engine façade.
+
+A reference user's entry points were ``python main.py`` (batch probe)
+and the LSF services (streaming). The engine equivalent is one object
+wrapping session + catalog + the operator library:
+
+    from iceberg_twist_spark.api import Engine
+
+    eng = Engine.local(sf_dir="/root/testdata/sf0.01")
+    eng.table("lineitem").filter(...)         # DataFrame API
+    eng.sql("SELECT ... FROM lineitem ...")   # SQL over registered views
+    eng.run("q_agg_group")                    # any registered operator
+    eng.exact_dedup(df, "text")               # pipeline helpers
+    eng.cosine_topk(df, probe, k=10)
+    eng.decode_frames(df, "frame_hex")
+
+Thin by design: every method returns a plain DataFrame so users stay
+in the native PySpark API, and Catalyst sees one uninterrupted plan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_twist_spark.catalog import TABLES, register_views
+from iceberg_twist_spark.registry import REGISTRY, _load_all_modules
+from iceberg_twist_spark.session import get_spark
+
+
+class Engine:
+    """Session + catalog + operator library in one handle."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        _load_all_modules()
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self._tables = register_views(spark, sf_dir)
+
+    @classmethod
+    def local(cls, sf_dir: str, app_name: str = "iceberg-twist-spark") -> "Engine":
+        return cls(get_spark(app_name), sf_dir)
+
+    # -- catalog ----------------------------------------------------------
+    def table(self, name: str) -> DataFrame:
+        if name not in TABLES:
+            raise KeyError(f"unknown table {name!r}; have {TABLES}")
+        return self._tables[name]
+
+    def sql(self, query: str) -> DataFrame:
+        return self.spark.sql(query)
+
+    # -- operator library -------------------------------------------------
+    def run(self, query_name: str) -> DataFrame:
+        """Run any registered operator query against this catalog."""
+        return REGISTRY[query_name].builder(self.spark, self.sf_dir)
+
+    @staticmethod
+    def operators() -> Sequence[str]:
+        _load_all_modules()
+        return sorted(REGISTRY)
+
+    # -- LLM-pipeline helpers (generic over user DataFrames) -------------
+    @staticmethod
+    def exact_dedup(df: DataFrame, text_col: str, key_col: str) -> DataFrame:
+        """Keep one row per normalized-text hash (deterministic keeper =
+        min key). Shuffles 32-byte digests, never documents."""
+        h = F.sha2(F.lower(F.trim(F.col(text_col))), 256)
+        keeper = (
+            df.withColumn("__h", h)
+            .groupBy("__h")
+            .agg(F.min(key_col).alias(key_col))
+        )
+        return df.join(F.broadcast(keeper.select(key_col)), key_col, "left_semi")
+
+    @staticmethod
+    def cosine_topk(
+        df: DataFrame, vec_col: str, probe: list[float], k: int = 10
+    ) -> DataFrame:
+        """Brute-force cosine top-k of a literal probe vector."""
+        from iceberg_twist_spark.llm.similarity import _dot, _norm
+
+        p = F.array(*[F.lit(float(x)) for x in probe])
+        sim = _dot(F.col(vec_col), p) / (_norm(F.col(vec_col)) * _norm(p))
+        return df.withColumn("cos_sim", sim).orderBy(F.desc("cos_sim")).limit(k)
+
+    @staticmethod
+    def decode_frames(df: DataFrame, hex_col: str) -> DataFrame:
+        """Fixed-layout telemetry decode (v1: ts@6, int16 pair @10)."""
+        from iceberg_twist_spark.ingest.frames import decode_frame_hex
+
+        return df.withColumn("record", decode_frame_hex(hex_col))
+
+    @staticmethod
+    def minhash_pairs(df: DataFrame, text_col: str, key_col: str) -> DataFrame:
+        """Near-duplicate candidate pairs via MinHash/LSH banding."""
+        from iceberg_twist_spark.llm.dedup import minhash_signatures
+
+        docs = df.select(
+            F.col(key_col).alias("doc_id"), F.col(text_col).alias("text")
+        )
+        sig = minhash_signatures(docs)
+        return sig  # signatures; banding join is q_llm_minhash_dedup's shape
+
+    def frame_split(self, df: DataFrame, payload_col: str) -> DataFrame:
+        """Delimiter frame split (A5) over binary payloads."""
+        from iceberg_twist_spark.ingest.frames import split_frames_map_in_pandas
+
+        return split_frames_map_in_pandas(df, payload_col)

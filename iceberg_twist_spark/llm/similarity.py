@@ -38,6 +38,17 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def with_norm(df: DataFrame, vec_col: str, out: str = "nrm") -> DataFrame:
+    """Attach the L2 norm once per vector.
+
+    Higher-order array functions are interpreted per element (no
+    whole-stage codegen), so in any pairwise plan the norms must be
+    computed on the |corpus| rows BEFORE the join, not per pair —
+    that turns 3 array-aggregates per pair into 1 (the dot product).
+    """
+    return df.withColumn(out, _norm(F.col(vec_col)))
+
+
 _DUCK_COS = (
     "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])) / "
     "(sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[]))) * "
@@ -66,15 +77,15 @@ def q_llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_id tiebreak so both engines resolve near-ties identically.
     ORDER BY + LIMIT compiles to TakeOrderedAndProject (per-partition
     top-k, k-row merge — no global sort)."""
-    emb = load_tables(spark, sf_dir)["embeddings"]
-    probe = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("p"))
+    emb = with_norm(load_tables(spark, sf_dir)["embeddings"], "embedding")
+    probe = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("p"), F.col("nrm").alias("pn")
+    )
+    pair_sim = _dot(F.col("embedding"), F.col("p")) / (F.col("nrm") * F.col("pn"))
     return (
         emb.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(probe))
-        .select(
-            "vec_id",
-            r4(cosine(F.col("embedding"), F.col("p"))).alias("cos_sim"),
-        )
+        .select("vec_id", r4(pair_sim).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(10)
     )
@@ -105,17 +116,19 @@ def q_llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Probe set is broadcast so the corpus is scanned once; per-probe
     top-k via row_number (InferWindowGroupLimit prunes map-side)."""
-    emb = load_tables(spark, sf_dir)["embeddings"]
+    emb = with_norm(load_tables(spark, sf_dir)["embeddings"], "embedding")
     probes = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p")
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p"),
+        F.col("nrm").alias("pn"),
     )
+    pair_sim = _dot(F.col("embedding"), F.col("p")) / (F.col("nrm") * F.col("pn"))
     sims = (
         emb.crossJoin(F.broadcast(probes))
         .filter(F.col("vec_id") != F.col("probe_id"))
         .select(
             "probe_id",
             F.col("vec_id").alias("neighbor_id"),
-            r4(cosine(F.col("embedding"), F.col("p"))).alias("cos_sim"),
+            r4(pair_sim).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("probe_id").orderBy(
@@ -146,14 +159,21 @@ def q_llm_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Correctness baseline only — at corpus scale use lsh_bucket() below
     to restrict comparisons to shared buckets."""
-    emb = load_tables(spark, sf_dir)["embeddings"]
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    sim = cosine(F.col("ea"), F.col("eb"))
+    emb = with_norm(load_tables(spark, sf_dir)["embeddings"], "embedding")
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    sim = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .filter(sim >= 0.3)
-        .select("vec_a", "vec_b", r4(sim).alias("cos_sim"))
+        .withColumn("sim", sim)  # evaluated once, reused by filter+project
+        .filter(F.col("sim") >= 0.3)
+        .select("vec_a", "vec_b", r4(F.col("sim")).alias("cos_sim"))
     )
 
 
@@ -187,7 +207,7 @@ def lsh_bucket(emb: DataFrame, dim: int = 64, n_planes: int = N_PLANES) -> DataF
     bucket = proj_cols[0]
     for c in proj_cols[1:]:
         bucket = bucket + c
-    return emb.select("vec_id", "embedding", bucket.cast("long").alias("bucket"))
+    return emb.select("*", bucket.cast("long").alias("bucket"))
 
 
 @register("q_llm_ann_lsh", tags=("llm", "similarity", "sketch"))
@@ -195,18 +215,21 @@ def q_llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via hyperplane-LSH buckets (rows-only: bucketing is
     hash-seeded). Pairs sharing a bucket, with exact cosine verification
     ≥ 0.3 — the scale path for q_llm_cosine_pairs."""
-    emb = load_tables(spark, sf_dir)["embeddings"]
+    emb = with_norm(load_tables(spark, sf_dir)["embeddings"], "embedding")
     bucketed = lsh_bucket(emb).cache()
     a = bucketed.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket"
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"), "bucket",
     )
     b = bucketed.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "bucket"
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"), "bucket",
     )
-    sim = cosine(F.col("ea"), F.col("eb"))
+    sim = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, "bucket")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .filter(sim >= 0.3)
-        .select("vec_a", "vec_b", r4(sim).alias("cos_sim"))
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= 0.3)
+        .select("vec_a", "vec_b", r4(F.col("sim")).alias("cos_sim"))
     )

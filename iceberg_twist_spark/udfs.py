@@ -96,3 +96,39 @@ def q_udtf_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Round JVM-side so rounding matches the SQL oracle bit-for-bit
     # (pandas .round is banker's rounding).
     return normalized.withColumn("value_z", r4("value_z"))
+
+
+_UDTF_CHUNK_ORACLE = """
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_no,
+       substr(text, CAST(i * 64 + 1 AS INT), 64) AS piece
+FROM (
+  SELECT doc_id, text,
+         unnest(range(0, CAST(ceil(length(text) / 64.0) AS INT))) AS i
+  FROM documents
+)
+"""
+
+
+@register("q_udtf_chunk", oracle=_UDTF_CHUNK_ORACLE, tags=("udf", "udtf"))
+def q_udtf_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 ``@udtf``): explode each document into
+    64-char chunks — the A33 chunker as a table function, lateral-joined
+    per input row. The JVM-expression equivalent is q_chunk_payload;
+    this exercises the UDTF surface itself."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_no bigint, piece string")
+    class ChunkUdtf:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i in range(0, (len(text) + 63) // 64):
+                yield i, text[i * 64 : (i + 1) * 64]
+
+    spark.udtf.register("itws_chunk", ChunkUdtf)
+    docs = load_tables(spark, sf_dir)["documents"]
+    docs.createOrReplaceTempView("itws_udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, c.chunk_no, c.piece "
+        "FROM itws_udtf_docs d, LATERAL itws_chunk(d.text) c"
+    )

@@ -15,7 +15,7 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from iceberg_twist_spark.catalog import TABLES  # noqa: E402
-from iceberg_twist_spark.session import get_spark  # noqa: E402
+from iceberg_twist_spark.session import get_spark, pin_session_defaults  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
@@ -24,6 +24,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 def spark():
     spark = get_spark("tests", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
+    pin_session_defaults(spark)
     yield spark
 
 

@@ -1,0 +1,69 @@
+"""Plan-shape audit: assert the physical plans we designed for.
+
+Each entry asserts properties a 100 TB deployment depends on:
+pushdown reaching the parquet scan, dimension joins broadcasting,
+top-k compiling to TakeOrderedAndProject / WindowGroupLimit, and no
+accidental CartesianProduct anywhere an equi/bounded join was
+intended. Run: ``python tools/explain_audit.py [sf_dir]``.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from iceberg_twist_spark.registry import REGISTRY, _load_all_modules
+from iceberg_twist_spark.session import get_spark
+
+# name -> (must-contain, must-NOT-contain)
+AUDITS: dict[str, tuple[list[str], list[str]]] = {
+    "q_scan_projection": (["ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint,l_quantity:double>"], []),
+    "q_filter_range": (["PushedFilters: [IsNotNull"], []),
+    "q_filter_eq": (["PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)"], []),
+    "q_join_broadcast": (["BroadcastHashJoin"], ["SortMergeJoin", "CartesianProduct"]),
+    "q_join_multiway": (["BroadcastHashJoin"], ["CartesianProduct"]),
+    "q_join_inner": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    "q_join_asof": (["Window"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    "q_topk": (["TakeOrderedAndProject"], ["Exchange rangepartitioning"]),
+    "q_win_topk_group": (["WindowGroupLimit"], []),
+    "q_agg_group": (["HashAggregate"], ["SortAggregate"]),
+    "q_agg_global": (["HashAggregate"], []),
+    "q_llm_exact_dedup": (["HashAggregate"], []),
+    "q_llm_knn_join": (["BroadcastExchange"], ["SortMergeJoin"]),
+    "q_llm_ngram_jaccard": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    "q_llm_minhash_dedup": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    "q_llm_simhash": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    "q_telemetry_pipeline": (["ArrowEvalPython"], ["CartesianProduct"]),
+}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    _load_all_modules()
+    spark = get_spark("explain-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    failures = []
+    for name, (wants, rejects) in AUDITS.items():
+        df = REGISTRY[name].builder(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        missing = [w for w in wants if w not in plan]
+        present = [r for r in rejects if r in plan]
+        ok = not missing and not present
+        joins = sorted(set(re.findall(
+            r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin|CartesianProduct)",
+            plan,
+        )))
+        print(f"{'PASS' if ok else 'FAIL':5s} {name:24s} joins={joins or '-'}"
+              + (f" missing={missing}" if missing else "")
+              + (f" forbidden={present}" if present else ""))
+        if not ok:
+            failures.append(name)
+    print(f"\n{len(AUDITS) - len(failures)}/{len(AUDITS)} plan audits passed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
