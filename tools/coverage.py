@@ -1,0 +1,70 @@
+"""Coverage cross-check: SURVEY.md §2.B declared query ids vs registry.
+
+Parses every ``q_*`` id out of SURVEY.md §2.B, compares against the
+live registry, and writes COVERAGE.md. Fails (exit 1) if any declared
+id is missing. Run: ``python tools/coverage.py``.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from iceberg_twist_spark.registry import REGISTRY, _load_all_modules
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    with open(os.path.join(REPO, "SURVEY.md")) as f:
+        survey = f.read()
+    sec = survey.split("### 2.B", 1)[1].split("\n## ", 1)[0]
+    declared = sorted(set(re.findall(r"\bq_[a-z0-9_]+\b", sec)))
+    _load_all_modules()
+    implemented = set(REGISTRY)
+    missing = [q for q in declared if q not in implemented]
+    extra = sorted(implemented - set(declared))
+    with_oracle = sorted(
+        n for n in implemented if REGISTRY[n].oracle is not None
+    )
+
+    lines = [
+        "# COVERAGE — SURVEY.md §2.B contract vs registry",
+        "",
+        f"Declared in §2.B: **{len(declared)}** · implemented: "
+        f"**{len(implemented)}** ({len(with_oracle)} oracle-checked, "
+        f"{len(implemented) - len(with_oracle)} rows-only) · "
+        f"missing: **{len(missing)}**",
+        "",
+        "| §2.B id | registered | oracle |",
+        "|---|---|---|",
+    ]
+    for q in declared:
+        reg = q in implemented
+        orc = reg and REGISTRY[q].oracle is not None
+        lines.append(f"| {q} | {'✓' if reg else '✗ MISSING'} | {'✓' if orc else 'rows-only'} |")
+    lines += [
+        "",
+        "## Implemented beyond the §2.B declaration",
+        "",
+    ]
+    for q in extra:
+        orc = REGISTRY[q].oracle is not None
+        tags = ",".join(REGISTRY[q].tags)
+        lines.append(f"- `{q}` ({'oracle' if orc else 'rows-only'}; {tags})")
+    lines.append("")
+    lines.append("Regenerate: `python tools/coverage.py` (fails if any declared id is missing).")
+    lines.append("")
+    out = os.path.join(REPO, "COVERAGE.md")
+    with open(out, "w") as f:
+        f.write("\n".join(lines))
+    print(f"declared={len(declared)} implemented={len(implemented)} missing={missing or 'none'}")
+    print(f"wrote {out}")
+    return 1 if missing else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
