@@ -37,6 +37,14 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
     "q_llm_minhash_dedup": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
     "q_llm_simhash": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
     "q_telemetry_pipeline": (["ArrowEvalPython"], ["CartesianProduct"]),
+    # subquery decorrelation: EXISTS/IN → semi join, NOT EXISTS → anti
+    # join, correlated scalar → per-key aggregate joined back — never a
+    # per-row nested loop
+    "q_subq_exists": (["LeftSemi"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    "q_subq_in": (["LeftSemi"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    "q_subq_not_exists": (["LeftAnti"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    "q_subq_corr_scalar": (["HashAggregate"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    "q_subq_scalar": (["PushedFilters: [IsNotNull(p_retailprice)"], ["CartesianProduct"]),
 }
 
 
