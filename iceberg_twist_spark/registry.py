@@ -57,6 +57,7 @@ def _load_all_modules() -> None:
     import iceberg_twist_spark.operators.sorts  # noqa: F401
     import iceberg_twist_spark.operators.setops  # noqa: F401
     import iceberg_twist_spark.operators.subqueries  # noqa: F401
+    import iceberg_twist_spark.operators.tpch  # noqa: F401
     import iceberg_twist_spark.operators.skew  # noqa: F401
     import iceberg_twist_spark.functions.strings  # noqa: F401
     import iceberg_twist_spark.functions.dates  # noqa: F401
