@@ -36,6 +36,12 @@ HEADLINE = (
     "q_llm_knn_join",
     "q_llm_exact_dedup",
     "q_stream_tumble",
+    # TPC-H power-style headliners: flagship agg, 6-way star join,
+    # widest join graph, and the semi-join-heavy large-volume query.
+    "q_tpch_q01",
+    "q_tpch_q05",
+    "q_tpch_q09",
+    "q_tpch_q18",
 )
 
 # Queries whose result set is large: execute via the noop sink so the
