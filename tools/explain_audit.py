@@ -27,6 +27,10 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
     "q_join_multiway": (["BroadcastHashJoin"], ["CartesianProduct"]),
     "q_join_inner": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
     "q_join_asof": (["Window"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # bucketed range join: equi join on (key, bucket) + residual BETWEEN
+    "q_join_range": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # per-group sampling prunes map-side like any windowed top-k
+    "q_sample_group_k": (["WindowGroupLimit"], []),
     "q_topk": (["TakeOrderedAndProject"], ["Exchange rangepartitioning"]),
     "q_win_topk_group": (["WindowGroupLimit"], []),
     "q_agg_group": (["HashAggregate"], ["SortAggregate"]),
