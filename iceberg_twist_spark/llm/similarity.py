@@ -177,6 +177,123 @@ def q_llm_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------- IVF
+# Inverted-file ANN: partition the corpus into K clusters around
+# centroids, search only the probe's nprobe nearest clusters. A real
+# deployment trains centroids with k-means (sampled, offline); here the
+# centroid set is a deterministic corpus subset (vec_id < K) so the
+# whole index build is SQL-expressible and oracle-checkable — the
+# *plan shape* (assign via broadcast argmax → cluster-pruned search) is
+# identical with learned centroids.
+IVF_K = 16
+IVF_NPROBE = 4
+
+
+def ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Attach each vector's nearest-centroid id (``cluster``).
+
+    Centroids broadcast (K rows); assignment is one scan of the corpus
+    with K interpreted dot products per row, then an argmax via
+    row_number partitioned by vector — shuffles only (vec_id, cluster)
+    pairs. Cosines are r4-rounded before the argmax with centroid-id
+    tiebreak, so near-ties resolve identically on any engine.
+    """
+    cent = centroids.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("c"),
+        F.col("nrm").alias("cn"),
+    )
+    sim = r4(_dot(F.col("embedding"), F.col("c")) / (F.col("nrm") * F.col("cn")))
+    w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cid"))
+    return (
+        emb.crossJoin(F.broadcast(cent))
+        .select("vec_id", "embedding", "nrm", "cid", sim.alias("csim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "nrm", F.col("cid").alias("cluster"))
+    )
+
+
+_DUCK_R4COS = (
+    f"floor(({_DUCK_COS.format(a='{a}', b='{b}')}) * 10000 + 0.5) / 10000"
+)
+
+_IVF_ORACLE = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS c FROM embeddings WHERE vec_id < {IVF_K}
+), csims AS (
+  SELECT e.vec_id, cent.cid,
+         {_DUCK_R4COS.format(a='e.embedding', b='cent.c')} AS csim
+  FROM embeddings e CROSS JOIN cent
+), clusters AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+    FROM csims
+  ) WHERE rn = 1
+), probe_clusters AS (
+  SELECT cid FROM (
+    SELECT cid, row_number() OVER (ORDER BY csim DESC, cid) AS rn
+    FROM csims WHERE vec_id = 0
+  ) WHERE rn <= {IVF_NPROBE}
+), probe AS (
+  SELECT embedding AS p FROM embeddings WHERE vec_id = 0
+)
+SELECT e.vec_id,
+       {_DUCK_R4COS.format(a='e.embedding', b='probe.p')} AS cos_sim
+FROM embeddings e
+JOIN clusters cl ON e.vec_id = cl.vec_id
+JOIN probe_clusters pc ON cl.cid = pc.cid
+CROSS JOIN probe
+WHERE e.vec_id <> 0
+ORDER BY cos_sim DESC, e.vec_id
+LIMIT 10
+"""
+
+
+@register("q_llm_ann_ivf", oracle=_IVF_ORACLE, tags=("llm", "similarity", "sketch"))
+def q_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-10: search only the probe's {nprobe} nearest of {K} clusters.
+
+    The scale path for single-probe search: the full-corpus scan of
+    q_llm_cosine_topk becomes (a) one cheap assignment pass that an
+    offline index build amortizes, plus (b) an exact re-rank over
+    ~nprobe/K of the corpus. At 100 TB the assignment is written once
+    as a partition column (cluster-partitioned parquet/Iceberg layout)
+    and (b) prunes at the directory level.
+    """
+    emb = with_norm(load_tables(spark, sf_dir)["embeddings"], "embedding")
+    centroids = emb.filter(F.col("vec_id") < IVF_K)
+    clustered = ivf_assign(emb, centroids)
+
+    probe = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("p"), F.col("nrm").alias("pn")
+    )
+    cent = centroids.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("c"),
+        F.col("nrm").alias("cn"),
+    )
+    probe_sims = (
+        probe.crossJoin(F.broadcast(cent))
+        .select(
+            "p", "pn", "cid",
+            r4(_dot(F.col("p"), F.col("c")) / (F.col("pn") * F.col("cn"))).alias("csim"),
+        )
+        .orderBy(F.col("csim").desc(), F.col("cid"))
+        .limit(IVF_NPROBE)
+        .select("cid")
+    )
+    pair_sim = _dot(F.col("embedding"), F.col("p")) / (F.col("nrm") * F.col("pn"))
+    return (
+        clustered.join(F.broadcast(probe_sims), F.col("cluster") == F.col("cid"))
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select("vec_id", r4(pair_sim).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
 N_PLANES = 8
 
 

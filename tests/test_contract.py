@@ -32,3 +32,13 @@ def test_queries_callable_and_lazy(spark, sf_dir):
     # building a plan must not trigger execution (returns DataFrame)
     df = qs["q_filter_eq"](spark, sf_dir)
     assert hasattr(df, "collect")
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    """IVF with nprobe=4/16 must find most of the true top-10."""
+    from iceberg_twist_spark.registry import REGISTRY, _load_all_modules
+
+    _load_all_modules()
+    exact = {r.vec_id for r in REGISTRY["q_llm_cosine_topk"].builder(spark, sf_dir).collect()}
+    ivf = {r.vec_id for r in REGISTRY["q_llm_ann_ivf"].builder(spark, sf_dir).collect()}
+    assert len(exact & ivf) >= 5, f"recall too low: {len(exact & ivf)}/10"
