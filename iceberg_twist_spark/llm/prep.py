@@ -1,0 +1,172 @@
+"""Training-corpus preparation — chunking, split assignment, packing.
+
+The operators a 100 TB text pipeline runs between "cleaned documents"
+and "training batches": slice documents into overlapping fixed-width
+chunks, assign deterministic train/val/test splits, and pack
+variable-length documents into fixed token budgets. They generalize
+the reference's chunker (≤6.4 kB message slices, ``sendImuChunk`` —
+`iceberg-twist/notes.org:25-26`, SURVEY.md A33) and its content-hash
+tracing (`iceberg-twist/main.py:92`) from telemetry frames to corpus
+documents.
+
+Scale notes: chunking is a narrow per-row ``sequence``+``explode`` —
+no shuffle, output proportional to corpus size; split assignment is a
+pure hash of the key (same property as operators/sampling.py: stable
+under any partitioning, so a re-run on a different cluster yields the
+same split); packing shuffles once on the grouping key and computes
+bins with a single running-sum window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iceberg_twist_spark.catalog import load_tables
+from iceberg_twist_spark.registry import register
+
+CHUNK_WIDTH = 200
+CHUNK_STRIDE = 150  # 50-char overlap between consecutive chunks
+
+_CHUNK_ORACLE = f"""
+WITH idx AS (
+    SELECT doc_id, text,
+           unnest(generate_series(
+               0, CAST(floor((length(text) - 1) / {CHUNK_STRIDE}) AS BIGINT)
+           )) AS chunk_id
+    FROM documents
+    WHERE length(text) > 0 AND doc_id % 50 = 0
+)
+SELECT doc_id, chunk_id,
+       substr(text, CAST(chunk_id * {CHUNK_STRIDE} + 1 AS INT), {CHUNK_WIDTH}) AS chunk,
+       length(substr(text, CAST(chunk_id * {CHUNK_STRIDE} + 1 AS INT), {CHUNK_WIDTH}))
+           AS chunk_len
+FROM idx
+"""
+
+
+@register("q_llm_chunk_text", oracle=_CHUNK_ORACLE, tags=("llm", "text", "chunk"))
+def q_llm_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-width chunks (width 200, stride 150).
+
+    One row per (doc, chunk): chunk i covers characters
+    ``[i*stride, i*stride + width)``, so consecutive chunks share
+    ``width - stride`` characters of context — the standard RAG/
+    pretraining chunking shape. Restricted to every 50th doc to keep
+    the checked result compact; the operator itself is unrestricted.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        docs.filter((F.length("text") > 0) & (F.col("doc_id") % 50 == 0))
+        .select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.floor((F.length("text") - 1) / CHUNK_STRIDE),
+                )
+            ).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.expr(
+                f"substring(text, CAST(chunk_id * {CHUNK_STRIDE} + 1 AS INT),"
+                f" {CHUNK_WIDTH})"
+            ).alias("chunk"),
+        )
+        .withColumn("chunk_len", F.length("chunk").cast("long"))
+    )
+
+
+# Split thresholds on the first md5 byte: 0x00-0xcb train (~80%),
+# 0xcc-0xe5 val (~10%), 0xe6-0xff test (~10%).
+_SPLIT_CASE = (
+    "CASE WHEN substr(md5(cast(doc_id AS varchar)), 1, 2) < 'cc' THEN 'train' "
+    "WHEN substr(md5(cast(doc_id AS varchar)), 1, 2) < 'e6' THEN 'val' "
+    "ELSE 'test' END"
+)
+
+_SPLIT_ORACLE = f"""
+SELECT {_SPLIT_CASE} AS split,
+       count(*) AS docs,
+       sum(n_chars) AS total_chars
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("q_llm_split_assign", oracle=_SPLIT_ORACLE, tags=("llm", "sample"))
+def q_llm_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by content hash.
+
+    The split is a pure function of ``doc_id`` — reproducible on any
+    engine or cluster layout, and stable as the corpus grows (existing
+    docs never change split when new ones arrive, unlike row-number
+    splits). Returns per-split doc and char counts.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(bucket < "cc", "train").when(bucket < "e6", "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(F.count("*").alias("docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+PACK_BUDGET = 4096  # tokens per packed training sequence
+
+_PACK_ORACLE = f"""
+WITH toks AS (
+    SELECT lang, doc_id, len(string_split(text, ' ')) AS tokens
+    FROM documents
+), cum AS (
+    SELECT lang, doc_id, tokens,
+           sum(tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS cum_tokens
+    FROM toks
+)
+SELECT lang,
+       CAST(floor((cum_tokens - 1) / {PACK_BUDGET}) AS BIGINT) AS bin_id,
+       count(*) AS docs,
+       sum(tokens) AS bin_tokens
+FROM cum
+GROUP BY lang, bin_id
+"""
+
+
+@register("q_llm_pack_greedy", oracle=_PACK_ORACLE, tags=("llm", "text", "chunk"))
+def q_llm_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into ~4096-token bins per language.
+
+    Contiguous-fill packing: documents stream in key order and a bin
+    closes when the running token count crosses the budget —
+    ``bin = floor((cumsum - 1) / budget)``. One window (= one shuffle
+    on ``lang``) computes every bin boundary; no iterative driver loop,
+    which is what makes this formulation work on a 100 TB corpus.
+    Returns per-bin document counts and token totals.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.select("lang", "doc_id", F.size(F.split("text", " ")).alias("tokens"))
+        .withColumn("cum_tokens", F.sum("tokens").over(w))
+        .withColumn(
+            "bin_id", F.floor((F.col("cum_tokens") - 1) / PACK_BUDGET).cast("long")
+        )
+        .groupBy("lang", "bin_id")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("tokens").cast("long").alias("bin_tokens"),
+        )
+    )

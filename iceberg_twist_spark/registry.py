@@ -60,6 +60,7 @@ def _load_all_modules() -> None:
     import iceberg_twist_spark.operators.tpch  # noqa: F401
     import iceberg_twist_spark.operators.sampling  # noqa: F401
     import iceberg_twist_spark.operators.rangejoin  # noqa: F401
+    import iceberg_twist_spark.operators.timeseries  # noqa: F401
     import iceberg_twist_spark.operators.skew  # noqa: F401
     import iceberg_twist_spark.functions.strings  # noqa: F401
     import iceberg_twist_spark.functions.dates  # noqa: F401
@@ -73,6 +74,7 @@ def _load_all_modules() -> None:
     import iceberg_twist_spark.llm.dedup  # noqa: F401
     import iceberg_twist_spark.llm.similarity  # noqa: F401
     import iceberg_twist_spark.llm.textstats  # noqa: F401
+    import iceberg_twist_spark.llm.prep  # noqa: F401
     import iceberg_twist_spark.udfs  # noqa: F401
     import iceberg_twist_spark.multimodal  # noqa: F401
     import iceberg_twist_spark.sources.connectors  # noqa: F401
