@@ -1,0 +1,159 @@
+"""Time-series operators — dense gap-fill and forward-fill interpolation.
+
+The reference's telemetry is a regular 5 Hz → 1 Hz time series with
+dropouts (bounded-queue overflow drops records, the modem sleeps 20
+minutes at a time — `iceberg-twist/serial_streaming.lua:303-310`,
+`iceberg-twist/notes.org:15-17`). Downstream analytics over such data
+needs the missing-slot structure made explicit: a dense time spine
+(every slot present, zero-filled) and value interpolation across the
+gaps. These operators provide both over the ``events`` fixture.
+
+Scale notes: the spine is |keys| × |slots| rows built from a
+``sequence``+``explode`` (JVM-side, no shuffle to generate); the join
+back to observed aggregates is an equi join on (key, slot) — at 100 TB
+the spine is always the small side per key-partition and AQE
+broadcast/shuffle-picks accordingly. Forward-fill is one window per
+key ordered by slot: a single shuffle, state bounded by one row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iceberg_twist_spark.catalog import load_tables
+from iceberg_twist_spark.common import duck_r4, r4
+from iceberg_twist_spark.registry import register
+
+SPINE_START = "2024-01-01 00:00:00"
+SPINE_END = "2024-01-07 23:00:00"
+
+_SPINE_SQL = (
+    f"unnest(generate_series(TIMESTAMP '{SPINE_START}', "
+    f"TIMESTAMP '{SPINE_END}', INTERVAL 1 HOUR))"
+)
+
+_GAPFILL_ORACLE = f"""
+WITH spine AS (
+    SELECT u.user_id, {_SPINE_SQL} AS hour
+    FROM (SELECT DISTINCT user_id FROM events) u
+), hourly AS (
+    SELECT user_id,
+           date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+           count(*) AS cnt,
+           {duck_r4('sum(value)')} AS sum_value
+    FROM events
+    WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '{SPINE_END}' + INTERVAL 1 HOUR
+    GROUP BY 1, 2
+)
+SELECT s.user_id,
+       strftime(s.hour, '%Y-%m-%d %H:%M:%S') AS hour,
+       coalesce(h.cnt, 0) AS cnt,
+       coalesce(h.sum_value, 0.0) AS sum_value
+FROM spine s LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hour = h.hour
+"""
+
+
+def _spine(spark: SparkSession, users: DataFrame) -> DataFrame:
+    """Dense (user, hour) spine over the fixed analysis window."""
+    return users.select(
+        "user_id",
+        F.explode(
+            F.expr(
+                f"sequence(timestamp'{SPINE_START}', timestamp'{SPINE_END}',"
+                " interval 1 hour)"
+            )
+        ).alias("hour"),
+    )
+
+
+def _hourly(events: DataFrame) -> DataFrame:
+    return (
+        events.filter(
+            F.col("ts") < F.lit(SPINE_END).cast("timestamp") + F.expr("INTERVAL 1 HOUR")
+        )
+        .groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.count("*").alias("cnt"), r4(F.sum("value")).alias("sum_value"))
+    )
+
+
+@register("q_ts_gapfill", oracle=_GAPFILL_ORACLE, tags=("timeseries", "agg", "join"))
+def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-filled hourly series per user over a 7-day spine.
+
+    Every (user, hour) slot appears exactly once; silent hours carry
+    cnt=0 — the dense form windowed models and SLO dashboards need.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    users = ev.select("user_id").distinct()
+    spine = _spine(spark, users)
+    hourly = _hourly(ev)
+    return (
+        spine.join(hourly, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+            F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+        )
+    )
+
+
+_FFILL_ORACLE = f"""
+WITH spine AS (
+    SELECT u.user_id, {_SPINE_SQL} AS hour
+    FROM (SELECT DISTINCT user_id FROM events) u
+), hourly AS (
+    SELECT user_id,
+           date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+           {duck_r4('avg(value)')} AS avg_value
+    FROM events
+    WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '{SPINE_END}' + INTERVAL 1 HOUR
+    GROUP BY 1, 2
+), dense AS (
+    SELECT s.user_id, s.hour, h.avg_value
+    FROM spine s LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hour = h.hour
+)
+SELECT user_id,
+       strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+       last_value(avg_value IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY hour
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS filled_value
+FROM dense
+"""
+
+
+@register("q_ts_ffill", oracle=_FFILL_ORACLE, tags=("timeseries", "window"))
+def q_ts_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill: carry each user's last observed hourly avg across gaps.
+
+    The sensor-dropout repair: silent slots inherit the most recent
+    reading (null until the first observation). One window per user —
+    rounding happens on the observed value BEFORE the fill so both
+    engines propagate bit-identical numbers.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    users = ev.select("user_id").distinct()
+    spine = _spine(spark, users)
+    hourly = (
+        ev.filter(
+            F.col("ts") < F.lit(SPINE_END).cast("timestamp") + F.expr("INTERVAL 1 HOUR")
+        )
+        .groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(r4(F.avg("value")).alias("avg_value"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["user_id", "hour"], "left")
+        .withColumn("filled_value", F.last("avg_value", ignorenulls=True).over(w))
+        .select(
+            "user_id",
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "filled_value",
+        )
+    )
