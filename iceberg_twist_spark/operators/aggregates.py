@@ -262,3 +262,26 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
         F.count("*").alias("cnt"),
     )
+
+
+@register("q_agg_approx_percentile", tags=("agg", "sketch"))
+def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile p50/p95/p99 of order totals per status.
+
+    Rows-only: Spark's KLL-style sketch and DuckDB's t-digest give
+    different estimates by design. The exact-percentile counterpart
+    (q_agg_percentile) carries the cross-engine oracle; this is the
+    constant-memory form a 100 TB aggregation actually runs.
+    """
+    o = load_tables(spark, sf_dir)["orders"]
+    pct = F.percentile_approx("o_totalprice", [0.5, 0.95, 0.99], 10_000)
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(pct.alias("p"))
+        .select(
+            "o_orderstatus",
+            r4(F.element_at("p", 1)).alias("p50"),
+            r4(F.element_at("p", 2)).alias("p95"),
+            r4(F.element_at("p", 3)).alias("p99"),
+        )
+    )

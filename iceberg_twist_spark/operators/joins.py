@@ -230,3 +230,36 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_str("o_orderdate").alias("order_date"),
         F.col("o_totalprice").alias("matched_totalprice"),
     )
+
+
+_NULLSAFE_ORACLE = """
+WITH c AS (
+    SELECT c_custkey, nullif(c_nationkey, 0) AS nk FROM customer
+), n AS (
+    SELECT nullif(n_nationkey, 0) AS nk, n_name FROM nation
+)
+SELECT coalesce(n.n_name, 'NULL_KEY') AS nation, count(*) AS customers
+FROM c JOIN n ON c.nk IS NOT DISTINCT FROM n.nk
+GROUP BY 1
+"""
+
+
+@register("q_join_nullsafe", oracle=_NULLSAFE_ORACLE, tags=("join",))
+def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi join (``<=>`` / IS NOT DISTINCT FROM).
+
+    nationkey 0 is mapped to NULL on both sides; the null-safe
+    comparator matches NULL with NULL (a plain ``=`` would drop those
+    rows). Spark plans ``<=>`` as an equi join key — still a hash
+    join, not a nested loop.
+    """
+    t = load_tables(spark, sf_dir)
+    c = t["customer"].select(F.nullif(F.col("c_nationkey"), F.lit(0)).alias("c_nk"))
+    n = t["nation"].select(
+        F.nullif(F.col("n_nationkey"), F.lit(0)).alias("n_nk"), "n_name"
+    )
+    return (
+        c.join(F.broadcast(n), F.col("c_nk").eqNullSafe(F.col("n_nk")))
+        .groupBy(F.coalesce("n_name", F.lit("NULL_KEY")).alias("nation"))
+        .agg(F.count("*").alias("customers"))
+    )

@@ -197,3 +197,47 @@ def q_win_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 2)
     )
+
+
+_FIRST_LAST_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       first_value(o_totalprice) OVER w AS first_price,
+       last_value(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS last_price,
+       nth_value(o_totalprice, 2) OVER w AS second_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("q_win_first_last", oracle=_FIRST_LAST_ORACLE, tags=("window",))
+def q_win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value per customer order history.
+
+    The frame matters: last_value needs UNBOUNDED FOLLOWING (the
+    default frame ends at CURRENT ROW, silently yielding the current
+    row's value); nth_value(…, 2) is null until the second order
+    enters the frame. Identical frames declared on both engines.
+    """
+    o = load_tables(spark, sf_dir)["orders"]
+    order = [F.col("o_orderdate"), F.col("o_orderkey")]
+    grow = (
+        Window.partitionBy("o_custkey")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    full = (
+        Window.partitionBy("o_custkey")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_totalprice").over(grow).alias("first_price"),
+        F.last("o_totalprice").over(full).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(grow).alias("second_price"),
+    )
