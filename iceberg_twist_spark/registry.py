@@ -76,6 +76,7 @@ def _load_all_modules() -> None:
     import iceberg_twist_spark.llm.similarity  # noqa: F401
     import iceberg_twist_spark.llm.textstats  # noqa: F401
     import iceberg_twist_spark.llm.prep  # noqa: F401
+    import iceberg_twist_spark.llm.clusters  # noqa: F401
     import iceberg_twist_spark.udfs  # noqa: F401
     import iceberg_twist_spark.multimodal  # noqa: F401
     import iceberg_twist_spark.sources.connectors  # noqa: F401
