@@ -1,0 +1,130 @@
+"""Event-sequence analytics — ordered funnels and cohort retention.
+
+The events fixture is a user-event stream; the questions a product or
+telemetry team actually asks of it are sequential: "who progressed
+view → click → purchase, in order?" and "of the users who first
+appeared on day D, how many were still active on day D+k?". Both are
+ordered-sequence aggregations the reference's status/loss accounting
+(`iceberg-twist/serial_streaming.lua:217-248`) foreshadows: cumulative
+per-entity progress metrics over an ordered stream.
+
+Scale notes: every stage of the funnel is a per-user aggregate (hash
+shuffle on user_id, partial aggs map-side) followed by an equi join
+back on user_id — the stage chain reuses the same partitioning, so
+AQE coalesces rather than re-shuffles. Retention is two aggregations
+(first-seen, active-days) joined on user_id, output |cohorts|×|offsets|
+rows regardless of event volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_twist_spark.catalog import load_tables
+from iceberg_twist_spark.registry import register
+
+_FUNNEL_ORACLE = """
+WITH e AS (
+    SELECT user_id, event_type,
+           date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts
+    FROM events
+), v AS (
+    SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+    SELECT e.user_id, min(e.ts) AS t2
+    FROM e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'click' AND e.ts > v.t1
+    GROUP BY e.user_id
+), p AS (
+    SELECT e.user_id, min(e.ts) AS t3
+    FROM e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > c.t2
+    GROUP BY e.user_id
+)
+SELECT stage, users FROM (
+    SELECT '1_view' AS stage, count(*) AS users FROM v
+    UNION ALL SELECT '2_click', count(*) FROM c
+    UNION ALL SELECT '3_purchase', count(*) FROM p
+)
+"""
+
+
+@register("q_funnel_3step", oracle=_FUNNEL_ORACLE, tags=("analytics", "agg"))
+def q_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step funnel: view → later click → later purchase.
+
+    Stage N counts users whose first stage-N event strictly follows
+    their first stage-(N-1) event — order matters, not mere presence.
+    Each stage is one per-user min-aggregate joined back on user_id.
+    """
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", "event_type", F.date_trunc("second", F.col("ts")).alias("ts")
+    )
+
+    def first_after(prev: DataFrame, etype: str, prev_ts: str, out_ts: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .join(prev, "user_id")
+            .filter(F.col("ts") > F.col(prev_ts))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_ts))
+        )
+
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = first_after(v, "click", "t1", "t2")
+    p = first_after(c, "purchase", "t2", "t3")
+
+    def stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count("*").alias("users")).select(
+            F.lit(name).alias("stage"), "users"
+        )
+
+    return (
+        stage(v, "1_view")
+        .unionByName(stage(c, "2_click"))
+        .unionByName(stage(p, "3_purchase"))
+    )
+
+
+_RETENTION_ORACLE = """
+WITH days AS (
+    SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day
+    FROM events GROUP BY 1, 2
+), cohorts AS (
+    SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id
+)
+SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+       CAST(date_diff('day', c.cohort_day, d.day) AS BIGINT) AS day_offset,
+       count(*) AS active_users
+FROM days d JOIN cohorts c ON d.user_id = c.user_id
+GROUP BY 1, 2
+"""
+
+
+@register("q_retention_cohort", oracle=_RETENTION_ORACLE, tags=("analytics", "agg"))
+def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users active k days after first seen.
+
+    Cohort = first-active day per user; one row per (cohort, offset)
+    with the active-user count. Output is |cohorts| × |offsets| rows
+    however large the event volume — the aggregation does all the
+    compression.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    days = (
+        ev.select("user_id", F.date_trunc("day", F.col("ts")).alias("day")).distinct()
+    )
+    cohorts = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        days.join(cohorts, "user_id")
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff(F.col("day"), F.col("cohort_day")).cast("long").alias("day_offset"),
+        )
+        .agg(F.count("*").alias("active_users"))
+    )
