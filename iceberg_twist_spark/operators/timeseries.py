@@ -157,3 +157,61 @@ def q_ts_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "filled_value",
         )
     )
+
+
+SESSION_GAP_MIN = 30
+
+_SESSIONIZE_ORACLE = f"""
+WITH e AS (
+    SELECT event_id, user_id,
+           date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts
+    FROM events
+), flagged AS (
+    SELECT event_id, user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR date_diff('second', lag(ts) OVER w, ts) > {SESSION_GAP_MIN} * 60
+                THEN 1 ELSE 0 END AS new_session
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id,
+       sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS session_num
+FROM flagged
+"""
+
+
+@register("q_ts_sessionize", oracle=_SESSIONIZE_ORACLE, tags=("timeseries", "window"))
+def q_ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign a per-user session number to every event (30-min gap rule).
+
+    Gaps-and-islands: flag events starting a new session (first event,
+    or >30 min after the previous one), then a running sum of flags
+    numbers the sessions. Two windows over the SAME (user_id, ts)
+    partitioning-and-order — one shuffle, the second window reuses the
+    sort. This is the event-level complement of the session_window
+    aggregate (q_stream_session): it labels rows instead of collapsing
+    them, so downstream joins can attach session context to each event.
+    """
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "event_id", "user_id", F.date_trunc("second", F.col("ts")).alias("ts")
+    )
+    order = [F.col("ts"), F.col("event_id")]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | (F.unix_timestamp("ts") - F.unix_timestamp(prev_ts) > SESSION_GAP_MIN * 60),
+        1,
+    ).otherwise(0)
+    return (
+        ev.withColumn("new_session", new_session)
+        .select(
+            "event_id",
+            "user_id",
+            F.sum("new_session").over(wrun).alias("session_num"),
+        )
+    )
