@@ -31,6 +31,16 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
     "q_join_range": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
     # per-group sampling prunes map-side like any windowed top-k
     "q_sample_group_k": (["WindowGroupLimit"], []),
+    # blocked fuzzy match: equi join on block key, levenshtein residual
+    "q_fuzzy_join": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # funnel stages chain per-user aggregates through equi joins
+    "q_funnel_3step": (["HashAggregate"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # spine gap-fill is an equi left join, never a nested loop
+    "q_ts_gapfill": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # sessionize: two window functions share one sort
+    "q_ts_sessionize": (["Window"], ["CartesianProduct"]),
+    # unpivot compiles to the narrow Expand node
+    "q_unpivot": (["Expand"], ["Exchange"]),
     "q_topk": (["TakeOrderedAndProject"], ["Exchange rangepartitioning"]),
     "q_win_topk_group": (["WindowGroupLimit"], []),
     "q_agg_group": (["HashAggregate"], ["SortAggregate"]),
