@@ -209,6 +209,107 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESIZE_OUT_BYTES = 16
+
+
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("resized_hex", T.StringType()),
+    ]
+)
+
+
+def resize_decimate(media_df: DataFrame, out_bytes: int = RESIZE_OUT_BYTES) -> DataFrame:
+    """'Resize' every payload to a fixed byte budget by decimation.
+
+    Sample j of the output is payload[floor(j * n / out_bytes)] — the
+    nearest-neighbor downscale a real image resize generalizes. Stands
+    in for the thumbnail/preview stage of a media pipeline: same
+    mapInPandas batch shape, same fixed-size output contract a
+    downstream embedding model needs. Deterministic, exact-tested.
+    """
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "resized_hex": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                payload = np.frombuffer(bytes(blob), dtype=np.uint8)[HEADER_LEN:]
+                if payload.size:
+                    idx = (np.arange(out_bytes) * payload.size) // out_bytes
+                    resized = payload[idx]
+                else:
+                    resized = np.zeros(out_bytes, dtype=np.uint8)
+                out["doc_id"].append(doc_id)
+                out["resized_hex"].append(resized.tobytes().hex().upper())
+            yield pd.DataFrame(out)
+
+    return media_df.select("doc_id", "media").mapInPandas(gen, _RESIZE_SCHEMA)
+
+
+@register("q_mm_resize", tags=("multimodal", "udf"))
+def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: fixed-budget decimation resize of every media blob
+    (deterministic; unit tests assert exact bytes on known blobs)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return resize_decimate(build_media_table(docs))
+
+
+AUDIO_WIN = 64
+AUDIO_HOP = 32
+
+
+_ENERGY_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("win_no", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def audio_energy(
+    media_df: DataFrame, win: int = AUDIO_WIN, hop: int = AUDIO_HOP
+) -> DataFrame:
+    """Overlapping-window RMS energy over the payload ('audio' framing).
+
+    Treats payload bytes as unsigned samples; window w covers
+    ``[w*hop, w*hop + win)`` (last partial window kept). This is the
+    short-time-energy front half of VAD/fingerprinting — swap the RMS
+    for an FFT and the plumbing (batch shape, one output row per
+    window, vectorized numpy body) is unchanged.
+    """
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "win_no": [], "rms": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                payload = np.frombuffer(bytes(blob), dtype=np.uint8)[HEADER_LEN:]
+                samples = payload.astype(np.float64)
+                w = 0
+                for start in range(0, max(samples.size, 1), hop):
+                    chunk = samples[start : start + win]
+                    if chunk.size == 0:
+                        break
+                    out["doc_id"].append(doc_id)
+                    out["win_no"].append(w)
+                    out["rms"].append(float(np.sqrt(np.mean(chunk**2))))
+                    w += 1
+            yield pd.DataFrame(out)
+
+    return media_df.select("doc_id", "media").mapInPandas(gen, _ENERGY_SCHEMA)
+
+
+@register("q_mm_audio_energy", tags=("multimodal", "udf"))
+def q_mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: short-time RMS energy per overlapping payload window
+    (deterministic; unit tests assert exact values on known blobs)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return audio_energy(build_media_table(docs)).select(
+        "doc_id", "win_no", r4("rms").alias("rms")
+    )
+
+
 def decode_image_real(media_df: DataFrame) -> DataFrame:
     """Real-codec decode — STUB (no image libraries in this container).
 

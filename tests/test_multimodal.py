@@ -69,3 +69,36 @@ def test_decode_image_real_is_guarded(spark, sf_dir):
         pass
     with pytest.raises(NotImplementedError, match="PIL"):
         decode_image_real(media)
+
+
+def test_resize_decimate_exact_on_known_blob(spark):
+    from iceberg_twist_spark.multimodal import RESIZE_OUT_BYTES, resize_decimate
+    import numpy as np
+
+    payload = bytes(range(40))
+    blob = b"ITW1" + (8).to_bytes(2, "little") + (5).to_bytes(2, "little") + b"\x01" + payload
+    df = spark.createDataFrame([(7, bytearray(blob))], "doc_id long, media binary")
+    r = resize_decimate(df).collect()[0]
+    idx = (np.arange(RESIZE_OUT_BYTES) * len(payload)) // RESIZE_OUT_BYTES
+    expected = bytes(payload[i] for i in idx).hex().upper()
+    assert r.resized_hex == expected
+
+
+def test_audio_energy_exact_on_known_blob(spark):
+    from iceberg_twist_spark.multimodal import AUDIO_HOP, AUDIO_WIN, audio_energy
+    import numpy as np
+
+    payload = bytes((i * 7) % 256 for i in range(100))
+    blob = b"ITW1" + (4).to_bytes(2, "little") + (25).to_bytes(2, "little") + b"\x01" + payload
+    df = spark.createDataFrame([(3, bytearray(blob))], "doc_id long, media binary")
+    rows = {r.win_no: r.rms for r in audio_energy(df).collect()}
+    samples = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+    expected = {}
+    w = 0
+    for start in range(0, samples.size, AUDIO_HOP):
+        chunk = samples[start : start + AUDIO_WIN]
+        if chunk.size == 0:
+            break
+        expected[w] = float(np.sqrt(np.mean(chunk**2)))
+        w += 1
+    assert rows == expected
