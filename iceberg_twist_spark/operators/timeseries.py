@@ -215,3 +215,52 @@ def q_ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("new_session").over(wrun).alias("session_num"),
         )
     )
+
+
+_ROLLUP_CASCADE_ORACLE = f"""
+WITH hourly AS (
+    SELECT user_id,
+           date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+           count(*) AS cnt,
+           sum(value) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+)
+SELECT user_id,
+       strftime(date_trunc('day', hour), '%Y-%m-%d') AS day,
+       sum(cnt) AS cnt,
+       {duck_r4('sum(sum_value)')} AS sum_value,
+       {duck_r4('sum(sum_value) / sum(cnt)')} AS avg_value
+FROM hourly
+GROUP BY 1, 2
+"""
+
+
+@register("q_ts_rollup_cascade", oracle=_ROLLUP_CASCADE_ORACLE, tags=("timeseries", "agg"))
+def q_ts_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style cascading rollup: raw → hourly → daily.
+
+    The daily tier is computed FROM the hourly tier by re-aggregating
+    mergeable partials (sum of counts, sum of sums) — never from raw —
+    and the daily average is rebuilt as sum/count of partials (an
+    avg-of-avgs would be wrong whenever hours have unequal volume).
+    This is the continuous-aggregate pattern: at 100 TB the hourly
+    tier is a materialized table ~1000× smaller than raw, every
+    coarser resolution reads the tier above it, and late data only
+    re-aggregates its own hour.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    hourly = (
+        ev.groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.count("*").alias("cnt"), F.sum("value").alias("sum_value"))
+    )
+    return (
+        hourly.groupBy(
+            "user_id", F.date_format(F.date_trunc("day", "hour"), "yyyy-MM-dd").alias("day")
+        )
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            r4(F.sum("sum_value")).alias("sum_value"),
+            r4(F.sum("sum_value") / F.sum("cnt")).alias("avg_value"),
+        )
+    )

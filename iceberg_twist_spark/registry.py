@@ -64,6 +64,7 @@ def _load_all_modules() -> None:
     import iceberg_twist_spark.operators.reshape  # noqa: F401
     import iceberg_twist_spark.operators.funnels  # noqa: F401
     import iceberg_twist_spark.operators.fuzzy  # noqa: F401
+    import iceberg_twist_spark.operators.sketches  # noqa: F401
     import iceberg_twist_spark.operators.skew  # noqa: F401
     import iceberg_twist_spark.functions.strings  # noqa: F401
     import iceberg_twist_spark.functions.dates  # noqa: F401
