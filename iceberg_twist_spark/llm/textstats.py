@@ -9,7 +9,7 @@ group-by), which is exactly the shape that survives a 100 TB corpus.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from iceberg_twist_spark.catalog import load_tables
@@ -188,4 +188,85 @@ def q_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         fp.alias("fp_md5"),
         F.substring(fp, 1, 16).alias("fp_prefix"),
+    )
+
+
+# Winnowing (MOSS-style) fingerprints: k-gram hashes, min per sliding
+# window — the canonical rolling-hash document fingerprint. The gram
+# hash is md5-derived so the selection is engine-neutral; "rolling"
+# Karp-Rabin evaluation is a single-node micro-optimization of the
+# same function, irrelevant once grams are columnar.
+WINNOW_K = 8  # gram length (chars)
+WINNOW_W = 4  # window of consecutive gram-hashes per fingerprint
+
+_WINNOW_ORACLE = f"""
+WITH docs AS (
+    SELECT doc_id, text FROM documents
+    WHERE doc_id % 50 = 0 AND length(text) >= {WINNOW_K}
+), grams AS (
+    SELECT doc_id,
+           unnest(generate_series(1, length(text) - {WINNOW_K} + 1)) AS pos,
+           text
+    FROM docs
+), hashes AS (
+    SELECT doc_id, pos,
+           CAST(('0x' || substr(md5(substr(text, CAST(pos AS INT), {WINNOW_K})), 1, 8))
+                AS BIGINT) AS h,
+           count(*) OVER (PARTITION BY doc_id) AS n_grams
+    FROM grams
+), fps AS (
+    SELECT doc_id,
+           min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS fp
+    FROM hashes
+    WHERE pos <= n_grams - {WINNOW_W} + 1
+)
+SELECT doc_id,
+       count(DISTINCT fp) AS n_fp,
+       min(fp) AS min_fp,
+       max(fp) AS max_fp
+FROM fps GROUP BY doc_id
+"""
+
+
+@register("q_llm_winnow_fp", oracle=_WINNOW_ORACLE, tags=("llm", "text", "sketch"))
+def q_llm_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints: min gram-hash per sliding window.
+
+    Guarantees any shared substring of length ≥ k+w-1 between two
+    documents yields at least one shared fingerprint — the property
+    plagiarism/near-dup detection needs and a plain content digest
+    (q_llm_fingerprint) lacks. Per-doc windows run inside one
+    (doc_id)-partitioned sort; checked on every 50th doc to bound the
+    verified set, unrestricted in production use.
+    """
+    docs = (
+        load_tables(spark, sf_dir)["documents"]
+        .filter((F.col("doc_id") % 50 == 0) & (F.length("text") >= WINNOW_K))
+    )
+    grams = docs.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(F.lit(1), F.length("text") - WINNOW_K + 1)
+        ).alias("pos"),
+    )
+    h = F.conv(
+        F.substring(F.md5(F.expr(f"substring(text, pos, {WINNOW_K})")), 1, 8), 16, 10
+    ).cast("long")
+    wcount = Window.partitionBy("doc_id")
+    wmin = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)
+    )
+    hashes = grams.select(
+        "doc_id", "pos", h.alias("h"), F.count("*").over(wcount).alias("n_grams")
+    )
+    fps = (
+        hashes.filter(F.col("pos") <= F.col("n_grams") - WINNOW_W + 1)
+        .select("doc_id", F.min("h").over(wmin).alias("fp"))
+    )
+    return fps.groupBy("doc_id").agg(
+        F.countDistinct("fp").alias("n_fp"),
+        F.min("fp").alias("min_fp"),
+        F.max("fp").alias("max_fp"),
     )
