@@ -350,3 +350,55 @@ def q_llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sim") >= 0.3)
         .select("vec_a", "vec_b", r4(F.col("sim")).alias("cos_sim"))
     )
+
+
+_QUANT_ORACLE = """
+WITH scaled AS (
+    SELECT vec_id,
+           greatest(list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                            x -> abs(x))), 1e-12) / 127.0 AS scale
+    FROM embeddings
+), quant AS (
+    SELECT e.vec_id, s.scale,
+           list_transform(CAST(e.embedding AS DOUBLE[]),
+                          x -> CAST(floor(x / s.scale + 0.5) AS BIGINT)) AS q
+    FROM embeddings e JOIN scaled s ON e.vec_id = s.vec_id
+)
+SELECT vec_id,
+       floor(scale * 10000 + 0.5) / 10000 AS scale4,
+       list_sum(q) AS q_sum,
+       list_min(q) AS q_min,
+       list_max(q) AS q_max
+FROM quant
+"""
+
+
+@register("q_vec_quantize", oracle=_QUANT_ORACLE, tags=("llm", "similarity"))
+def q_vec_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of every embedding.
+
+    Per-vector absmax scaling (scale = max|x|/127), half-up rounding
+    spelled as floor(x/scale + 0.5) so both engines round identically.
+    The compression stage of a 100 TB vector store: 4× smaller than
+    float32, and the IVF/LSH candidate stages (q_llm_ann_*) can score
+    int8 first and re-rank the survivors in float. All list math is
+    JVM higher-order functions — no Python, no shuffle (per-row op).
+    """
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    maxabs = F.aggregate(
+        dbl, F.lit(0.0), lambda acc, v: F.greatest(acc, F.abs(v))
+    )
+    scale = F.greatest(maxabs, F.lit(1e-12)) / 127.0
+    with_scale = emb.select("vec_id", dbl.alias("e"), scale.alias("scale"))
+    quant = F.transform(
+        F.col("e"),
+        lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("long"),
+    )
+    return with_scale.select(
+        "vec_id",
+        r4(F.col("scale")).alias("scale4"),
+        F.aggregate(quant, F.lit(0).cast("long"), lambda a, v: a + v).alias("q_sum"),
+        F.array_min(quant).alias("q_min"),
+        F.array_max(quant).alias("q_max"),
+    )

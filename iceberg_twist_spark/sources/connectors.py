@@ -137,3 +137,62 @@ def write_iceberg(df: DataFrame, table: str) -> None:
             "(spark.sql.catalog.<name>=org.apache.iceberg.spark.SparkCatalog)"
         )
     df.writeTo(table).using("iceberg").createOrReplace()
+
+
+_EVOLUTION_ORACLE = """
+SELECT version,
+       count(*) AS rows_read,
+       count(event_type) AS typed_rows,
+       count(*) - count(event_type) AS null_rows
+FROM (
+    SELECT 1 AS version, CAST(NULL AS VARCHAR) AS event_type
+    FROM events WHERE event_id % 2 = 0
+    UNION ALL
+    SELECT 2 AS version, event_type
+    FROM events WHERE event_id % 2 = 1
+)
+GROUP BY version
+"""
+
+
+@register("q_schema_evolution", oracle=_EVOLUTION_ORACLE, tags=("source", "scan"))
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Widening schema evolution across parquet file generations.
+
+    The reference's record format evolved 25 → 8 columns mid-mission
+    (`iceberg-twist/notes.org:36-41`); the engine-side requirement is
+    reading old and new files as ONE table. Generation v1 is written
+    without ``event_type``; v2 adds it; ``mergeSchema=true`` unions
+    the footers and v1 rows surface NULL for the added column. At
+    100 TB this is routine daily-partition drift — schema-on-read
+    merge, no rewrite of old files (Iceberg formalizes the same with
+    column-id mapping).
+    """
+    path, written = _sink_dir("evo", sf_dir)
+    ev = load_tables(spark, sf_dir)["events"]
+    if not written:
+        (
+            ev.filter(F.col("event_id") % 2 == 0)
+            .select("event_id", "user_id", "value")
+            .write.mode("overwrite")
+            .parquet(path + "/v=1")
+        )
+        (
+            ev.filter(F.col("event_id") % 2 == 1)
+            .select("event_id", "user_id", "value", "event_type")
+            .write.mode("overwrite")
+            .parquet(path + "/v=2")
+        )
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        path + "/v=1", path + "/v=2"
+    )
+    version = F.when(F.col("event_id") % 2 == 0, 1).otherwise(2)
+    return (
+        merged.select(version.alias("version"), "event_type")
+        .groupBy("version")
+        .agg(
+            F.count("*").alias("rows_read"),
+            F.count("event_type").alias("typed_rows"),
+            (F.count("*") - F.count("event_type")).alias("null_rows"),
+        )
+    )
