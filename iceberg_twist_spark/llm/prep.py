@@ -170,3 +170,46 @@ def q_llm_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("tokens").cast("long").alias("bin_tokens"),
         )
     )
+
+
+_SHUFFLE_ORACLE = """
+WITH keyed AS (
+    SELECT doc_id,
+           md5(CAST(doc_id AS VARCHAR) || ':42') AS shuffle_key
+    FROM documents
+)
+SELECT doc_id, shuffle_key,
+       ascii(substr(shuffle_key, 1, 1)) AS shard,
+       CAST(row_number() OVER (
+           PARTITION BY ascii(substr(shuffle_key, 1, 1))
+           ORDER BY shuffle_key, doc_id
+       ) AS BIGINT) AS pos
+FROM keyed
+"""
+
+
+@register("q_llm_shuffle_shards", oracle=_SHUFFLE_ORACLE, tags=("llm", "sample", "sort"))
+def q_llm_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle: md5(doc_id, seed) keys
+    every document, the key's first hex digit assigns one of 16
+    shards, and position-within-shard is a rank over the key.
+
+    This is the standard seeded corpus shuffle (epoch order must be
+    reproducible across re-runs and cluster sizes — same property as
+    the hash sampling suite). Sharding keeps every rank window
+    partitioned: no global single-partition sort at 100 TB; training
+    order is (shard, pos), and each shard can be written/read as an
+    independent file group.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    keyed = docs.select(
+        "doc_id",
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":42"))).alias(
+            "shuffle_key"
+        ),
+    )
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return (
+        keyed.withColumn("shard", F.ascii(F.substring("shuffle_key", 1, 1)))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+    )

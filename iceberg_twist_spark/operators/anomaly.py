@@ -1,0 +1,134 @@
+"""Telemetry analytics — per-sensor anomaly detection and OHLC-style
+time-bar downsampling over the ``events`` stream fixture.
+
+The reference's deployment watches a sensor stream for operational
+health (loss counters, status events — `iceberg-twist/
+serial_streaming.lua:217-248,172-174`) and downsamples 5 Hz telemetry
+to a 1 Hz report rate (`iceberg-twist/notes.org:17`). These operators
+are the analytical generalizations: flag statistically-anomalous
+readings per sensor, and compress a high-rate value stream into
+per-key time bars (open/high/low/close) — the canonical lossy
+downsample that preserves envelope structure.
+
+Scale notes: the z-score pass is one keyed aggregate (per-sensor
+moments, map-side partials) broadcast back onto the stream — the
+stream itself is never shuffled. OHLC shuffles once on
+(key, bar): partial min/max combine map-side, and open/close ride the
+same shuffle as ordered-frame window functions; state per group is
+O(1). Both shapes are linear scans at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iceberg_twist_spark.catalog import load_tables
+from iceberg_twist_spark.common import duck_r4, r4
+from iceberg_twist_spark.registry import register
+
+Z_CUTOFF = 2.0
+
+_ZSCORE_ORACLE = f"""
+WITH stats AS (
+    SELECT user_id, avg(value) AS mu, stddev_samp(value) AS sigma,
+           count(*) AS n_obs
+    FROM events GROUP BY user_id
+)
+SELECT e.event_id, e.user_id, e.value,
+       {duck_r4('(e.value - s.mu) / s.sigma')} AS z,
+       CAST(s.n_obs AS BIGINT) AS n_obs
+FROM events e JOIN stats s USING (user_id)
+WHERE s.sigma > 0
+  AND abs({duck_r4('(e.value - s.mu) / s.sigma')}) >= {Z_CUTOFF}
+"""
+
+
+@register("q_ts_zscore", oracle=_ZSCORE_ORACLE, tags=("timeseries", "agg", "filter"))
+def q_ts_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sensor z-score outliers: readings ≥2σ from that sensor's
+    mean. Per-key moments are one map-side-combined aggregate,
+    broadcast back onto the stream (the big side never shuffles); the
+    cutoff applies to the *rounded* score so the boundary is
+    engine-independent."""
+    events = load_tables(spark, sf_dir)["events"]
+    stats = events.groupBy("user_id").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+        F.count("*").alias("n_obs"),
+    )
+    z = r4((F.col("value") - F.col("mu")) / F.col("sigma"))
+    return (
+        events.join(F.broadcast(stats), "user_id")
+        .filter(F.col("sigma") > 0)
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) >= Z_CUTOFF)
+        .select(
+            "event_id", "user_id", "value", "z",
+            F.col("n_obs").cast("long").alias("n_obs"),
+        )
+    )
+
+
+_OHLC_ORACLE = f"""
+WITH e AS (
+    SELECT user_id,
+           CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+           value, CAST(ts AS TIMESTAMP) AS ts, event_id
+    FROM events
+),
+w AS (
+    SELECT user_id, day, value,
+           first_value(value) OVER (
+               PARTITION BY user_id, day ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS open_v,
+           last_value(value) OVER (
+               PARTITION BY user_id, day ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS close_v
+    FROM e
+)
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+       min(open_v) AS open, max(value) AS high, min(value) AS low,
+       min(close_v) AS close,
+       CAST(count(*) AS BIGINT) AS n_events,
+       {duck_r4('sum(value)')} AS volume
+FROM w GROUP BY user_id, day
+"""
+
+
+@register("q_ts_ohlc", oracle=_OHLC_ORACLE, tags=("timeseries", "window", "agg"))
+def q_ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sensor daily OHLC bars: open/high/low/close + volume.
+
+    The lossy downsample that keeps envelope structure (what the
+    reference's 5 Hz → 1 Hz throttle approximates crudely). One
+    shuffle on (user_id, day): open/close are ordered-frame window
+    values (ts, event_id tiebreak) computed on the same partitioning
+    the final aggregate uses, so Spark plans a single exchange.
+    """
+    events = load_tables(spark, sf_dir)["events"]
+    e = events.select(
+        "user_id",
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        "value", "ts", "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id", "day")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        e.withColumn("open_v", F.first("value").over(w))
+        .withColumn("close_v", F.last("value").over(w))
+        .groupBy("user_id", F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.min("open_v").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.min("close_v").alias("close"),
+            F.count("*").cast("long").alias("n_events"),
+            r4(F.sum("value")).alias("volume"),
+        )
+    )

@@ -1,0 +1,96 @@
+"""Change-data-capture merge (upsert) — latest-version-wins MERGE
+semantics expressed as a declarative plan.
+
+The lakehouse operation between "raw change stream" and "queryable
+table": apply a batch of inserts/updates onto a base snapshot, newest
+version winning per key. This is Iceberg's ``MERGE INTO`` re-expressed
+so it runs (and is oracle-checked) without the Iceberg runtime jar:
+union + per-key window dedup is exactly how copy-on-write MERGE plans
+materialize. The reference's satellite link applies the same rule —
+per-key state updated by the newest message, dispatch by key
+(`iceberg-twist/transparent_serial_proxy.lua:191,204-215`).
+
+Scale notes: one shuffle on the merge key; ``row_number`` over
+(key, version desc) keeps state O(1) per key, and WindowGroupLimit
+prunes losers map-side. At 100 TB the change batch is typically ≪ the
+base — AQE turns the union's change side into cheap partitions, and
+the same plan written against Iceberg becomes a merge-on-read commit.
+The synthetic change batch is a deterministic key-split of ``orders``
+(updates: keys ≡ 0 mod 3; inserts: keys ≡ 3 mod 7, offset out of the
+base key range) so the oracle is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iceberg_twist_spark.catalog import load_tables
+from iceberg_twist_spark.common import duck_r4, r4
+from iceberg_twist_spark.registry import register
+
+INSERT_KEY_OFFSET = 10_000_000
+
+_UPSERT_ORACLE = f"""
+WITH base AS (
+    SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS version
+    FROM orders
+),
+updates AS (
+    SELECT o_orderkey, 'U' AS o_orderstatus,
+           o_totalprice * 1.1 AS o_totalprice, 2 AS version
+    FROM orders WHERE o_orderkey % 3 = 0
+),
+inserts AS (
+    SELECT o_orderkey + {INSERT_KEY_OFFSET} AS o_orderkey,
+           'I' AS o_orderstatus, o_totalprice, 2 AS version
+    FROM orders WHERE o_orderkey % 7 = 3
+),
+merged AS (
+    SELECT * FROM base
+    UNION ALL SELECT * FROM updates
+    UNION ALL SELECT * FROM inserts
+)
+SELECT o_orderkey, o_orderstatus,
+       {duck_r4('o_totalprice')} AS total_price,
+       CAST(version AS BIGINT) AS version
+FROM merged
+QUALIFY row_number() OVER (
+    PARTITION BY o_orderkey ORDER BY version DESC
+) = 1
+"""
+
+
+@register("q_cdc_upsert", oracle=_UPSERT_ORACLE, tags=("cdc", "join", "window"))
+def q_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins CDC merge: base snapshot + change batch (updates on
+    keys ≡0 mod 3, inserts offset out of key range), newest version
+    per key survives."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    base = orders.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", F.lit(1).alias("version")
+    )
+    updates = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+        F.lit(2).alias("version"),
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 7 == 3).select(
+        (F.col("o_orderkey") + INSERT_KEY_OFFSET).alias("o_orderkey"),
+        F.lit("I").alias("o_orderstatus"),
+        "o_totalprice",
+        F.lit(2).alias("version"),
+    )
+    merged = base.unionByName(updates).unionByName(inserts)
+    w = Window.partitionBy("o_orderkey").orderBy(F.desc("version"))
+    return (
+        merged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            r4("o_totalprice").alias("total_price"),
+            F.col("version").cast("long").alias("version"),
+        )
+    )

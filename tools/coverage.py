@@ -25,7 +25,15 @@ def main() -> int:
     declared = sorted(set(re.findall(r"\bq_[a-z0-9_]+\b", sec)))
     _load_all_modules()
     implemented = set(REGISTRY)
-    missing = [q for q in declared if q not in implemented]
+
+    def satisfied(q: str) -> bool:
+        # A trailing underscore comes from a wildcard family row like
+        # ``q_stream_*`` — satisfied by any registered id with that prefix.
+        if q.endswith("_"):
+            return any(n.startswith(q) for n in implemented)
+        return q in implemented
+
+    missing = [q for q in declared if not satisfied(q)]
     extra = sorted(implemented - set(declared))
     with_oracle = sorted(
         n for n in implemented if REGISTRY[n].oracle is not None
@@ -43,6 +51,11 @@ def main() -> int:
         "|---|---|---|",
     ]
     for q in declared:
+        if q.endswith("_"):
+            n_fam = sum(1 for n in implemented if n.startswith(q))
+            mark = f"✓ family ({n_fam} ids)" if n_fam else "✗ MISSING"
+            lines.append(f"| {q}* | {mark} | — |")
+            continue
         reg = q in implemented
         orc = reg and REGISTRY[q].oracle is not None
         lines.append(f"| {q} | {'✓' if reg else '✗ MISSING'} | {'✓' if orc else 'rows-only'} |")

@@ -59,6 +59,16 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
     "q_subq_not_exists": (["LeftAnti"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
     "q_subq_corr_scalar": (["HashAggregate"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
     "q_subq_scalar": (["PushedFilters: [IsNotNull(p_retailprice)"], ["CartesianProduct"]),
+    # decontamination: benchmark n-gram set broadcasts onto the corpus
+    "q_llm_decontaminate": (["BroadcastHashJoin"], ["SortMergeJoin", "CartesianProduct"]),
+    # TF-IDF: df table + corpus-size scalar broadcast; top-k prunes map-side
+    "q_llm_tfidf_topk": (["BroadcastHashJoin", "WindowGroupLimit"], ["CartesianProduct"]),
+    # z-score: per-key moments broadcast back; the stream never shuffles
+    "q_ts_zscore": (["BroadcastHashJoin"], ["SortMergeJoin", "CartesianProduct"]),
+    # CDC merge: latest-wins rank prunes losers map-side
+    "q_cdc_upsert": (["WindowGroupLimit"], ["CartesianProduct"]),
+    # repetition stats: hash aggregates with map-side partials only
+    "q_llm_rep_ngrams": (["HashAggregate"], ["SortAggregate", "CartesianProduct"]),
 }
 
 
