@@ -1,0 +1,259 @@
+"""Data-profiling and distribution-statistics operators.
+
+Before a 100 TB corpus or telemetry lake is queryable with confidence,
+it gets profiled: per-column null/distinct/min/max summaries,
+value-distribution histograms, per-key modal values, and distribution
+entropy. The reference does this by hand at the REPL (the exploratory
+`__main__` probe session, `iceberg-twist/main.py:84-103`, printing
+lengths/hex/word counts per frame); these operators are that workflow
+made declarative and scalable.
+
+Scale notes:
+- The table profile is a SINGLE pass: one aggregate computes every
+  per-column statistic, and the wide one-row result is unpivoted to
+  long form driver-side-free (the unpivot runs on one row). No
+  per-column rescans.
+- The histogram computes data-dependent bounds in-plan (one-row
+  aggregate, broadcast crossJoin — never a driver collect) and bins
+  with pure arithmetic; the bin aggregate is map-side combined, so
+  shuffle volume is |bins|, not |rows|.
+- Mode and entropy shuffle (key, value) then key — both partial-
+  aggregated; entropy's per-key total rides the same second shuffle
+  via a window over the group, not a second scan.
+- The rolling time window uses a RANGE frame over epoch seconds per
+  key: one shuffle, sort within key, O(window) state per key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iceberg_twist_spark.catalog import load_tables
+from iceberg_twist_spark.common import duck_r4, duck_ts_str, r4, ts_str
+from iceberg_twist_spark.registry import register
+
+# Columns profiled (name, is_numeric). A fixed projection keeps the
+# profile single-pass and the oracle exact; at scale you'd generate
+# this list from the schema the same way.
+_PROFILE_COLS = (
+    ("l_quantity", True),
+    ("l_extendedprice", True),
+    ("l_discount", True),
+    ("l_returnflag", False),
+    ("l_linestatus", False),
+)
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_val,
+       CAST(max({c}) AS VARCHAR) AS max_val
+FROM lineitem"""
+    for c, _ in _PROFILE_COLS
+)
+
+
+@register("q_profile_table", oracle=_PROFILE_ORACLE, tags=("profile", "agg"))
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-format table profile of ``lineitem``: rows, nulls,
+    distincts, min/max per column — in ONE scan.
+
+    A single aggregate computes every statistic (Spark plans one
+    multi-distinct HashAggregate via Expand); the wide one-row result
+    is then stacked to long form. The shape a 100 TB profile needs:
+    no per-column rescans of the fact table.
+    """
+    li = load_tables(spark, sf_dir)["lineitem"]
+    aggs = []
+    for c, _num in _PROFILE_COLS:
+        aggs += [
+            F.count("*").alias(f"{c}__rows"),
+            (F.count("*") - F.count(c)).alias(f"{c}__null"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = li.agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{c}', `{c}__rows`, `{c}__null`, `{c}__distinct`, `{c}__min`, `{c}__max`"
+        for c, _ in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_expr}) AS "
+        "(col_name, n_rows, n_null, n_distinct, min_val, max_val)"
+    ).select(
+        "col_name",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_null").cast("long").alias("n_null"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_val",
+        "max_val",
+    )
+
+
+N_BINS = 10
+
+_HIST_ORACLE = f"""
+WITH bounds AS (
+    SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+    FROM lineitem
+),
+binned AS (
+    SELECT least(CAST(floor((l_extendedprice - b.lo) / ((b.hi - b.lo) / {N_BINS})) AS BIGINT),
+                 {N_BINS - 1}) AS bin_id,
+           l_extendedprice, b.lo, b.hi
+    FROM lineitem CROSS JOIN bounds b
+)
+SELECT bin_id,
+       CAST(count(*) AS BIGINT) AS n,
+       {duck_r4(f'min(lo) + min(bin_id) * ((min(hi) - min(lo)) / {N_BINS})')} AS bin_lo,
+       {duck_r4('min(l_extendedprice)')} AS bin_min,
+       {duck_r4('max(l_extendedprice)')} AS bin_max
+FROM binned GROUP BY bin_id
+"""
+
+
+@register("q_agg_histogram", oracle=_HIST_ORACLE, tags=("profile", "agg"))
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 10-bin histogram of ``l_extendedprice`` with
+    data-dependent bounds computed in-plan (one-row broadcast), not
+    collected to the driver. Bin counts partial-aggregate map-side —
+    shuffle volume is 10 rows regardless of table size."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    bounds = li.agg(
+        F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / N_BINS
+    bin_id = F.least(
+        F.floor((F.col("l_extendedprice") - F.col("lo")) / width), F.lit(N_BINS - 1)
+    ).cast("long")
+    return (
+        li.crossJoin(F.broadcast(bounds))
+        .withColumn("bin_id", bin_id)
+        .groupBy("bin_id")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            r4(F.min("lo") + F.min("bin_id") * (F.min("hi") - F.min("lo")) / N_BINS).alias("bin_lo"),
+            r4(F.min("l_extendedprice")).alias("bin_min"),
+            r4(F.max("l_extendedprice")).alias("bin_max"),
+        )
+    )
+
+
+_MODE_ORACLE = """
+WITH c AS (
+    SELECT user_id, event_type, count(*) AS cnt
+    FROM events GROUP BY 1, 2
+)
+SELECT user_id, event_type AS mode_type, CAST(cnt AS BIGINT) AS n
+FROM c
+QUALIFY row_number() OVER (
+    PARTITION BY user_id ORDER BY cnt DESC, event_type
+) = 1
+"""
+
+
+@register("q_agg_mode", oracle=_MODE_ORACLE, tags=("profile", "agg", "window"))
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sensor modal event type (deterministic tiebreak: most
+    frequent, then alphabetical). Count then rank — WindowGroupLimit
+    prunes non-winners map-side after the keyed count."""
+    events = load_tables(spark, sf_dir)["events"]
+    c = events.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("cnt"), F.asc("event_type"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("mode_type"),
+            F.col("cnt").cast("long").alias("n"),
+        )
+    )
+
+
+_ENTROPY_ORACLE = f"""
+WITH c AS (
+    SELECT user_id, event_type, count(*) AS cnt
+    FROM events GROUP BY 1, 2
+),
+t AS (
+    SELECT user_id, event_type, cnt,
+           sum(cnt) OVER (PARTITION BY user_id) AS total
+    FROM c
+)
+SELECT user_id,
+       CAST(min(total) AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_types,
+       {duck_r4('sum(-(cnt * 1.0 / total) * ln(cnt * 1.0 / total))')} AS entropy
+FROM t GROUP BY user_id
+"""
+
+
+@register("q_agg_entropy", oracle=_ENTROPY_ORACLE, tags=("profile", "agg"))
+def q_agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each sensor's event-type mix — the standard
+    distribution-drift / diversity signal. Per-key totals ride a
+    window over the already-aggregated counts (|keys × types| rows),
+    so the raw stream is shuffled exactly once."""
+    events = load_tables(spark, sf_dir)["events"]
+    c = events.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    t = c.withColumn("total", F.sum("cnt").over(Window.partitionBy("user_id")))
+    p = F.col("cnt") * F.lit(1.0) / F.col("total")
+    return t.groupBy("user_id").agg(
+        F.min("total").cast("long").alias("n_events"),
+        F.count("*").cast("long").alias("n_types"),
+        r4(F.sum(-p * F.log(p))).alias("entropy"),
+    )
+
+
+ROLL_WINDOW_S = 86_400  # 24 h
+
+_ROLLING_ORACLE = f"""
+WITH e AS (
+    SELECT event_id, user_id, value,
+           CAST(ts AS TIMESTAMP) AS ts,
+           CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
+    FROM events
+)
+SELECT event_id, user_id, {duck_ts_str('ts')} AS ts,
+       {duck_r4(f'''avg(value) OVER (
+           PARTITION BY user_id ORDER BY sec
+           RANGE BETWEEN {ROLL_WINDOW_S} PRECEDING AND CURRENT ROW
+       )''')} AS rolling_avg,
+       CAST(count(*) OVER (
+           PARTITION BY user_id ORDER BY sec
+           RANGE BETWEEN {ROLL_WINDOW_S} PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS n_window
+FROM e
+"""
+
+
+@register("q_ts_rolling", oracle=_ROLLING_ORACLE, tags=("timeseries", "window"))
+def q_ts_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24 h rolling average per sensor — a RANGE frame over
+    epoch seconds, the feature-engineering primitive for telemetry.
+
+    RANGE (not ROWS) so frame membership is a pure function of event
+    time — identical on any engine and under any tie ordering. One
+    shuffle on user_id; per-key state is the 24 h window."""
+    events = load_tables(spark, sf_dir)["events"]
+    e = events.select(
+        "event_id", "user_id", "value", "ts",
+        F.unix_timestamp(F.date_trunc("second", F.col("ts"))).alias("sec"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-ROLL_WINDOW_S, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        ts_str("ts").alias("ts"),
+        r4(F.avg("value").over(w)).alias("rolling_avg"),
+        F.count("*").over(w).cast("long").alias("n_window"),
+    )

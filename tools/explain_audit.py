@@ -69,6 +69,17 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
     "q_cdc_upsert": (["WindowGroupLimit"], ["CartesianProduct"]),
     # repetition stats: hash aggregates with map-side partials only
     "q_llm_rep_ngrams": (["HashAggregate"], ["SortAggregate", "CartesianProduct"]),
+    # table profile: ONE scan (multi-distinct via Expand), no per-column
+    # rescans. SortAggregate is expected: min/max over string columns
+    # need variable-length buffers hash agg can't hold, and the global
+    # (group-less) aggregate makes the sort trivial.
+    "q_profile_table": (["Expand"], ["CartesianProduct"]),
+    # histogram: bounds broadcast in-plan; bin agg partial-combines map-side
+    "q_agg_histogram": (["HashAggregate"], ["SortMergeJoin", "CartesianProduct"]),
+    # per-key mode: winner rank prunes map-side after the keyed count
+    "q_agg_mode": (["WindowGroupLimit"], ["CartesianProduct"]),
+    # rolling time window: partitioned RANGE frame, no join at all
+    "q_ts_rolling": (["Window"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
 }
 
 
