@@ -80,6 +80,10 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
     "q_agg_mode": (["WindowGroupLimit"], ["CartesianProduct"]),
     # rolling time window: partitioned RANGE frame, no join at all
     "q_ts_rolling": (["Window"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # nearest-station: tiny dim broadcast-expands, winner pruned map-side
+    "q_geo_nearest_station": (["WindowGroupLimit", "BroadcastNestedLoopJoin"], ["SortMergeJoin"]),
+    # track length: lag window and final agg share one user_id shuffle
+    "q_geo_track_length": (["Window", "HashAggregate"], ["CartesianProduct"]),
 }
 
 
