@@ -99,3 +99,32 @@ def q_str_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hex("o_orderkey").alias("key_hex"),
         F.conv(F.hex("o_orderkey"), 16, 10).alias("key_dec_roundtrip"),
     )
+
+
+_MASK_ORACLE = """
+SELECT c_custkey,
+       regexp_replace(c_name, '[0-9]', '#', 'g') AS masked_name,
+       CAST(length(c_name) - length(regexp_replace(c_name, '[0-9]', '', 'g'))
+            AS BIGINT) AS n_digits,
+       right(regexp_replace(c_name, '[^0-9]', '', 'g'), 4) AS last4
+FROM customer
+"""
+
+
+@register("q_str_mask", oracle=_MASK_ORACLE, tags=("scalar", "string", "llm"))
+def q_str_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Digit masking / redaction: replace digits with '#', count them,
+    keep the last four — the PII-scrub shape (mask account numbers,
+    keep a verification suffix) every corpus-cleaning pipeline needs.
+    Pure regexp expressions inside codegen; character classes keep the
+    Java-regex and RE2 dialects in exact agreement."""
+    c = load_tables(spark, sf_dir)["customer"]
+    digits_only = F.regexp_replace("c_name", "[^0-9]", "")
+    return c.select(
+        "c_custkey",
+        F.regexp_replace("c_name", "[0-9]", "#").alias("masked_name"),
+        (F.length("c_name") - F.length(F.regexp_replace("c_name", "[0-9]", "")))
+        .cast("long")
+        .alias("n_digits"),
+        F.substring(digits_only, -4, 4).alias("last4"),
+    )

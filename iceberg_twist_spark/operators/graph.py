@@ -1,0 +1,113 @@
+"""Iterative graph analytics — PageRank over the part↔supplier
+bipartite graph derived from ``lineitem``.
+
+Together with the iterative connected-components resolver
+(llm/clusters.py), this covers the "loop until converged" class of
+algorithms an analytics engine needs beyond one-shot SQL: the driver
+iterates, but every iteration is a declarative DataFrame plan —
+Catalyst plans each step, and lineage is cut between steps so the plan
+doesn't grow with iteration count.
+
+Scale notes: one iteration = one equi join (ranks ⋈ edges on src) +
+one keyed aggregate (sum of contributions by dst) — the standard
+Pregel-as-DataFrame step, all shuffles on node id. Ranks/degrees are
+|V| rows, edges |E| rows; nothing driver-side grows with graph size
+(the node count is an in-plan one-row aggregate, broadcast).
+``localCheckpoint`` after each iteration truncates lineage — without
+it, iteration N replans (and at scale re-executes) all N-1 prior
+joins. Fixed iteration count keeps the query deterministic and
+oracle-checkable (the DuckDB oracle unrolls the same three steps).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_twist_spark.catalog import load_tables
+from iceberg_twist_spark.common import duck_r4, r4
+from iceberg_twist_spark.registry import register
+
+DAMPING = 0.85
+N_ITER = 3
+_R8 = 100_000_000  # ranks are ~1/|V|; round to 8 decimals, not 4
+
+
+def _oracle() -> str:
+    """Unrolled 3-iteration PageRank in DuckDB SQL."""
+    sql = """
+WITH edges AS (
+    SELECT DISTINCT 'p' || l_partkey AS src, 's' || l_suppkey AS dst FROM lineitem
+    UNION
+    SELECT DISTINCT 's' || l_suppkey AS src, 'p' || l_partkey AS dst FROM lineitem
+),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn)
+"""
+    prev = "r0"
+    for i in range(1, N_ITER + 1):
+        sql += f""",
+r{i} AS (
+    SELECT e.dst AS node,
+           0.15 / min(nn.n) + {DAMPING} * sum(r.rank / d.deg) AS rank
+    FROM edges e
+    JOIN {prev} r ON e.src = r.node
+    JOIN deg d ON e.src = d.src
+    CROSS JOIN nn
+    GROUP BY e.dst
+)"""
+        prev = f"r{i}"
+    sql += f"""
+SELECT node, {duck_r4('rank', _R8)} AS pr_rank
+FROM {prev}
+"""
+    return sql
+
+
+@register("q_graph_pagerank", oracle=_oracle(), tags=("graph", "join", "agg"))
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration PageRank on the part↔supplier co-occurrence graph.
+
+    Every node has in-edges (the graph is bidirectional), so the
+    join-aggregate step needs no dangling-mass correction. Ranks are
+    rounded to 8 decimals (they scale as 1/|V|) — float-sum ordering
+    differences across engines are ~1e-14, far inside the rounding.
+    """
+    li = load_tables(spark, sf_dir)["lineitem"]
+    pairs = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("p"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+    ).distinct()
+    edges = (
+        pairs.select(F.col("p").alias("src"), F.col("s").alias("dst"))
+        .unionByName(pairs.select(F.col("s").alias("src"), F.col("p").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    nn = nodes.agg(F.count("*").cast("double").alias("n"))
+    ranks = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    for _ in range(N_ITER):
+        contribs = (
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select("dst", (F.col("rank") / F.col("deg")).alias("contrib"))
+        )
+        ranks = (
+            contribs.groupBy("dst")
+            .agg(F.sum("contrib").alias("in_mass"))
+            .crossJoin(F.broadcast(nn))
+            .select(
+                F.col("dst").alias("node"),
+                (F.lit(0.15) / F.col("n") + F.lit(DAMPING) * F.col("in_mass")).alias(
+                    "rank"
+                ),
+            )
+            .localCheckpoint(eager=True)  # cut lineage: plan stays one-step deep
+        )
+    return ranks.select("node", r4("rank", _R8).alias("pr_rank"))

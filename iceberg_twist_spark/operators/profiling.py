@@ -257,3 +257,54 @@ def q_ts_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.avg("value").over(w)).alias("rolling_avg"),
         F.count("*").over(w).cast("long").alias("n_window"),
     )
+
+
+_WINSOR_ORACLE = f"""
+WITH b AS (
+    SELECT l_returnflag AS flag,
+           quantile_cont(l_extendedprice, 0.05) AS lo,
+           quantile_cont(l_extendedprice, 0.95) AS hi
+    FROM lineitem GROUP BY 1
+)
+SELECT l.l_returnflag AS flag,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN l.l_extendedprice < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+       CAST(sum(CASE WHEN l.l_extendedprice > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+       {duck_r4('avg(least(greatest(l.l_extendedprice, b.lo), b.hi))')} AS avg_winsor,
+       {duck_r4('avg(l.l_extendedprice)')} AS avg_raw
+FROM lineitem l JOIN b ON l.l_returnflag = b.flag
+GROUP BY 1
+"""
+
+
+@register("q_winsorize", oracle=_WINSOR_ORACLE, tags=("profile", "agg", "filter"))
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization: clip ``l_extendedprice`` to each
+    return-flag's [p05, p95] band and compare the winsorized mean to
+    the raw mean — the standard outlier-robust cleaning step before
+    model features.
+
+    The per-group percentile bounds (|groups| rows) broadcast back
+    onto the fact table, so the big side never shuffles; Spark's exact
+    ``percentile`` and DuckDB's ``quantile_cont`` share the same
+    linear-interpolation definition, so the clip boundaries are
+    bit-identical on both engines.
+    """
+    li = load_tables(spark, sf_dir)["lineitem"]
+    bounds = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.expr("percentile(l_extendedprice, 0.05)").alias("lo"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("hi"),
+    )
+    x = F.col("l_extendedprice")
+    clipped = F.least(F.greatest(x, F.col("lo")), F.col("hi"))
+    return (
+        li.join(F.broadcast(bounds), li.l_returnflag == bounds.flag)
+        .groupBy("flag")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum((x < F.col("lo")).cast("long")).alias("n_clip_lo"),
+            F.sum((x > F.col("hi")).cast("long")).alias("n_clip_hi"),
+            r4(F.avg(clipped)).alias("avg_winsor"),
+            r4(F.avg(x)).alias("avg_raw"),
+        )
+    )

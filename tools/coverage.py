@@ -26,12 +26,18 @@ def main() -> int:
     _load_all_modules()
     implemented = set(REGISTRY)
 
+    # Declared ids whose registration is environment-gated (they
+    # activate on clusters with the runtime dependency present).
+    from iceberg_twist_spark.streaming.tws import tws_available
+
+    env_gated = {} if tws_available() else {"q_stream_queue_tws": "needs protobuf"}
+
     def satisfied(q: str) -> bool:
         # A trailing underscore comes from a wildcard family row like
         # ``q_stream_*`` — satisfied by any registered id with that prefix.
         if q.endswith("_"):
             return any(n.startswith(q) for n in implemented)
-        return q in implemented
+        return q in implemented or q in env_gated
 
     missing = [q for q in declared if not satisfied(q)]
     extra = sorted(implemented - set(declared))
@@ -51,6 +57,9 @@ def main() -> int:
         "|---|---|---|",
     ]
     for q in declared:
+        if q in env_gated and q not in implemented:
+            lines.append(f"| {q} | ○ env-gated ({env_gated[q]}) | rows-only |")
+            continue
         if q.endswith("_"):
             n_fam = sum(1 for n in implemented if n.startswith(q))
             mark = f"✓ family ({n_fam} ids)" if n_fam else "✗ MISSING"

@@ -84,6 +84,12 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
     "q_geo_nearest_station": (["WindowGroupLimit", "BroadcastNestedLoopJoin"], ["SortMergeJoin"]),
     # track length: lag window and final agg share one user_id shuffle
     "q_geo_track_length": (["Window", "HashAggregate"], ["CartesianProduct"]),
+    # winsorize: per-group percentile bounds broadcast onto the fact side
+    "q_winsorize": (["BroadcastHashJoin"], ["SortMergeJoin", "CartesianProduct"]),
+    # pagerank: the returned plan is a scan of the final checkpointed
+    # iteration (lineage deliberately cut) — assert only that nothing
+    # degenerated into a nested loop downstream of the checkpoint
+    "q_graph_pagerank": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
 }
 
 
