@@ -18,7 +18,7 @@ rows regardless of event volume.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from iceberg_twist_spark.catalog import load_tables
@@ -127,4 +127,40 @@ def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff(F.col("day"), F.col("cohort_day")).cast("long").alias("day_offset"),
         )
         .agg(F.count("*").alias("active_users"))
+    )
+
+
+_TRANSITIONS_ORACLE = """
+WITH seq AS (
+    SELECT user_id, event_type,
+           lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+           ) AS prev_type
+    FROM events
+)
+SELECT prev_type, event_type AS next_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM seq
+WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+@register("q_event_transitions", oracle=_TRANSITIONS_ORACLE, tags=("funnel", "window", "agg"))
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix (Markov counts): for each user's
+    time-ordered stream, count prev→next event-type pairs — the
+    behavioral-model / anomaly-baseline primitive over clickstreams.
+
+    One shuffle on user_id for the lag window; the transition count
+    partial-aggregates map-side onto at most |types|² groups."""
+    events = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").cast("long").alias("n"))
     )

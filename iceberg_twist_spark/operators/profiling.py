@@ -308,3 +308,34 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.avg(x)).alias("avg_raw"),
         )
     )
+
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+_CORR_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{a}' AS col_a, '{b}' AS col_b,
+       {duck_r4(f'corr({a}, {b})')} AS corr
+FROM lineitem"""
+    for i, a in enumerate(_CORR_COLS)
+    for b in _CORR_COLS[i + 1:]
+)
+
+
+@register("q_agg_corr_matrix", oracle=_CORR_ORACLE, tags=("profile", "agg"))
+def q_agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise correlation matrix (upper triangle) of the lineitem
+    measures — ONE scan computes every pair (a single aggregate with
+    C(4,2)=6 corr expressions), then the wide row is stacked to long
+    form. The single-pass shape is what survives a 100 TB fact table;
+    a per-pair rescan loop would not."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    pairs = [
+        (a, b) for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1:]
+    ]
+    wide = li.agg(
+        *[r4(F.corr(a, b)).alias(f"{a}__{b}") for a, b in pairs]
+    )
+    stack_expr = ", ".join(f"'{a}', '{b}', `{a}__{b}`" for a, b in pairs)
+    return wide.selectExpr(
+        f"stack({len(pairs)}, {stack_expr}) AS (col_a, col_b, corr)"
+    )

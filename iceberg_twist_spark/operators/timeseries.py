@@ -264,3 +264,49 @@ def q_ts_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.sum("sum_value") / F.sum("cnt")).alias("avg_value"),
         )
     )
+
+
+_GAPS_ORACLE = f"""
+WITH seq AS (
+    SELECT user_id, event_type,
+           CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec,
+           lag(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+           ) AS prev_sec
+    FROM events
+)
+SELECT user_id,
+       CAST(count(prev_sec) AS BIGINT) AS n_gaps,
+       {duck_r4('avg(sec - prev_sec)')} AS avg_gap_s,
+       CAST(min(sec - prev_sec) AS BIGINT) AS min_gap_s,
+       CAST(max(sec - prev_sec) AS BIGINT) AS max_gap_s
+FROM seq
+WHERE prev_sec IS NOT NULL
+GROUP BY user_id
+"""
+
+
+@register("q_ts_gaps", oracle=_GAPS_ORACLE, tags=("timeseries", "window", "agg"))
+def q_ts_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap statistics per sensor — the dropout/cadence
+    monitor for a telemetry link (the reference's 4-minute transmit
+    cadence and 20-minute sleeps make gap structure the primary
+    health signal). Lag window and aggregate share one user_id
+    shuffle."""
+    events = load_tables(spark, sf_dir)["events"]
+    sec = F.unix_timestamp(F.date_trunc("second", F.col("ts")))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id", sec.alias("sec"), F.lag(sec).over(w).alias("prev_sec")
+    )
+    gap = F.col("sec") - F.col("prev_sec")
+    return (
+        seq.filter(F.col("prev_sec").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_gaps"),
+            r4(F.avg(gap)).alias("avg_gap_s"),
+            F.min(gap).cast("long").alias("min_gap_s"),
+            F.max(gap).cast("long").alias("max_gap_s"),
+        )
+    )

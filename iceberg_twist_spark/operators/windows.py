@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from iceberg_twist_spark.catalog import load_tables
-from iceberg_twist_spark.common import r4
+from iceberg_twist_spark.common import duck_r4, r4
 from iceberg_twist_spark.registry import register
 
 _ROWNUM_ORACLE = """
@@ -240,4 +240,48 @@ def q_win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_totalprice").over(grow).alias("first_price"),
         F.last("o_totalprice").over(full).alias("last_price"),
         F.nth_value("o_totalprice", 2).over(grow).alias("second_price"),
+    )
+
+
+_SHARE_ORACLE = f"""
+WITH rev AS (
+    SELECT n.n_name, r.r_name,
+           sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+)
+SELECT n_name, r_name,
+       {duck_r4('revenue')} AS revenue,
+       {duck_r4('revenue / sum(revenue) OVER (PARTITION BY r_name)')} AS region_share,
+       {duck_r4('revenue / sum(revenue) OVER ()')} AS global_share
+FROM rev
+"""
+
+
+@register("q_win_share", oracle=_SHARE_ORACLE, tags=("window", "agg", "join"))
+def q_win_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's revenue share of its region and
+    of the world — the percent-of-total window over a pre-aggregated
+    frame. The windows run on |nations| rows (post-aggregation), so
+    the unpartitioned global-share window is a 25-row frame, not a
+    single-partition pass over the fact table."""
+    t = load_tables(spark, sf_dir)
+    rev = (
+        t["lineitem"]
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name", "r_name")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+    w_region = Window.partitionBy("r_name")
+    w_all = Window.partitionBy()
+    return rev.select(
+        "n_name", "r_name",
+        r4("revenue").alias("revenue"),
+        r4(F.col("revenue") / F.sum("revenue").over(w_region)).alias("region_share"),
+        r4(F.col("revenue") / F.sum("revenue").over(w_all)).alias("global_share"),
     )

@@ -86,6 +86,12 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
     "q_geo_track_length": (["Window", "HashAggregate"], ["CartesianProduct"]),
     # winsorize: per-group percentile bounds broadcast onto the fact side
     "q_winsorize": (["BroadcastHashJoin"], ["SortMergeJoin", "CartesianProduct"]),
+    # transition matrix: lag window + map-side-combined count, one key shuffle
+    "q_event_transitions": (["Window", "HashAggregate"], ["CartesianProduct"]),
+    # corr matrix: ONE scan computes all 6 pairs (single aggregate, no rescans)
+    "q_agg_corr_matrix": (["HashAggregate"], ["Union", "CartesianProduct"]),
+    # revenue shares: star join broadcasts dims; windows run post-aggregation
+    "q_win_share": (["BroadcastHashJoin", "Window"], ["CartesianProduct"]),
     # pagerank: the returned plan is a scan of the final checkpointed
     # iteration (lineage deliberately cut) — assert only that nothing
     # degenerated into a nested loop downstream of the checkpoint
