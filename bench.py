@@ -42,6 +42,13 @@ HEADLINE = (
     "q_tpch_q05",
     "q_tpch_q09",
     "q_tpch_q18",
+    # breadth headliners: corpus hygiene (broadcast n-gram join),
+    # iterative graph (3 join+agg rounds), single-pass profile,
+    # MinHash banding dedup.
+    "q_llm_decontaminate",
+    "q_graph_pagerank",
+    "q_profile_table",
+    "q_llm_minhash_dedup",
 )
 
 # Queries whose result set is large: execute via the noop sink so the

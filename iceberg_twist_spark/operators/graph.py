@@ -87,15 +87,22 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    # fold degree onto the edge list ONCE — inside the loop that join
+    # would repeat every iteration
+    edges_deg = edges.join(deg, "src").localCheckpoint(eager=True)
     nodes = edges.select(F.col("src").alias("node")).distinct()
     nn = nodes.agg(F.count("*").cast("double").alias("n"))
     ranks = nodes.crossJoin(F.broadcast(nn)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("rank")
     )
     for _ in range(N_ITER):
+        # ranks is |V| rows vs |E| edges — broadcast it so the edge
+        # list never shuffles for the join (|V| ≪ |E| by construction
+        # in co-occurrence graphs; for a web-scale graph where ranks
+        # outgrow broadcast, drop the hint and this becomes a shuffle
+        # join on the same plan)
         contribs = (
-            edges.join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(deg, "src")
+            edges_deg.join(F.broadcast(ranks.withColumnRenamed("node", "src")), "src")
             .select("dst", (F.col("rank") / F.col("deg")).alias("contrib"))
         )
         ranks = (
