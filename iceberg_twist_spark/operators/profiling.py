@@ -350,3 +350,121 @@ def q_agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.selectExpr(
         f"stack({len(pairs)}, {stack_expr}) AS (col_a, col_b, corr)"
     )
+
+
+TOP_SKEW = 10
+
+_SKEW_ORACLE = f"""
+WITH c AS (
+    SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1
+),
+s AS (
+    SELECT o_custkey, n,
+           sum(n) OVER () AS total,
+           avg(n) OVER () AS avg_n,
+           row_number() OVER (ORDER BY n DESC, o_custkey) AS rnk
+    FROM c
+)
+SELECT CAST(rnk AS BIGINT) AS rnk, o_custkey, CAST(n AS BIGINT) AS n,
+       {duck_r4('n * 1.0 / total')} AS share,
+       {duck_r4('n / avg_n')} AS imbalance
+FROM s WHERE rnk <= {TOP_SKEW}
+"""
+
+
+@register("q_profile_skew", oracle=_SKEW_ORACLE, tags=("profile", "agg", "window"))
+def q_profile_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew report: the top-10 heaviest ``o_custkey`` values
+    with their row share and imbalance factor (count / mean count) —
+    the diagnostic that decides whether a join needs salting
+    (operators/skew.py) or AQE skew splitting before it burns a
+    cluster. Key counts partial-aggregate map-side; the global windows
+    then run over |keys| rows, not |rows|."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    c = orders.groupBy("o_custkey").agg(F.count("*").alias("n"))
+    w_all = Window.partitionBy()
+    w_rank = Window.partitionBy().orderBy(F.desc("n"), F.asc("o_custkey"))
+    return (
+        c.withColumn("total", F.sum("n").over(w_all))
+        .withColumn("avg_n", F.avg("n").over(w_all))
+        .withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= TOP_SKEW)
+        .select(
+            F.col("rnk").cast("long").alias("rnk"),
+            "o_custkey",
+            F.col("n").cast("long").alias("n"),
+            r4(F.col("n") * F.lit(1.0) / F.col("total")).alias("share"),
+            r4(F.col("n") / F.col("avg_n")).alias("imbalance"),
+        )
+    )
+
+
+_SLA_ORACLE = f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       {duck_r4('quantile_cont(value, 0.5)')} AS p50,
+       {duck_r4('quantile_cont(value, 0.95)')} AS p95,
+       {duck_r4('quantile_cont(value, 0.99)')} AS p99
+FROM events GROUP BY event_type
+"""
+
+
+@register("q_agg_sla", oracle=_SLA_ORACLE, tags=("profile", "agg", "timeseries"))
+def q_agg_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLA-style tail percentiles (p50/p95/p99) of the value
+    distribution per event type — one exact multi-percentile aggregate
+    (single sort per group inside the ObjectHashAggregate), the
+    standard latency-report shape."""
+    events = load_tables(spark, sf_dir)["events"]
+    pct = F.expr("percentile(value, array(0.5, 0.95, 0.99))")
+    return (
+        events.groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("n"), pct.alias("pcts"))
+        .select(
+            "event_type", "n",
+            r4(F.element_at("pcts", 1)).alias("p50"),
+            r4(F.element_at("pcts", 2)).alias("p95"),
+            r4(F.element_at("pcts", 3)).alias("p99"),
+        )
+    )
+
+
+_IMPUTE_ORACLE = f"""
+WITH holes AS (
+    SELECT event_id, user_id,
+           CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value
+    FROM events
+),
+mu AS (
+    SELECT user_id, avg(value) AS user_mean
+    FROM holes WHERE value IS NOT NULL GROUP BY 1
+)
+SELECT h.event_id, h.user_id,
+       h.value IS NULL AS was_null,
+       {duck_r4('coalesce(h.value, m.user_mean)')} AS value_imputed
+FROM holes h JOIN mu m ON h.user_id = m.user_id
+"""
+
+
+@register("q_impute_mean", oracle=_IMPUTE_ORACLE, tags=("profile", "agg", "filter"))
+def q_impute_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key mean imputation of missing values (holes injected
+    deterministically on event_id ≡ 0 mod 7, so the query is
+    oracle-checkable). Per-user means are one map-side-combined
+    aggregate broadcast back onto the stream — the fill never shuffles
+    the fact side; the cleaning step every feature pipeline runs."""
+    events = load_tables(spark, sf_dir)["events"]
+    holes = events.select(
+        "event_id", "user_id",
+        F.when(F.col("event_id") % 7 == 0, None).otherwise(F.col("value")).alias("value"),
+    )
+    mu = (
+        holes.filter(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(F.avg("value").alias("user_mean"))
+    )
+    return holes.join(F.broadcast(mu), "user_id").select(
+        "event_id", "user_id",
+        F.col("value").isNull().alias("was_null"),
+        r4(F.coalesce("value", "user_mean")).alias("value_imputed"),
+    )
