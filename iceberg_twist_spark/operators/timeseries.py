@@ -217,20 +217,20 @@ def q_ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ROLLUP_CASCADE_ORACLE = f"""
+_ROLLUP_CASCADE_ORACLE = """
 WITH hourly AS (
     SELECT user_id,
            date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
            count(*) AS cnt,
-           sum(value) AS sum_value
+           sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS sum_scaled
     FROM events
     GROUP BY 1, 2
 )
 SELECT user_id,
        strftime(date_trunc('day', hour), '%Y-%m-%d') AS day,
        sum(cnt) AS cnt,
-       {duck_r4('sum(sum_value)')} AS sum_value,
-       {duck_r4('sum(sum_value) / sum(cnt)')} AS avg_value
+       CAST(sum(sum_scaled) AS DOUBLE) / 10000 AS sum_value,
+       CAST(sum(sum_scaled) AS DOUBLE) / 10000 / sum(cnt) AS avg_value
 FROM hourly
 GROUP BY 1, 2
 """
@@ -248,11 +248,20 @@ def q_ts_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier is a materialized table ~1000× smaller than raw, every
     coarser resolution reads the tier above it, and late data only
     re-aggregates its own hour.
+
+    The partials are FIXED-POINT (value scaled ×1e4 to integers):
+    integer sums are exact and associative, so the result is identical
+    under any partitioning / merge order. A double-sum partial here
+    intermittently flipped the 4th decimal of one avg across runs —
+    the true value sat exactly on the 0.00005 rounding boundary, and
+    Spark's float-sum order is not deterministic. Mergeable partials
+    that feed a fixed-decimal output should be integers.
     """
     ev = load_tables(spark, sf_dir)["events"]
+    scaled = F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")
     hourly = (
         ev.groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("hour"))
-        .agg(F.count("*").alias("cnt"), F.sum("value").alias("sum_value"))
+        .agg(F.count("*").alias("cnt"), F.sum(scaled).alias("sum_scaled"))
     )
     return (
         hourly.groupBy(
@@ -260,8 +269,10 @@ def q_ts_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.sum("cnt").alias("cnt"),
-            r4(F.sum("sum_value")).alias("sum_value"),
-            r4(F.sum("sum_value") / F.sum("cnt")).alias("avg_value"),
+            (F.sum("sum_scaled").cast("double") / 10000).alias("sum_value"),
+            (F.sum("sum_scaled").cast("double") / 10000 / F.sum("cnt")).alias(
+                "avg_value"
+            ),
         )
     )
 

@@ -327,3 +327,50 @@ def q_stream_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         progress or [], "batch_id long, rows long, bytes long"
     )
+
+
+@register("q_stream_stream_join", tags=("streaming", "join"))
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: per user, join each ``purchase``
+    event to ``click`` events from the preceding hour — the canonical
+    attribution join, and the one streaming shape not covered by the
+    stream-static enrichment (A30). Both sides are watermarked so
+    Spark can bound the join state buffer (clicks retained only while
+    a matching purchase can still arrive); the interval condition is
+    what lets the state manager expire rows, exactly the mechanism
+    that keeps this runnable forever at production volume.
+    """
+    clicks = (
+        read_event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "30 minutes")
+    )
+    purchases = (
+        read_event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("amount"),
+        )
+        .withWatermark("purchase_ts", "30 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id", "click_id", "amount",
+        F.col("purchase_ts").cast("string").alias("purchase_ts"),
+        F.col("click_ts").cast("string").alias("click_ts"),
+    )
+    return run_to_memory(joined)
