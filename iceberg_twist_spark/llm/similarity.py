@@ -402,3 +402,68 @@ def q_vec_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(quant).alias("q_min"),
         F.array_max(quant).alias("q_max"),
     )
+
+
+HYBRID_K = 5
+HYBRID_LANG = "en"
+
+_HYBRID_ORACLE = f"""
+WITH probe AS (
+    SELECT embedding AS p FROM embeddings WHERE vec_id = 0
+),
+cand AS (
+    SELECT d.doc_id, d.lang, d.source, e.embedding
+    FROM documents d
+    JOIN embeddings e ON d.doc_id = e.vec_id
+    WHERE d.lang = '{HYBRID_LANG}' AND d.doc_id <> 0
+),
+scored AS (
+    SELECT c.doc_id, c.source,
+           floor(({_DUCK_COS.format(a='c.embedding', b='probe.p')}) * 10000 + 0.5)
+               / 10000 AS cos_sim
+    FROM cand c CROSS JOIN probe
+)
+SELECT doc_id, source, cos_sim, CAST(rnk AS BIGINT) AS rnk
+FROM (
+    SELECT *, row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS rnk
+    FROM scored
+) WHERE rnk <= {HYBRID_K}
+"""
+
+
+@register("q_llm_hybrid_search", oracle=_HYBRID_ORACLE, tags=("llm", "similarity", "join"))
+def q_llm_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: metadata filter + vector ranking in one plan —
+    keep only English documents, then rank by cosine similarity to the
+    probe vector (vec_id 0) and return the top-5. This is the RAG
+    retrieval shape: the relational predicate prunes BEFORE any vector
+    math runs (filter pushes to the documents scan; the embedding join
+    only sees surviving doc_ids), so the expensive similarity is
+    computed on the filtered candidate set, not the corpus.
+
+    Ranking is on the rounded score with a doc_id tiebreak → total
+    order on both engines. The probe is a one-row broadcast.
+    """
+    t = load_tables(spark, sf_dir)
+    probe = (
+        t["embeddings"].filter(F.col("vec_id") == 0).select(F.col("embedding").alias("p"))
+    )
+    cand = (
+        t["documents"]
+        .filter((F.col("lang") == HYBRID_LANG) & (F.col("doc_id") != 0))
+        .select("doc_id", "source")
+        .join(
+            t["embeddings"].select(F.col("vec_id").alias("doc_id"), "embedding"),
+            "doc_id",
+        )
+    )
+    scored = cand.crossJoin(F.broadcast(probe)).select(
+        "doc_id", "source",
+        r4(cosine(F.col("embedding"), F.col("p"))).alias("cos_sim"),
+    )
+    w = Window.partitionBy().orderBy(F.desc("cos_sim"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= HYBRID_K)
+        .select("doc_id", "source", "cos_sim", F.col("rnk").cast("long").alias("rnk"))
+    )

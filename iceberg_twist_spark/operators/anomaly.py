@@ -132,3 +132,79 @@ def q_ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.sum("value")).alias("volume"),
         )
     )
+
+
+_DRIFT_ORACLE = f"""
+WITH seq AS (
+    SELECT user_id, value,
+           row_number() OVER (
+               PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+           ) AS rn,
+           count(*) OVER (PARTITION BY user_id) AS n
+    FROM events
+),
+halves AS (
+    SELECT user_id, value, (rn * 2 <= n) AS first_half FROM seq
+),
+stats AS (
+    SELECT user_id,
+           avg(CASE WHEN first_half THEN value END) AS m1,
+           var_samp(CASE WHEN first_half THEN value END) AS v1,
+           count(CASE WHEN first_half THEN value END) AS n1,
+           avg(CASE WHEN NOT first_half THEN value END) AS m2,
+           var_samp(CASE WHEN NOT first_half THEN value END) AS v2,
+           count(CASE WHEN NOT first_half THEN value END) AS n2
+    FROM halves GROUP BY user_id
+)
+SELECT user_id,
+       CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       {duck_r4('m1')} AS mean_first, {duck_r4('m2')} AS mean_second,
+       {duck_r4('(m2 - m1) / sqrt(v1 / n1 + v2 / n2)')} AS drift_z,
+       abs({duck_r4('(m2 - m1) / sqrt(v1 / n1 + v2 / n2)')}) >= 2.0 AS drifted
+FROM stats
+WHERE n1 >= 2 AND n2 >= 2 AND v1 / n1 + v2 / n2 > 0
+"""
+
+
+@register("q_ts_drift", oracle=_DRIFT_ORACLE, tags=("timeseries", "window", "agg"))
+def q_ts_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift detector per sensor: Welch z-statistic
+    between the first and second half of each sensor's time-ordered
+    stream — the "did this sensor's behavior change?" monitor (and the
+    same test a training pipeline runs between data snapshots).
+
+    One shuffle on user_id shared by the ordering window and the
+    half-stats aggregate; the drift decision applies to the rounded
+    statistic so the boundary is engine-independent.
+    """
+    events = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id", "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("user_id")).alias("n"),
+    )
+    first = F.col("rn") * 2 <= F.col("n")
+    half_val = lambda cond: F.when(cond, F.col("value"))  # noqa: E731
+    stats = seq.groupBy("user_id").agg(
+        F.avg(half_val(first)).alias("m1"),
+        F.var_samp(half_val(first)).alias("v1"),
+        F.count(half_val(first)).alias("n1"),
+        F.avg(half_val(~first)).alias("m2"),
+        F.var_samp(half_val(~first)).alias("v2"),
+        F.count(half_val(~first)).alias("n2"),
+    )
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    z = r4((F.col("m2") - F.col("m1")) / F.sqrt(se2))
+    return (
+        stats.filter((F.col("n1") >= 2) & (F.col("n2") >= 2) & (se2 > 0))
+        .select(
+            "user_id",
+            F.col("n1").cast("long").alias("n1"),
+            F.col("n2").cast("long").alias("n2"),
+            r4("m1").alias("mean_first"),
+            r4("m2").alias("mean_second"),
+            z.alias("drift_z"),
+            (F.abs(z) >= 2.0).alias("drifted"),
+        )
+    )
