@@ -87,6 +87,7 @@ def _load_all_modules() -> None:
     import iceberg_twist_spark.operators.profiling  # noqa: F401
     import iceberg_twist_spark.operators.geo  # noqa: F401
     import iceberg_twist_spark.operators.graph  # noqa: F401
+    import iceberg_twist_spark.operators.modern_sql  # noqa: F401
     import iceberg_twist_spark.udfs  # noqa: F401
     import iceberg_twist_spark.multimodal  # noqa: F401
     import iceberg_twist_spark.sources.connectors  # noqa: F401

@@ -84,6 +84,8 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
     "q_geo_nearest_station": (["WindowGroupLimit", "BroadcastNestedLoopJoin"], ["SortMergeJoin"]),
     # track length: lag window and final agg share one user_id shuffle
     "q_geo_track_length": (["Window", "HashAggregate"], ["CartesianProduct"]),
+    # lateral top-k decorrelates to join + ranked window, not per-row re-exec
+    "q_lateral_topk": (["BroadcastHashJoin"], ["CartesianProduct"]),
     # winsorize: per-group percentile bounds broadcast onto the fact side
     "q_winsorize": (["BroadcastHashJoin"], ["SortMergeJoin", "CartesianProduct"]),
     # transition matrix: lag window + map-side-combined count, one key shuffle
