@@ -467,3 +467,35 @@ def q_llm_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= HYBRID_K)
         .select("doc_id", "source", "cos_sim", F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+_CENTROID_ORACLE = """
+WITH flat AS (
+    SELECT label, t.i AS pos, CAST(embedding[t.i] AS DOUBLE) AS val
+    FROM embeddings,
+         LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) t
+)
+SELECT label, CAST(pos AS BIGINT) AS pos,
+       floor(avg(val) * 10000 + 0.5) / 10000 AS centroid_val,
+       CAST(count(*) AS BIGINT) AS n_vecs
+FROM flat GROUP BY label, pos
+"""
+
+
+@register("q_vec_centroid", oracle=_CENTROID_ORACLE, tags=("llm", "similarity", "agg"))
+def q_vec_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (element-wise mean over the
+    64-dim vectors) — the k-means/class-prototype primitive, in long
+    form (label, pos, value). ``posexplode`` is a narrow row expansion
+    (×dim, no shuffle to generate); the mean partial-aggregates
+    map-side onto |labels|×dim groups, so shuffle volume is the
+    centroid matrix, never the corpus. At 100 TB this is exactly the
+    E-step plan: one linear scan per iteration."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    flat = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("p0", "val")
+    ).select("label", (F.col("p0") + 1).alias("pos"), "val")
+    return flat.groupBy("label", "pos").agg(
+        r4(F.avg("val")).alias("centroid_val"),
+        F.count("*").cast("long").alias("n_vecs"),
+    )

@@ -208,3 +208,40 @@ def q_ts_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(z) >= 2.0).alias("drifted"),
         )
     )
+
+
+_TREND_ORACLE = f"""
+WITH e AS (
+    SELECT user_id, value,
+           CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+               - 1704067200 AS x
+    FROM events
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n,
+       {duck_r4('regr_slope(value, x) * 86400')} AS slope_per_day,
+       {duck_r4('regr_intercept(value, x)')} AS intercept,
+       {duck_r4('regr_r2(value, x)')} AS r2
+FROM e GROUP BY user_id
+"""
+
+
+@register("q_ts_trend", oracle=_TREND_ORACLE, tags=("timeseries", "agg"))
+def q_ts_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sensor linear trend: least-squares slope (per day),
+    intercept, and R² of value over time — battery-decay / drift-rate
+    estimation for the reference's dying-battery deployment, computed
+    with the SQL-standard ``regr_*`` aggregates (one map-side-combined
+    pass; x is re-based to the epoch of 2024-01-01 so the moment sums
+    stay well-conditioned in doubles)."""
+    events = load_tables(spark, sf_dir)["events"]
+    x = (
+        F.unix_timestamp(F.date_trunc("second", F.col("ts"))) - F.lit(1704067200)
+    ).alias("x")
+    e = events.select("user_id", "value", x)
+    return e.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n"),
+        r4(F.regr_slope("value", "x") * 86400).alias("slope_per_day"),
+        r4(F.regr_intercept("value", "x")).alias("intercept"),
+        r4(F.regr_r2("value", "x")).alias("r2"),
+    )
