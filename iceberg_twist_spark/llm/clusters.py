@@ -25,9 +25,11 @@ fraction of the corpus — enter the graph).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from iceberg_twist_spark.catalog import load_tables
+from iceberg_twist_spark.common import r4
 from iceberg_twist_spark.llm.dedup import _JACCARD_ORACLE, q_llm_ngram_jaccard
 from iceberg_twist_spark.registry import register
 
@@ -117,4 +119,60 @@ def q_llm_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("label").alias("cluster_id"),
             "cluster_size",
         )
+    )
+
+
+_SURVIVOR_ORACLE = f"""
+WITH clusters AS ({_CLUSTERS_ORACLE}),
+scored AS (
+    SELECT d.doc_id,
+           coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+           floor((d.n_chars * 1.0 / len(string_split(d.text, ' '))) * 10000 + 0.5)
+               / 10000 AS score
+    FROM documents d LEFT JOIN clusters c USING (doc_id)
+),
+ranked AS (
+    SELECT doc_id, cluster_id, score,
+           row_number() OVER (
+               PARTITION BY cluster_id ORDER BY score DESC, doc_id
+           ) AS rn
+    FROM scored
+)
+SELECT r.doc_id, r.cluster_id, r.score,
+       (r.rn = 1) AS is_kept,
+       k.doc_id AS keeper_id
+FROM ranked r
+JOIN (SELECT cluster_id, doc_id FROM ranked WHERE rn = 1) k USING (cluster_id)
+"""
+
+
+@register("q_llm_dedup_survivor", oracle=_SURVIVOR_ORACLE, tags=("llm", "dedup", "window"))
+def q_llm_dedup_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship: materialize the corpus-level keep/drop decision.
+
+    Every document gets a cluster (its near-dup component, or a
+    singleton of itself), the highest-quality member survives
+    (mean-word-length score, doc_id tiebreak), and each row carries
+    its cluster's keeper id — the full dedup pipeline output a corpus
+    build actually writes: candidates (llm/dedup.py) → components
+    (connected_components) → survivors. Unclustered docs pass through
+    untouched; the survivor rank is a per-cluster WindowGroupLimit.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    clusters = q_llm_dup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    score = r4(F.col("n_chars") * F.lit(1.0) / F.size(F.split("text", " ")))
+    scored = (
+        docs.select("doc_id", score.alias("score"))
+        .join(clusters, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", "doc_id"))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    keepers = ranked.filter(F.col("rn") == 1).select(
+        "cluster_id", F.col("doc_id").alias("keeper_id")
+    )
+    return ranked.join(keepers, "cluster_id").select(
+        "doc_id", "cluster_id", "score",
+        (F.col("rn") == 1).alias("is_kept"),
+        "keeper_id",
     )
