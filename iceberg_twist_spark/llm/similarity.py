@@ -499,3 +499,75 @@ def q_vec_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.avg("val")).alias("centroid_val"),
         F.count("*").cast("long").alias("n_vecs"),
     )
+
+
+_KMEANS_ORACLE = f"""
+WITH cent AS (
+    SELECT label AS c_label, pos, centroid_val
+    FROM ({_CENTROID_ORACLE}) c0
+),
+d AS (
+    SELECT e.vec_id, e.label AS old_label, c.c_label AS cand,
+           floor(sum(pow(CAST(e.embedding[c.pos] AS DOUBLE) - c.centroid_val, 2))
+                 * 100000000 + 0.5) / 100000000 AS dist2
+    FROM embeddings e JOIN cent c ON true
+    GROUP BY 1, 2, 3
+),
+best AS (
+    SELECT vec_id, old_label, cand AS new_label, dist2,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cand) AS rn
+    FROM d
+)
+SELECT new_label,
+       CAST(count(*) AS BIGINT) AS n_assigned,
+       floor(avg(sqrt(dist2)) * 10000 + 0.5) / 10000 AS avg_dist,
+       CAST(sum(CASE WHEN old_label <> new_label THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_moved
+FROM best WHERE rn = 1
+GROUP BY new_label
+"""
+
+
+@register("q_ml_kmeans_step", oracle=_KMEANS_ORACLE, tags=("llm", "similarity", "agg"))
+def q_ml_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full k-means iteration over the embeddings: label centroids
+    (q_vec_centroid, the update step) → nearest-centroid reassignment
+    (the assignment step) → movement report per new cluster.
+
+    The 10 centroid vectors broadcast; squared distances run JVM-side
+    via ``zip_with``+``aggregate`` (sequential, deterministic float
+    order) and are rounded to 8 decimals before the argmin rank so the
+    winner matches the oracle's unordered SQL sum. Per-vector argmin
+    is a WindowGroupLimit. At 100 TB this is the per-iteration plan of
+    distributed k-means: one broadcast, one linear scan, one |k|-row
+    aggregate — iterate with the driver loop exactly like PageRank.
+    """
+    emb = load_tables(spark, sf_dir)["embeddings"].select(
+        "vec_id", F.col("label").alias("old_label"),
+        F.col("embedding").cast("array<double>").alias("e"),
+    )
+    cent = (
+        q_vec_centroid(spark, sf_dir)
+        .groupBy(F.col("label").alias("cand"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "centroid_val"))),
+                lambda s: s.centroid_val,
+            ).alias("c")
+        )
+    )
+    dist2 = F.aggregate(
+        F.zip_with(F.col("e"), F.col("c"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    d = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "old_label", "cand", r4(dist2, 100_000_000).alias("dist2")
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist2", "cand")
+    best = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return best.groupBy(F.col("cand").alias("new_label")).agg(
+        F.count("*").cast("long").alias("n_assigned"),
+        r4(F.avg(F.sqrt("dist2"))).alias("avg_dist"),
+        F.sum((F.col("old_label") != F.col("cand")).cast("long")).alias("n_moved"),
+    )
