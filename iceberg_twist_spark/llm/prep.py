@@ -213,3 +213,51 @@ def q_llm_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed.withColumn("shard", F.ascii(F.substring("shuffle_key", 1, 1)))
         .withColumn("pos", F.row_number().over(w).cast("long"))
     )
+
+
+NEG_K = 3
+
+_NEG_ORACLE = f"""
+WITH n AS (SELECT count(*) AS n_docs FROM documents),
+neg AS (
+    SELECT d.doc_id, t.i AS neg_slot,
+           (d.doc_id + 1 + (d.doc_id * 7 + t.i * 13) % (n.n_docs - 1))
+               % n.n_docs AS neg_id
+    FROM documents d
+    CROSS JOIN n
+    CROSS JOIN (SELECT unnest(generate_series(1, {NEG_K})) AS i) t
+)
+SELECT neg.doc_id, CAST(neg.neg_slot AS BIGINT) AS neg_slot, neg.neg_id,
+       d2.lang AS neg_lang
+FROM neg JOIN documents d2 ON neg.neg_id = d2.doc_id
+"""
+
+
+@register("q_llm_neg_sample", oracle=_NEG_ORACLE, tags=("llm", "sample"))
+def q_llm_neg_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: 3
+    negatives per document via modular-arithmetic offsets that can
+    never resolve to the anchor itself (offset ∈ [1, N-1]); each
+    negative joins back to its metadata. A pure row-local computation
+    plus one equi join — no shuffle grows with k, and identical
+    samples on any engine or cluster size (same reproducibility
+    property as the hash sampling suite).
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    n = docs.agg(F.count("*").alias("n_docs"))
+    slots = F.explode(F.sequence(F.lit(1), F.lit(NEG_K))).alias("neg_slot")
+    neg = (
+        docs.select("doc_id")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "n_docs", slots)
+        .select(
+            "doc_id",
+            F.col("neg_slot").cast("long").alias("neg_slot"),
+            (
+                (F.col("doc_id") + 1 + (F.col("doc_id") * 7 + F.col("neg_slot") * 13)
+                 % (F.col("n_docs") - 1)) % F.col("n_docs")
+            ).alias("neg_id"),
+        )
+    )
+    meta = docs.select(F.col("doc_id").alias("neg_id"), F.col("lang").alias("neg_lang"))
+    return neg.join(meta, "neg_id").select("doc_id", "neg_slot", "neg_id", "neg_lang")

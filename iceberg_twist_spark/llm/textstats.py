@@ -270,3 +270,59 @@ def q_llm_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("fp").alias("min_fp"),
         F.max("fp").alias("max_fp"),
     )
+
+
+VOCAB_SIZE = 100
+
+_VOCAB_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, w.word
+    FROM documents, LATERAL unnest(string_split(text, ' ')) AS w(word)
+),
+vocab AS (
+    SELECT word FROM (
+        SELECT word, count(*) AS n,
+               row_number() OVER (ORDER BY count(*) DESC, word) AS rnk
+        FROM tok GROUP BY word
+    ) WHERE rnk <= {VOCAB_SIZE}
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(*) - count(v.word) AS BIGINT) AS n_oov,
+       floor(((count(*) - count(v.word)) * 1.0 / count(*)) * 10000 + 0.5)
+           / 10000 AS oov_ratio
+FROM tok t LEFT JOIN vocab v USING (word)
+GROUP BY t.doc_id
+"""
+
+
+@register("q_llm_vocab_oov", oracle=_VOCAB_ORACLE, tags=("llm", "text"))
+def q_llm_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary induction + out-of-vocabulary rate: the top-100
+    corpus words (deterministic frequency/word rank) become the vocab;
+    each document reports its token count and OOV ratio — the tokenizer
+    coverage check run before committing to a vocab size.
+
+    The induced vocab is tiny by construction → broadcast back onto
+    the token stream; the stream shuffles only for the per-doc count.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    w = Window.partitionBy().orderBy(F.desc("n"), F.asc("word"))
+    vocab = (
+        tok.groupBy("word").agg(F.count("*").alias("n"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= VOCAB_SIZE)
+        .select("word", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            (F.count("*") - F.count("in_vocab")).cast("long").alias("n_oov"),
+            r4((F.count("*") - F.count("in_vocab")) * F.lit(1.0) / F.count("*")).alias(
+                "oov_ratio"
+            ),
+        )
+    )

@@ -285,3 +285,46 @@ def q_win_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.col("revenue") / F.sum("revenue").over(w_region)).alias("region_share"),
         r4(F.col("revenue") / F.sum("revenue").over(w_all)).alias("global_share"),
     )
+
+
+_CUMDIST_ORACLE = """
+WITH seq AS (
+    SELECT user_id, event_id, event_type,
+           CAST(ts AS TIMESTAMP) AS ts,
+           row_number() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY CAST(ts AS TIMESTAMP), event_id
+           ) = 1 AS first_seen
+    FROM events
+)
+SELECT event_id, user_id,
+       CAST(sum(CASE WHEN first_seen THEN 1 ELSE 0 END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS types_seen
+FROM seq
+"""
+
+
+@register("q_win_cum_distinct", oracle=_CUMDIST_ORACLE, tags=("window",))
+def q_win_cum_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expanding distinct count: how many distinct event types each
+    user has seen up to each event. COUNT(DISTINCT) isn't a window
+    aggregate, so it's composed as first-occurrence flags (rank 1 per
+    (user, type)) running-summed over event order — two windows that
+    share the same user_id shuffle, the standard rewrite."""
+    events = load_tables(spark, sf_dir)["events"]
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seq = events.select(
+        "event_id", "user_id", "ts",
+        (F.row_number().over(w_first) == 1).cast("int").alias("first_seen"),
+    )
+    return seq.select(
+        "event_id", "user_id",
+        F.sum("first_seen").over(w_run).cast("long").alias("types_seen"),
+    )
