@@ -82,6 +82,7 @@ def _load_all_modules() -> None:
     import iceberg_twist_spark.llm.prep  # noqa: F401
     import iceberg_twist_spark.llm.clusters  # noqa: F401
     import iceberg_twist_spark.llm.decontam  # noqa: F401
+    import iceberg_twist_spark.llm.corpus_pipeline  # noqa: F401
     import iceberg_twist_spark.operators.anomaly  # noqa: F401
     import iceberg_twist_spark.operators.cdc  # noqa: F401
     import iceberg_twist_spark.operators.profiling  # noqa: F401
