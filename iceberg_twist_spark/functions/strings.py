@@ -128,3 +128,27 @@ def q_str_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_digits"),
         F.substring(digits_only, -4, 4).alias("last4"),
     )
+
+
+_EXTRACT_ALL_ORACLE = """
+SELECT p_partkey,
+       regexp_extract_all(p_name, '[a-z]+') AS words,
+       CAST(len(regexp_extract_all(p_name, '[a-z]+')) AS BIGINT) AS n_words,
+       regexp_extract_all(p_brand, '[0-9]+') AS brand_nums
+FROM part
+"""
+
+
+@register("q_str_extract_all", oracle=_EXTRACT_ALL_ORACLE, tags=("scalar", "string"))
+def q_str_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract_all: every match as an array (words from p_name,
+    digit runs from p_brand) — the multi-capture companion to
+    q_str_regexp's single-group extract. Character-class patterns keep
+    Java regex and RE2 in exact agreement."""
+    p = load_tables(spark, sf_dir)["part"]
+    return p.select(
+        "p_partkey",
+        F.regexp_extract_all("p_name", F.lit("[a-z]+"), F.lit(0)).alias("words"),
+        F.size(F.regexp_extract_all("p_name", F.lit("[a-z]+"), F.lit(0))).cast("long").alias("n_words"),
+        F.regexp_extract_all("p_brand", F.lit("[0-9]+"), F.lit(0)).alias("brand_nums"),
+    )

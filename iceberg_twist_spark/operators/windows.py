@@ -328,3 +328,25 @@ def q_win_cum_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id",
         F.sum("first_seen").over(w_run).cast("long").alias("types_seen"),
     )
+
+
+_CUMEDIST_ORACLE = f"""
+SELECT c_custkey, c_acctbal,
+       {duck_r4('percent_rank() OVER (ORDER BY c_acctbal, c_custkey)')} AS pct_rank,
+       {duck_r4('cume_dist() OVER (ORDER BY c_acctbal, c_custkey)')} AS cume
+FROM customer
+"""
+
+
+@register("q_win_cume_dist", oracle=_CUMEDIST_ORACLE, tags=("window",))
+def q_win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist over a total order (custkey tiebreak).
+    Like ntile, an unpartitioned ranking is fine on a dimension table;
+    a fact-scale variant would partition or approximate."""
+    c = load_tables(spark, sf_dir)["customer"]
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey", "c_acctbal",
+        r4(F.percent_rank().over(w)).alias("pct_rank"),
+        r4(F.cume_dist().over(w)).alias("cume"),
+    )

@@ -196,3 +196,30 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("*") - F.count("event_type")).alias("null_rows"),
         )
     )
+
+
+_ORC_ORACLE = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       floor(sum(l_quantity) * 10000 + 0.5) / 10000 AS sum_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("q_source_orc_roundtrip", oracle=_ORC_ORACLE, tags=("source", "sink"))
+def q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write → read → aggregate roundtrip (ORC is the second
+    built-in columnar format; predicate pushdown and column pruning
+    work the same as parquet). The oracle runs the aggregate on the
+    original table — a lossless roundtrip must hash-match it."""
+    li = load_tables(spark, sf_dir)["lineitem"].select(
+        "l_returnflag", "l_quantity"
+    )
+    path, done = _sink_dir("orc", sf_dir)
+    if not done:
+        li.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n"),
+        (F.floor(F.sum("l_quantity") * 10000 + F.lit(0.5)) / 10000).alias("sum_qty"),
+    )
