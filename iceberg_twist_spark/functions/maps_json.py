@@ -53,3 +53,37 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").cast("long").alias("k_int"),
         F.get_json_object("props", "$.missing").alias("missing_val"),
     )
+
+
+_MAP_HOF_ORACLE = """
+SELECT doc_id, stat, val FROM (
+    SELECT doc_id, 'chars' AS stat, CAST(n_chars * 2 AS BIGINT) AS val
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 'words' AS stat,
+           CAST(len(string_split(text, ' ')) * 2 AS BIGINT) AS val
+    FROM documents
+) WHERE val > 100
+"""
+
+
+@register("q_map_hof", oracle=_MAP_HOF_ORACLE, tags=("scalar", "map"))
+def q_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions: build a per-doc stats map with
+    ``map_from_arrays``, double every value with ``transform_values``,
+    drop small entries with ``map_filter``, then explode to rows —
+    the property-bag manipulation surface (A26/A24's config tables)
+    as pure JVM expressions. The oracle states the same result
+    relationally (maps have no cross-engine literal form, so the
+    contract is the exploded rows)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    m = F.map_from_arrays(
+        F.array(F.lit("chars"), F.lit("words")),
+        F.array(F.col("n_chars"), F.size(F.split("text", " ")).cast("long")),
+    )
+    doubled = F.transform_values(m, lambda k, v: v * 2)
+    kept = F.map_filter(doubled, lambda k, v: v > 100)
+    return (
+        docs.select("doc_id", F.explode(kept).alias("stat", "val"))
+        .select("doc_id", "stat", F.col("val").cast("long").alias("val"))
+    )

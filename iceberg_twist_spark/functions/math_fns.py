@@ -44,3 +44,29 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.sqrt("o_totalprice")).alias("price_sqrt"),
         F.pmod(F.col("o_orderkey"), F.lit(7)).cast("long").alias("key_pmod7"),
     )
+
+
+_TRY_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_quantity = 25 THEN NULL
+            ELSE floor((l_extendedprice / (l_quantity - 25)) * 10000 + 0.5) / 10000
+       END AS price_per_excess,
+       TRY_CAST(l_returnflag AS INTEGER) AS flag_as_int
+FROM lineitem
+"""
+
+
+@register("q_scalar_try", oracle=_TRY_ORACLE, tags=("scalar", "math"))
+def q_scalar_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe scalar surface: ``try_divide`` yields NULL (never an
+    error or Inf) where the divisor hits zero, and ``try_cast`` yields
+    NULL for an unparseable cast — the error-containment functions a
+    pipeline needs so one bad row can't fail a 100 TB job."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        r4(F.try_divide(F.col("l_extendedprice"), F.col("l_quantity") - 25)).alias(
+            "price_per_excess"
+        ),
+        F.col("l_returnflag").try_cast("int").alias("flag_as_int"),
+    )
