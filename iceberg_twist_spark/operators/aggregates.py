@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from iceberg_twist_spark.catalog import load_tables
-from iceberg_twist_spark.common import r4
+from iceberg_twist_spark.common import duck_r4, r4
 from iceberg_twist_spark.registry import register
 
 _GLOBAL_ORACLE = """
@@ -284,4 +284,61 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.element_at("p", 2)).alias("p95"),
             r4(F.element_at("p", 3)).alias("p99"),
         )
+    )
+
+
+_WEIGHTED_ORACLE = f"""
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       {duck_r4('sum(l_extendedprice * l_quantity) / sum(l_quantity)')} AS wavg_price,
+       {duck_r4('avg(l_extendedprice)')} AS avg_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("q_agg_weighted", oracle=_WEIGHTED_ORACLE, tags=("agg",))
+def q_agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted average price per return flag next to the
+    plain mean — the weighted-aggregate shape (sum(w·x)/sum(w)), one
+    map-side-combined pass."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n"),
+        r4(
+            F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
+            / F.sum("l_quantity")
+        ).alias("wavg_price"),
+        r4(F.avg("l_extendedprice")).alias("avg_price"),
+    )
+
+
+# Composite arg key: price has 2 decimals (< 1e8 after scaling) and
+# orderkey is unique, so price*1e8 + orderkey is a total order that
+# both engines compute as the identical double (|key| < 2^53).
+_ARG_KEY = "l_extendedprice * 100000000 + l_orderkey"
+
+_ARGEXT_ORACLE = f"""
+SELECT l_returnflag,
+       arg_max(l_orderkey, {_ARG_KEY}) AS max_price_order,
+       {duck_r4(f'arg_max(l_extendedprice, {_ARG_KEY})')} AS max_price,
+       arg_min(l_orderkey, {_ARG_KEY}) AS min_price_order,
+       {duck_r4(f'arg_min(l_extendedprice, {_ARG_KEY})')} AS min_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("q_agg_argextrema", oracle=_ARGEXT_ORACLE, tags=("agg",))
+def q_agg_argextrema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by / min_by (arg-extrema): which order carries each return
+    flag's highest and lowest price. The ordering key is a composite
+    (price scaled + unique orderkey) so ties are impossible and both
+    engines pick the same witness — the 'top row per group without a
+    window' aggregate."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    key = F.col("l_extendedprice") * 100000000 + F.col("l_orderkey")
+    return li.groupBy("l_returnflag").agg(
+        F.max_by("l_orderkey", key).alias("max_price_order"),
+        r4(F.max_by("l_extendedprice", key)).alias("max_price"),
+        F.min_by("l_orderkey", key).alias("min_price_order"),
+        r4(F.min_by("l_extendedprice", key)).alias("min_price"),
     )
