@@ -423,11 +423,10 @@ scored AS (
                / 10000 AS cos_sim
     FROM cand c CROSS JOIN probe
 )
-SELECT doc_id, source, cos_sim, CAST(rnk AS BIGINT) AS rnk
-FROM (
-    SELECT *, row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS rnk
-    FROM scored
-) WHERE rnk <= {HYBRID_K}
+SELECT doc_id, source, cos_sim
+FROM scored
+ORDER BY cos_sim DESC, doc_id
+LIMIT {HYBRID_K}
 """
 
 
@@ -442,7 +441,11 @@ def q_llm_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed on the filtered candidate set, not the corpus.
 
     Ranking is on the rounded score with a doc_id tiebreak → total
-    order on both engines. The probe is a one-row broadcast.
+    order on both engines. The probe is a one-row broadcast. The final
+    top-K is ``orderBy().limit()`` → ``TakeOrderedAndProject`` (a
+    per-partition K-row heap merged on the driver), NOT a global
+    ``row_number`` window — at 100 TB the window form would sort the
+    entire filtered corpus on one partition.
     """
     t = load_tables(spark, sf_dir)
     probe = (
@@ -461,12 +464,7 @@ def q_llm_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source",
         r4(cosine(F.col("embedding"), F.col("p"))).alias("cos_sim"),
     )
-    w = Window.partitionBy().orderBy(F.desc("cos_sim"), F.asc("doc_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= HYBRID_K)
-        .select("doc_id", "source", "cos_sim", F.col("rnk").cast("long").alias("rnk"))
-    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc("doc_id")).limit(HYBRID_K)
 
 
 _CENTROID_ORACLE = """

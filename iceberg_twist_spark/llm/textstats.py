@@ -308,11 +308,14 @@ def q_llm_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_tables(spark, sf_dir)["documents"]
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
-    w = Window.partitionBy().orderBy(F.desc("n"), F.asc("word"))
+    # (n DESC, word ASC) is a total order, so orderBy().limit() picks the
+    # same 100 words row_number() would — but plans as TakeOrderedAndProject
+    # (per-partition top-k heaps + tiny driver merge) instead of funnelling
+    # every distinct corpus word through one single-partition Window sort.
     vocab = (
         tok.groupBy("word").agg(F.count("*").alias("n"))
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= VOCAB_SIZE)
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(VOCAB_SIZE)
         .select("word", F.lit(1).alias("in_vocab"))
     )
     return (

@@ -56,7 +56,7 @@ SELECT o_orderkey, o_orderstatus,
        CAST(version AS BIGINT) AS version
 FROM merged
 QUALIFY row_number() OVER (
-    PARTITION BY o_orderkey ORDER BY version DESC
+    PARTITION BY o_orderkey ORDER BY version DESC, o_orderstatus
 ) = 1
 """
 
@@ -83,7 +83,15 @@ def q_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(2).alias("version"),
     )
     merged = base.unionByName(updates).unionByName(inserts)
-    w = Window.partitionBy("o_orderkey").orderBy(F.desc("version"))
+    # o_orderstatus tiebreak: INSERT_KEY_OFFSET sits inside the base
+    # key range once SF ≳ 1.7 (SF10 keys reach 60M), and a colliding
+    # insert key would otherwise tie two version-2 rows
+    # nondeterministically. The tiebreak keeps the survivor stable at
+    # any scale; at the fixture SFs no collision exists so results are
+    # unchanged.
+    w = Window.partitionBy("o_orderkey").orderBy(
+        F.desc("version"), F.asc("o_orderstatus")
+    )
     return (
         merged.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)

@@ -96,26 +96,85 @@ QUALIFY row_number() OVER (
 """
 
 
+# Grid cell size for the nearest-station candidate index. 5 degrees
+# keeps the candidate map tiny (≤ a few thousand cells planet-wide)
+# while the 2·circumradius pruning margin stays ~650 km at these
+# latitudes — sharp enough to cut a real station dimension down to a
+# handful of candidates per cell.
+CELL_DEG = 5.0
+
+
 @register("q_geo_nearest_station", oracle=_NEAREST_ORACLE, tags=("geo", "join", "window"))
 def q_geo_nearest_station(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nearest reference station per event by haversine distance.
+    """Nearest reference station per event by haversine distance,
+    via a grid-cell candidate index — never a position×station
+    nested loop.
 
-    Broadcast-expand against the tiny station dim (×5), then a
-    per-event rank that WindowGroupLimit prunes to one row map-side —
-    each partition emits |events| rows no matter how many stations.
+    Positions hash to 5° lat/lon cells. A cell→candidate-station map
+    is built in-plan from the *distinct cells* (≤ dozens of rows) by
+    exploding the static station list over them — a narrow row
+    expansion, no join node — with exact triangle-inequality pruning:
+    station ``s`` survives for cell ``c`` only if
+    ``d(center_c, s) ≤ min_t d(center_c, t) + 2·R_c`` where ``R_c`` is
+    the cell circumradius (max center→corner distance). Any station
+    failing that bound is strictly farther than the cell's best for
+    EVERY point in the cell, so pruning never changes the winner.
+    Positions then equi-join the broadcast candidate map on the cell
+    key, compute exact haversine only against candidates, and a
+    per-event rank that WindowGroupLimit prunes map-side picks the
+    winner. With |stations| in the thousands this is O(|events| ×
+    candidates-per-cell), not O(|events| × |stations|). (With a
+    station *table* instead of static config, the explode becomes a
+    cells×stations shuffle-less broadcast join — cells stay tiny
+    either way.)
+
     The rank orders on the *rounded* distance with a station-id
     tiebreak, so the winner is engine-independent.
     """
     events = load_tables(spark, sf_dir)["events"]
-    stations = spark.createDataFrame(
-        list(STATIONS), ["station_id", "s_lat", "s_lon"]
-    )
+    station_arr = F.array(*[
+        F.struct(
+            F.lit(s).alias("station_id"),
+            F.lit(float(la)).alias("s_lat"),
+            F.lit(float(lo)).alias("s_lon"),
+        )
+        for s, la, lo in STATIONS
+    ])
+    cell = lambda c: F.floor(c / CELL_DEG).cast("int")  # noqa: E731
     pos = events.select(
         "event_id", "user_id",
         _lat(F.col("event_id")).alias("lat"),
         _lon(F.col("event_id")).alias("lon"),
+    ).withColumns({"cell_lat": cell(F.col("lat")), "cell_lon": cell(F.col("lon"))})
+
+    # Candidate map: distinct occupied cells (map-side combines to a
+    # handful of rows) × the static station list via explode — a
+    # narrow row expansion, never a nested-loop join node.
+    cells = pos.select("cell_lat", "cell_lon").distinct()
+    c_lat = (F.col("cell_lat") + 0.5) * CELL_DEG
+    c_lon = (F.col("cell_lon") + 0.5) * CELL_DEG
+    half = CELL_DEG / 2.0
+    radius = F.greatest(*[
+        haversine_km(c_lat, c_lon, c_lat + dla, c_lon + dlo)
+        for dla in (-half, half) for dlo in (-half, half)
+    ])
+    pairs = (
+        cells.select("cell_lat", "cell_lon", F.explode(station_arr).alias("st"))
+        .select("cell_lat", "cell_lon", "st.station_id", "st.s_lat", "st.s_lon")
+        .withColumn(
+            "d_center",
+            haversine_km(c_lat, c_lon, F.col("s_lat"), F.col("s_lon")),
+        )
+        .withColumn("r_cell", radius)
     )
-    d = pos.crossJoin(F.broadcast(stations)).withColumn(
+    w_cell = Window.partitionBy("cell_lat", "cell_lon")
+    cand = (
+        pairs.withColumn("d_best", F.min("d_center").over(w_cell))
+        .filter(F.col("d_center") <= F.col("d_best") + 2 * F.col("r_cell"))
+        .select("cell_lat", "cell_lon", "station_id", "s_lat", "s_lon")
+    )
+
+    d = pos.join(F.broadcast(cand), ["cell_lat", "cell_lon"]).withColumn(
         "dist_km",
         r4(haversine_km(F.col("lat"), F.col("lon"), F.col("s_lat"), F.col("s_lon"))),
     )

@@ -147,7 +147,10 @@ def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bin_id")
         .agg(
             F.count("*").cast("long").alias("n"),
-            r4(F.min("lo") + F.min("bin_id") * (F.min("hi") - F.min("lo")) / N_BINS).alias("bin_lo"),
+            # bin_id * ((hi-lo)/N), NOT (bin_id*(hi-lo))/N — the float
+            # association must match the oracle exactly or a one-ulp
+            # drift can flip the 4th decimal at the rounding boundary
+            r4(F.min("lo") + F.min("bin_id") * ((F.min("hi") - F.min("lo")) / N_BINS)).alias("bin_lo"),
             r4(F.min("l_extendedprice")).alias("bin_min"),
             r4(F.max("l_extendedprice")).alias("bin_max"),
         )

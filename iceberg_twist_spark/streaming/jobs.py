@@ -35,7 +35,7 @@ import tempfile
 import uuid
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -245,11 +245,15 @@ def _queue_fn(key, pdf_iter, state: GroupState):
     )
     batch_events = 0
     max_ts_ms = 0
+    batch_admitted = 0  # queue capacity is per MICRO-BATCH, so the
+    # admission budget must carry across Arrow chunks — otherwise the
+    # counters would depend on maxRecordsPerBatch chunking
     for pdf in pdf_iter:
         sizes = pdf["props"].str.len().fillna(0).astype(int)
         n = len(pdf)
         batch_events += n
-        admitted = min(n, QUEUE_SIZE)
+        admitted = min(n, max(0, QUEUE_SIZE - batch_admitted))
+        batch_admitted += admitted
         msg_sent += admitted
         byte_sent += int(sizes.iloc[:admitted].sum())
         msg_lost += n - admitted
@@ -381,10 +385,11 @@ def q_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch CDC sink: every micro-batch merges latest-wins
     per-sensor state (last value, event count, last event time) into
     an accumulating store — the merge-on-stream pattern that writes a
-    streaming upsert into a lakehouse table. Each batch's merge is the
-    same plan as q_cdc_upsert (union + per-key latest rank); with the
-    Iceberg jar present the store write becomes ``MERGE INTO`` against
-    a real table, unchanged otherwise.
+    streaming upsert into a lakehouse table. Each batch merges via
+    union + per-key latest-wins aggregate (``max_by`` on the version
+    tag — no window sort needed); with the Iceberg jar present the
+    store write becomes ``MERGE INTO`` against a real table, unchanged
+    otherwise.
     """
     store_dir = tempfile.mkdtemp(prefix="itws_upsert_")
     store_schema = "user_id long, last_value double, n_events long, last_ts timestamp"
@@ -406,12 +411,6 @@ def q_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged = (
             current.withColumn("v", F.lit(1))
             .unionByName(incoming.withColumn("v", F.lit(2)))
-            .withColumn(
-                "rn",
-                F.row_number().over(
-                    Window.partitionBy("user_id").orderBy(F.desc("v"))
-                ),
-            )
         )
         # latest-wins on identity; counts accumulate across versions
         out = (

@@ -77,11 +77,14 @@ class BoundedQueueProcessor(StatefulProcessor):
         else:
             msg_sent = msg_lost = byte_sent = byte_lost = last_ts = 0
         batch_events = 0
+        batch_admitted = 0  # per-micro-batch budget across Arrow
+        # chunks — kept in lockstep with _queue_fn in streaming/jobs.py
         for pdf in rows:
             sizes = pdf["props"].str.len().fillna(0).astype(int)
             n = len(pdf)
             batch_events += n
-            admitted = min(n, QUEUE_SIZE)
+            admitted = min(n, max(0, QUEUE_SIZE - batch_admitted))
+            batch_admitted += admitted
             msg_sent += admitted
             byte_sent += int(sizes.iloc[:admitted].sum())
             msg_lost += n - admitted

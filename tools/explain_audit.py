@@ -80,8 +80,12 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
     "q_agg_mode": (["WindowGroupLimit"], ["CartesianProduct"]),
     # rolling time window: partitioned RANGE frame, no join at all
     "q_ts_rolling": (["Window"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
-    # nearest-station: tiny dim broadcast-expands, winner pruned map-side
-    "q_geo_nearest_station": (["WindowGroupLimit", "BroadcastNestedLoopJoin"], ["SortMergeJoin"]),
+    # nearest-station: grid-cell candidate equi-join (broadcast), winner
+    # pruned map-side — no position×station nested loop anywhere
+    "q_geo_nearest_station": (
+        ["WindowGroupLimit", "BroadcastHashJoin"],
+        ["SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct"],
+    ),
     # track length: lag window and final agg share one user_id shuffle
     "q_geo_track_length": (["Window", "HashAggregate"], ["CartesianProduct"]),
     # lateral top-k decorrelates to join + ranked window, not per-row re-exec
@@ -94,6 +98,12 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
     "q_agg_corr_matrix": (["HashAggregate"], ["Union", "CartesianProduct"]),
     # revenue shares: star join broadcasts dims; windows run post-aggregation
     "q_win_share": (["BroadcastHashJoin", "Window"], ["CartesianProduct"]),
+    # hybrid retrieval: final top-K is a per-partition heap, never a
+    # single-partition row_number window over all scored candidates
+    "q_llm_hybrid_search": (["TakeOrderedAndProject"], ["Window"]),
+    # vocab induction: top-100 words via per-partition heaps, not a
+    # global window sort over every distinct corpus word
+    "q_llm_vocab_oov": (["TakeOrderedAndProject"], ["Window"]),
     # pagerank: the returned plan is a scan of the final checkpointed
     # iteration (lineage deliberately cut) — assert only that nothing
     # degenerated into a nested loop downstream of the checkpoint
