@@ -4,8 +4,11 @@ parquet sink, and the Iceberg guard.
 Reference surface: A3/A4 (whole-file source, overwrite sink —
 `iceberg-twist/main.py:43-57`), A15 (routed/partitioned output —
 `iceberg-twist/transparent_serial_proxy.lua:191,204-215`). The north
-star adds Iceberg read/write/maintenance, guarded here on runtime-jar
-availability (SURVEY.md §4.2).
+star adds Iceberg read/write/maintenance: the real-jar path is guarded
+here on runtime availability (SURVEY.md §4.2; the jar is proven
+non-provisionable in this sandbox — tools/provision_iceberg_attempt.log),
+while the table-format semantics themselves (snapshots, time travel,
+compaction) run for real in sources/snapshots.py.
 
 Each roundtrip query materializes through a real on-disk sink and
 reads back through the matching source, so the oracle check covers the

@@ -1,0 +1,294 @@
+"""Snapshot-table layer: Iceberg-style versioned tables over parquet —
+append/overwrite commits, snapshot-id time travel, history metadata,
+and ``rewrite_data_files`` compaction — in pure PySpark.
+
+The engine's namesake capability (SURVEY.md §2.B sources row: Iceberg
+read/write/time-travel/compaction). The real iceberg-spark runtime jar
+is not provisionable in this sandbox — ``tools/provision_iceberg.py``
+proves it (classpath empty, no ivy cache, Maven Central unreachable,
+live ``spark.jars.packages`` resolution fails UNRESOLVED; log in
+``tools/provision_iceberg_attempt.log``) — so this module implements
+the table-format *semantics* directly on the two primitives Iceberg
+itself builds on: immutable data files + an atomic metadata pointer.
+
+Layout (mirrors Iceberg's hadoop-catalog layout, simplified):
+
+    <table>/data/<snapshot>-<part>.parquet   immutable data files
+    <table>/metadata/v<N>.json               snapshot manifest
+    <table>/metadata/version-hint.text       current-version pointer
+
+Each manifest lists the snapshot's complete data-file set plus
+operation, parent, schema, and record count. A commit writes data
+files first, then the new manifest, then atomically swaps the version
+hint (``os.replace``) — readers see the old or the new snapshot, never
+a partial one. This is exactly Iceberg's optimistic-concurrency commit
+shape; on a real deployment the pointer swap is the catalog's
+compare-and-swap and the file ops go through the Hadoop FileSystem
+API instead of ``os``.
+
+Scale notes: reads plan as ordinary parquet scans over the manifest's
+file list — column pruning and predicate pushdown hit the footers the
+same as any parquet read, and nothing here is driver-bound except the
+manifest itself (a file *list*, KBs per thousand files; real Iceberg
+shards this into avro manifests once file counts reach millions).
+Compaction reads the current snapshot and rewrites it at a target
+file count derived from total bytes — small-file consolidation is THE
+operational fix for streaming ingest at 100 TB (a day of per-minute
+micro-batch commits = thousands of KB-files; rewrite restores
+scan-sized files without blocking readers, who keep resolving the old
+snapshot until the pointer swap).
+
+When the runtime jar IS present, ``write_iceberg`` in connectors.py
+remains the real-catalog path; the two share the commit vocabulary so
+swapping is a one-line change per call site.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from iceberg_twist_spark.catalog import load_tables
+from iceberg_twist_spark.registry import register
+
+TARGET_FILE_BYTES = 128 * 1024 * 1024  # compaction target (Iceberg default 512M)
+
+
+class SnapshotTable:
+    """A versioned parquet table with atomic snapshot commits."""
+
+    def __init__(self, spark: SparkSession, path: str) -> None:
+        self.spark = spark
+        self.path = path
+        self._meta = os.path.join(path, "metadata")
+        self._data = os.path.join(path, "data")
+        os.makedirs(self._meta, exist_ok=True)
+        os.makedirs(self._data, exist_ok=True)
+
+    # ---- metadata ----------------------------------------------------
+    def current_snapshot_id(self) -> int:
+        hint = os.path.join(self._meta, "version-hint.text")
+        if not os.path.exists(hint):
+            return 0
+        with open(hint) as f:
+            return int(f.read().strip())
+
+    def _manifest(self, snapshot_id: int) -> dict:
+        with open(os.path.join(self._meta, f"v{snapshot_id}.json")) as f:
+            return json.load(f)
+
+    def snapshots(self) -> list[dict]:
+        """All manifests, oldest first (the ``.snapshots`` metadata table)."""
+        return [self._manifest(i) for i in range(1, self.current_snapshot_id() + 1)]
+
+    # ---- commits -----------------------------------------------------
+    def _write_files(self, df: DataFrame) -> tuple[list[str], int]:
+        """Stage df as immutable parquet files; return (paths, n_records)."""
+        stage = tempfile.mkdtemp(prefix="itws_snapstage_")
+        df.write.mode("overwrite").parquet(stage)
+        files = []
+        for name in sorted(os.listdir(stage)):
+            if not name.endswith(".parquet"):
+                continue
+            dst = os.path.join(self._data, f"{uuid.uuid4().hex}.parquet")
+            os.replace(os.path.join(stage, name), dst)
+            files.append(dst)
+        n = self.spark.read.parquet(*files).count() if files else 0
+        return files, n
+
+    def _commit(self, files: list[str], n_records: int, operation: str,
+                schema_json: str) -> int:
+        parent = self.current_snapshot_id()
+        snap = parent + 1
+        manifest = {
+            "snapshot_id": snap,
+            "parent_id": parent or None,
+            "operation": operation,
+            "files": files,
+            "n_files": len(files),
+            "n_records": n_records,
+            "schema": schema_json,
+        }
+        mpath = os.path.join(self._meta, f"v{snap}.json")
+        with open(mpath, "w") as f:
+            json.dump(manifest, f)
+        # atomic pointer swap — the commit point
+        tmp = os.path.join(self._meta, f".hint.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(str(snap))
+        os.replace(tmp, os.path.join(self._meta, "version-hint.text"))
+        return snap
+
+    def create(self, df: DataFrame) -> int:
+        return self.overwrite(df)
+
+    def overwrite(self, df: DataFrame) -> int:
+        files, n = self._write_files(df)
+        return self._commit(files, n, "overwrite", df.schema.json())
+
+    def append(self, df: DataFrame) -> int:
+        files, n = self._write_files(df)
+        cur = self.current_snapshot_id()
+        prev = self._manifest(cur) if cur else {"files": [], "n_records": 0}
+        return self._commit(
+            prev["files"] + files, prev["n_records"] + n, "append", df.schema.json()
+        )
+
+    # ---- reads ---------------------------------------------------------
+    def read(self, snapshot_id: int | None = None) -> DataFrame:
+        """Scan a snapshot (latest by default) — time travel by id."""
+        snap = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
+        if snap == 0:
+            raise ValueError(f"no snapshots in {self.path}")
+        m = self._manifest(snap)
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        if not m["files"]:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*m["files"])
+
+    # ---- maintenance ---------------------------------------------------
+    def rewrite_data_files(self, target_bytes: int = TARGET_FILE_BYTES) -> int:
+        """Compaction: rewrite the current snapshot's files at a target
+        size (Iceberg's ``rewrite_data_files`` procedure). Content is
+        byte-identical; only the file layout changes. Readers of older
+        snapshots are untouched — old files stay until an expire pass."""
+        cur = self._manifest(self.current_snapshot_id())
+        total = sum(os.path.getsize(p) for p in cur["files"])
+        n_out = max(1, -(-total // target_bytes))  # ceil
+        df = self.read().repartition(int(n_out))
+        files, n = self._write_files(df)
+        return self._commit(files, n, "rewrite", cur["schema"])
+
+
+# --------------------------------------------------------------------------
+# Registered queries — each stages a table per (sf_dir, process), cached the
+# same way as the connector sinks, then reads it back through the snapshot
+# reader so the oracle check covers the full commit→scan path.
+# --------------------------------------------------------------------------
+
+_TABLE_CACHE: dict[str, SnapshotTable] = {}
+
+_ORDER_COLS = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+
+
+def _orders_table(spark: SparkSession, sf_dir: str) -> SnapshotTable:
+    """Staged versioned table over ``orders``:
+
+    snapshot 1  overwrite  even order keys (16 small files)
+    snapshot 2  append     odd order keys  (16 small files)
+    snapshot 3  rewrite    compaction of snapshot 2's content
+    """
+    key = f"snap::{sf_dir}"
+    tbl = _TABLE_CACHE.get(key)
+    if tbl is not None and tbl.current_snapshot_id() >= 3:
+        return tbl
+    tbl = SnapshotTable(spark, tempfile.mkdtemp(prefix="itws_snaptable_"))
+    orders = load_tables(spark, sf_dir)["orders"].select(*_ORDER_COLS)
+    # deliberately small-file-heavy writes so compaction has real work
+    tbl.overwrite(orders.filter(F.col("o_orderkey") % 2 == 0).repartition(16))
+    tbl.append(orders.filter(F.col("o_orderkey") % 2 == 1).repartition(16))
+    tbl.rewrite_data_files()
+    _TABLE_CACHE[key] = tbl
+    return tbl
+
+
+_ROUNDTRIP_ORACLE = """
+SELECT o_orderkey, o_orderstatus,
+       floor(o_totalprice * 10000 + 0.5) / 10000 AS o_totalprice
+FROM orders
+"""
+
+
+@register("q_iceberg_roundtrip", oracle=_ROUNDTRIP_ORACLE, tags=("iceberg", "source", "sink"))
+def q_iceberg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-table roundtrip: orders committed across two
+    snapshots (overwrite + append), read back at the LATEST snapshot —
+    must be value-identical to the source table."""
+    tbl = _orders_table(spark, sf_dir)
+    return tbl.read().select(
+        "o_orderkey", "o_orderstatus",
+        (F.floor(F.col("o_totalprice") * 10000 + F.lit(0.5)) / 10000).alias(
+            "o_totalprice"
+        ),
+    )
+
+
+_TIME_TRAVEL_ORACLE = """
+SELECT o_orderkey, o_orderstatus,
+       floor(o_totalprice * 10000 + 0.5) / 10000 AS o_totalprice
+FROM orders WHERE o_orderkey % 2 = 0
+"""
+
+
+@register("q_iceberg_time_travel", oracle=_TIME_TRAVEL_ORACLE, tags=("iceberg", "source"))
+def q_iceberg_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel: read the table AS OF snapshot 1 — only the even
+    keys committed there, none of the rows appended later. The scan
+    resolves snapshot 1's manifest and never touches newer files."""
+    tbl = _orders_table(spark, sf_dir)
+    return tbl.read(snapshot_id=1).select(
+        "o_orderkey", "o_orderstatus",
+        (F.floor(F.col("o_totalprice") * 10000 + F.lit(0.5)) / 10000).alias(
+            "o_totalprice"
+        ),
+    )
+
+
+_COMPACT_ORACLE = """
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       floor(sum(o_totalprice) * 10000 + 0.5) / 10000 AS sum_price
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+@register("q_iceberg_compact", oracle=_COMPACT_ORACLE, tags=("iceberg", "maintenance"))
+def q_iceberg_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction correctness: aggregate the table AFTER
+    ``rewrite_data_files`` collapsed 32 small files — content must be
+    byte-identical to the source (the rewrite changes layout only).
+    The file-count drop itself is pinned in tests/test_snapshots.py."""
+    tbl = _orders_table(spark, sf_dir)
+    assert tbl.snapshots()[-1]["operation"] == "rewrite"
+    return (
+        tbl.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            (F.floor(F.sum("o_totalprice") * 10000 + F.lit(0.5)) / 10000).alias(
+                "sum_price"
+            ),
+        )
+    )
+
+
+_HISTORY_ORACLE = """
+SELECT 1 AS snapshot_id, 'overwrite' AS operation,
+       CAST(count(*) FILTER (WHERE o_orderkey % 2 = 0) AS BIGINT) AS n_records
+FROM orders
+UNION ALL
+SELECT 2, 'append', CAST(count(*) AS BIGINT) FROM orders
+UNION ALL
+SELECT 3, 'rewrite', CAST(count(*) AS BIGINT) FROM orders
+"""
+
+
+@register("q_iceberg_history", oracle=_HISTORY_ORACLE, tags=("iceberg", "metadata"))
+def q_iceberg_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot history (the ``.snapshots`` metadata table): one row
+    per commit with operation and record count — overwrite(evens),
+    append(all), rewrite(all). Record counts are oracle-checked
+    against the source table, so the manifest accounting is verified,
+    not just present."""
+    tbl = _orders_table(spark, sf_dir)
+    rows = [
+        (m["snapshot_id"], m["operation"], m["n_records"]) for m in tbl.snapshots()
+    ]
+    return spark.createDataFrame(
+        rows, "snapshot_id int, operation string, n_records long"
+    )

@@ -1,0 +1,91 @@
+"""Snapshot-table semantics: commit atomicity, time-travel isolation,
+compaction layout change without content change, history accounting.
+
+These pin the properties the oracle check can't see — file counts,
+old-snapshot immutability, pointer behavior — while the registered
+q_iceberg_* queries cover value correctness against DuckDB.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_twist_spark.sources.snapshots import SnapshotTable
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def table(spark):
+    tbl = SnapshotTable(spark, tempfile.mkdtemp(prefix="itws_snaptest_"))
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    tbl.overwrite(orders.filter(F.col("o_orderkey") % 2 == 0).repartition(8))
+    tbl.append(orders.filter(F.col("o_orderkey") % 2 == 1).repartition(8))
+    return tbl
+
+
+def test_append_accumulates(spark, table):
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    assert table.read().count() == orders.count()
+    assert table.current_snapshot_id() == 2
+
+
+def test_time_travel_is_isolated(spark, table):
+    """Snapshot 1 keeps returning exactly its own rows after later commits."""
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    evens = orders.filter(F.col("o_orderkey") % 2 == 0).count()
+    assert table.read(snapshot_id=1).count() == evens
+    # and its key set is exactly the even keys
+    got = table.read(snapshot_id=1).agg(F.sum(F.col("o_orderkey") % 2)).first()[0]
+    assert got == 0
+
+
+def test_compaction_shrinks_files_not_content(spark, table):
+    before = table.snapshots()[-1]
+    agg = lambda: table.read().agg(  # noqa: E731
+        F.sum("o_orderkey"), F.count("*"), F.sum("o_totalprice")
+    ).first()
+    keysum, n, pricesum = agg()
+    snap = table.rewrite_data_files()
+    after = table._manifest(snap)
+    assert after["operation"] == "rewrite"
+    assert after["n_files"] < before["n_files"]  # 16 small files -> few
+    assert after["n_records"] == before["n_records"]
+    keysum2, n2, pricesum2 = agg()
+    assert (keysum2, n2) == (keysum, n)
+    # float sum order changes with the file layout — tolerance, not equality
+    assert pricesum2 == pytest.approx(pricesum, rel=1e-12)
+    # old snapshots still resolve their own (uncompacted) file lists
+    assert table._manifest(2)["n_files"] == before["n_files"]
+    assert table.read(snapshot_id=2).count() == after["n_records"]
+
+
+def test_version_hint_is_single_pointer(table):
+    hint = os.path.join(table.path, "metadata", "version-hint.text")
+    with open(hint) as f:
+        assert int(f.read()) == table.current_snapshot_id()
+
+
+def test_history_records_operations(table):
+    ops = [m["operation"] for m in table.snapshots()]
+    assert ops[:2] == ["overwrite", "append"]
+
+
+def test_read_empty_table_raises(spark):
+    tbl = SnapshotTable(spark, tempfile.mkdtemp(prefix="itws_snapempty_"))
+    with pytest.raises(ValueError):
+        tbl.read()
+
+
+def test_overwrite_replaces(spark):
+    tbl = SnapshotTable(spark, tempfile.mkdtemp(prefix="itws_snapow_"))
+    nation = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    tbl.overwrite(nation)
+    tbl.overwrite(nation.limit(5))
+    assert tbl.read().count() == 5
+    assert tbl.read(snapshot_id=1).count() == nation.count()
