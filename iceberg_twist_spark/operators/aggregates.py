@@ -251,7 +251,20 @@ def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_agg_approx_distinct", tags=("agg", "sketch"))
+_APPROX_DISTINCT_EXACT = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS approx_users,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM events GROUP BY event_type
+"""
+
+
+@register(
+    "q_agg_approx_distinct",
+    tags=("agg", "sketch"),
+    approx_oracle=_APPROX_DISTINCT_EXACT,
+    approx_rtol=0.05,
+)
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL approximate distinct (rows-only: estimator differs from DuckDB).
 
@@ -264,7 +277,21 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_agg_approx_percentile", tags=("agg", "sketch"))
+_APPROX_PCTL_EXACT = f"""
+SELECT o_orderstatus,
+       {duck_r4('quantile_cont(o_totalprice, 0.5)')} AS p50,
+       {duck_r4('quantile_cont(o_totalprice, 0.95)')} AS p95,
+       {duck_r4('quantile_cont(o_totalprice, 0.99)')} AS p99
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+@register(
+    "q_agg_approx_percentile",
+    tags=("agg", "sketch"),
+    approx_oracle=_APPROX_PCTL_EXACT,
+    approx_rtol=0.05,
+)
 def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile p50/p95/p99 of order totals per status.
 

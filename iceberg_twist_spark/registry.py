@@ -33,15 +33,36 @@ class QuerySpec:
     builder: Builder
     oracle: str | None = None  # DuckDB SQL; None → rows-only check
     tags: tuple[str, ...] = field(default_factory=tuple)
+    # For sketch/approximate queries where the estimator legitimately
+    # differs from DuckDB's: SQL computing the EXACT reference values
+    # (same column names, same group keys) plus a relative-error bound.
+    # The local harness asserts every numeric cell is within
+    # ``approx_rtol`` of the exact answer, so "rows-only" stops meaning
+    # "value-unchecked" for the approx family.
+    approx_oracle: str | None = None
+    approx_rtol: float = 0.05
 
 
-def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+def register(
+    name: str,
+    oracle: str | None = None,
+    tags: tuple[str, ...] = (),
+    approx_oracle: str | None = None,
+    approx_rtol: float = 0.05,
+):
     """Decorator: register a query builder under ``name``."""
 
     def deco(fn: Builder) -> Builder:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = QuerySpec(name=name, builder=fn, oracle=oracle, tags=tags)
+        REGISTRY[name] = QuerySpec(
+            name=name,
+            builder=fn,
+            oracle=oracle,
+            tags=tags,
+            approx_oracle=approx_oracle,
+            approx_rtol=approx_rtol,
+        )
         return fn
 
     return deco

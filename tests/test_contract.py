@@ -42,3 +42,16 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     exact = {r.vec_id for r in REGISTRY["q_llm_cosine_topk"].builder(spark, sf_dir).collect()}
     ivf = {r.vec_id for r in REGISTRY["q_llm_ann_ivf"].builder(spark, sf_dir).collect()}
     assert len(exact & ivf) >= 5, f"recall too low: {len(exact & ivf)}/10"
+
+
+def test_approx_family_is_value_checked():
+    """The sketch queries must carry an exact-reference ε-band oracle so
+    'rows-only' never means 'value-unchecked' for the approx family."""
+    from iceberg_twist_spark.registry import REGISTRY, _load_all_modules
+
+    _load_all_modules()
+    for name in ("q_agg_approx_distinct", "q_agg_approx_percentile"):
+        spec = REGISTRY[name]
+        assert spec.oracle is None  # estimator differs from DuckDB by design
+        assert spec.approx_oracle is not None
+        assert 0 < spec.approx_rtol <= 0.05

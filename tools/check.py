@@ -61,6 +61,50 @@ def _canon(rows, colnames):
     return out
 
 
+def _compare_approx(
+    spec, s_rows, s_cols, con, elapsed: float
+) -> tuple[bool, str, float]:
+    """ε-band check for sketch queries: every numeric cell must be
+    within ``spec.approx_rtol`` relative error of the EXACT answer
+    computed by ``spec.approx_oracle`` (same column names & keys)."""
+    d = con.execute(spec.approx_oracle)
+    d_cols = [c[0] for c in d.description]
+    d_rows = d.fetchall()
+    if sorted(s_cols) != sorted(d_cols):
+        return False, f"approx columns differ: spark={sorted(s_cols)} duck={sorted(d_cols)}", elapsed
+    if len(s_rows) != len(d_rows):
+        return False, f"approx row count: spark={len(s_rows)} duck={len(d_rows)}", elapsed
+    # Align rows by the non-numeric key columns only — sorting on the
+    # estimates themselves could misalign rows whenever an estimate
+    # crosses an exact value.
+    order = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
+    d_order = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
+
+    # Approx queries must carry at least one string-typed key column;
+    # numeric cells (the estimates) are excluded from the sort key.
+    def canon_keyed(rows, idx):
+        out = [tuple(_norm_cell(r[i]) for i in idx) for r in rows]
+        out.sort(key=lambda t: tuple(str(x) for x in t if isinstance(x, str)))
+        return out
+
+    s_canon = canon_keyed([tuple(r) for r in s_rows], order)
+    d_canon = canon_keyed(d_rows, d_order)
+    rtol = spec.approx_rtol
+    for i, (srow, drow) in enumerate(zip(s_canon, d_canon)):
+        for sv, dv in zip(srow, drow):
+            if isinstance(sv, (int, float)) and isinstance(dv, (int, float)):
+                denom = max(abs(dv), 1e-12)
+                if abs(sv - dv) / denom > rtol:
+                    return (
+                        False,
+                        f"approx out of band (rtol={rtol}) row {i}: est={sv} exact={dv}",
+                        elapsed,
+                    )
+            elif sv != dv:
+                return False, f"approx key mismatch row {i}: {sv} != {dv}", elapsed
+    return True, f"approx-match rtol={rtol} ({len(s_rows)} rows)", elapsed
+
+
 def compare(name: str, spark, con, sf_dir: str) -> tuple[bool, str, float]:
     spec = REGISTRY[name]
     t0 = time.time()
@@ -69,6 +113,8 @@ def compare(name: str, spark, con, sf_dir: str) -> tuple[bool, str, float]:
     s_cols = sdf.columns
     elapsed = time.time() - t0
     if spec.oracle is None:
+        if spec.approx_oracle is not None:
+            return _compare_approx(spec, s_rows, s_cols, con, elapsed)
         return True, f"rows-only ({len(s_rows)} rows)", elapsed
     d = con.execute(spec.oracle)
     d_cols = [c[0] for c in d.description]
