@@ -97,6 +97,7 @@ def _load_all_modules() -> None:
     import iceberg_twist_spark.streaming.windows  # noqa: F401
     import iceberg_twist_spark.streaming.jobs  # noqa: F401
     import iceberg_twist_spark.streaming.tws  # noqa: F401
+    import iceberg_twist_spark.streaming.live  # noqa: F401
     import iceberg_twist_spark.llm.dedup  # noqa: F401
     import iceberg_twist_spark.llm.similarity  # noqa: F401
     import iceberg_twist_spark.llm.textstats  # noqa: F401

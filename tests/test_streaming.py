@@ -48,3 +48,52 @@ def test_observe_metrics_cover_all_batches(spark, sf_dir):
     assert len(out) >= 2  # chunked replay → multiple micro-batches
     total_rows = sum(r.rows for r in out)
     assert total_rows == spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
+
+def test_live_rate_source_decodes_continuously(spark):
+    """A1/A2 beyond file replay: a genuinely live wall-clock `rate`
+    source runs for several real micro-batches; every record that
+    arrived must decode to the exact values implied by the generator."""
+    import tempfile
+    import time
+    import uuid
+
+    from iceberg_twist_spark.streaming.live import (
+        _EPOCH_ANCHOR,
+        read_live_rate_frames,
+    )
+
+    decoded = read_live_rate_frames(spark, rows_per_second=200)
+    name = f"live_{uuid.uuid4().hex[:8]}"
+    q = (
+        decoded.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="itws_live_"))
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.table(name).count() >= 100:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    rows = spark.table(name).collect()
+    assert len(rows) >= 100, f"live source produced only {len(rows)} rows in 60s"
+    for r in rows:
+        assert r.ts_sec == r.value + _EPOCH_ANCHOR
+        assert r.s1 == r.value % 32768
+        assert r.s2 == (r.value * 7) % 32768
+
+
+def test_rate_micro_batch_query_is_deterministic(spark, sf_dir):
+    """The registered generator-source query must be exactly repeatable
+    (that is what lets it carry a hash oracle)."""
+    from iceberg_twist_spark.registry import REGISTRY
+
+    a = sorted(map(tuple, REGISTRY["q_stream_rate_frames"].builder(spark, sf_dir).collect()))
+    b = sorted(map(tuple, REGISTRY["q_stream_rate_frames"].builder(spark, sf_dir).collect()))
+    assert a == b
+    assert len(a) == 500
