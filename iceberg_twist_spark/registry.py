@@ -87,6 +87,7 @@ def _load_all_modules() -> None:
     import iceberg_twist_spark.operators.fuzzy  # noqa: F401
     import iceberg_twist_spark.operators.sketches  # noqa: F401
     import iceberg_twist_spark.operators.skew  # noqa: F401
+    import iceberg_twist_spark.operators.warehouse  # noqa: F401
     import iceberg_twist_spark.functions.strings  # noqa: F401
     import iceberg_twist_spark.functions.dates  # noqa: F401
     import iceberg_twist_spark.functions.math_fns  # noqa: F401

@@ -108,6 +108,20 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
     # iteration (lineage deliberately cut) — assert only that nothing
     # degenerated into a nested loop downstream of the checkpoint
     "q_graph_pagerank": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # SCD2: change-detect lag and interval-stamp lead share ONE
+    # user_id sort/shuffle (a single Window node), no join at all
+    "q_scd2_build": (["Window"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # interval-overlap: bucketed equi-join candidates + residual — the
+    # |err|×|pur| nested loop must never appear
+    "q_join_interval_overlap": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # equi-depth histogram: the 1-row decile edges broadcast in-plan;
+    # bin assignment and counts are hash aggregates, no range shuffle
+    "q_agg_histogram_eqdepth": (
+        ["BroadcastNestedLoopJoin", "HashAggregate"],
+        ["SortMergeJoin", "Exchange rangepartitioning"],
+    ),
+    # weighted sample: top-K by priority is a per-partition heap
+    "q_sample_weighted": (["TakeOrderedAndProject"], ["Exchange rangepartitioning"]),
 }
 
 
