@@ -152,6 +152,35 @@ class SnapshotTable:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(*m["files"])
 
+    # ---- row-level commits ---------------------------------------------
+    def merge(self, source: DataFrame, key: str) -> int:
+        """Copy-on-write MERGE INTO: WHEN MATCHED UPDATE SET * /
+        WHEN NOT MATCHED INSERT * — the source row wins for every key
+        it carries, untouched base rows are carried forward.
+
+        Plan shape: base ANTI-JOIN source on the merge key (one
+        shuffle; AQE broadcasts the change side when it is small, the
+        overwhelmingly common case) unioned with the source — exactly
+        how Iceberg's copy-on-write MERGE materializes its replacement
+        files. Readers of older snapshots are untouched (tested:
+        snapshot isolation in tests/test_snapshots.py).
+        """
+        base = self.read()
+        survivors = base.join(source.select(key), on=key, how="left_anti")
+        merged = survivors.unionByName(source)
+        files, n = self._write_files(merged)
+        return self._commit(files, n, "merge", source.schema.json())
+
+    def delete_where(self, condition) -> int:
+        """Copy-on-write DELETE: rewrite the current snapshot without
+        the matching rows. (Real Iceberg would first prune to the data
+        files whose min/max stats can contain matches and rewrite only
+        those; with a flat manifest the rewrite set is all files.)"""
+        base = self.read()
+        remaining = base.filter(~condition)
+        files, n = self._write_files(remaining)
+        return self._commit(files, n, "delete", base.schema.json())
+
     # ---- maintenance ---------------------------------------------------
     def rewrite_data_files(self, target_bytes: int = TARGET_FILE_BYTES) -> int:
         """Compaction: rewrite the current snapshot's files at a target
@@ -276,6 +305,89 @@ SELECT 2, 'append', CAST(count(*) AS BIGINT) FROM orders
 UNION ALL
 SELECT 3, 'rewrite', CAST(count(*) AS BIGINT) FROM orders
 """
+
+
+_MERGE_OFFSET = 10_000_000  # same scale caveat as operators/cdc.py:32
+
+_MERGE_ORACLE = f"""
+WITH base AS (
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+),
+changes AS (
+    SELECT o_orderkey, 'U' AS o_orderstatus,
+           o_totalprice * 1.1 AS o_totalprice
+    FROM orders WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT o_orderkey + {_MERGE_OFFSET}, 'I', o_totalprice
+    FROM orders WHERE o_orderkey % 7 = 3
+),
+merged AS (
+    SELECT * FROM changes
+    UNION ALL
+    SELECT b.* FROM base b
+    WHERE NOT EXISTS (SELECT 1 FROM changes c
+                      WHERE c.o_orderkey = b.o_orderkey)
+)
+SELECT o_orderkey, o_orderstatus,
+       floor(o_totalprice * 10000 + 0.5) / 10000 AS o_totalprice
+FROM merged WHERE o_orderkey % 11 <> 5
+"""
+
+
+def _merge_table(spark: SparkSession, sf_dir: str) -> SnapshotTable:
+    """Staged MERGE/DELETE table (separate from ``_orders_table`` so
+    row-level commits never disturb the snapshots the other iceberg
+    queries time-travel into):
+
+    snapshot 1  overwrite  full orders
+    snapshot 2  merge      updates (keys ≡0 mod 3) + inserts (offset keys)
+    snapshot 3  delete     keys ≡5 mod 11
+    """
+    key = f"snapmerge::{sf_dir}"
+    tbl = _TABLE_CACHE.get(key)
+    if tbl is not None and tbl.current_snapshot_id() >= 3:
+        return tbl
+    tbl = SnapshotTable(spark, tempfile.mkdtemp(prefix="itws_snapmerge_"))
+    orders = load_tables(spark, sf_dir)["orders"].select(*_ORDER_COLS)
+    tbl.overwrite(orders)
+    changes = (
+        orders.filter(F.col("o_orderkey") % 3 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("U").alias("o_orderstatus"),
+            (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 7 == 3).select(
+                (F.col("o_orderkey") + _MERGE_OFFSET).alias("o_orderkey"),
+                F.lit("I").alias("o_orderstatus"),
+                "o_totalprice",
+            )
+        )
+    )
+    tbl.merge(changes, key="o_orderkey")
+    tbl.delete_where(F.col("o_orderkey") % 11 == 5)
+    _TABLE_CACHE[key] = tbl
+    return tbl
+
+
+@register("q_iceberg_merge", oracle=_MERGE_ORACLE, tags=("iceberg", "cdc", "sink"))
+def q_iceberg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level table evolution: MERGE INTO (update + insert) then
+    DELETE WHERE, each an atomic copy-on-write snapshot commit; the
+    final scan must equal the SQL derivation of both operations.
+    Snapshot 1 stays readable unchanged underneath (isolation pinned
+    in tests/test_snapshots.py)."""
+    tbl = _merge_table(spark, sf_dir)
+    ops = [m["operation"] for m in tbl.snapshots()]
+    assert ops[:3] == ["overwrite", "merge", "delete"], ops
+    return tbl.read().select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.floor(F.col("o_totalprice") * 10000 + F.lit(0.5)) / 10000).alias(
+            "o_totalprice"
+        ),
+    )
 
 
 @register("q_iceberg_history", oracle=_HISTORY_ORACLE, tags=("iceberg", "metadata"))

@@ -89,3 +89,38 @@ def test_overwrite_replaces(spark):
     tbl.overwrite(nation.limit(5))
     assert tbl.read().count() == 5
     assert tbl.read(snapshot_id=1).count() == nation.count()
+
+
+def test_merge_snapshot_isolation(spark, sf_dir):
+    """MERGE and DELETE commits must not disturb earlier snapshots:
+    snapshot 1 read back AFTER both row-level commits is still the
+    original full table."""
+    from iceberg_twist_spark.sources.snapshots import _merge_table
+
+    tbl = _merge_table(spark, sf_dir)
+    orig = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    snap1 = tbl.read(snapshot_id=1)
+    assert snap1.count() == orig.count()
+    # no 'U'/'I' rows leaked into the pre-merge snapshot
+    assert snap1.filter(snap1.o_orderstatus.isin("U", "I")).count() == 0
+
+
+def test_merge_updates_and_deletes_applied(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from iceberg_twist_spark.sources.snapshots import _merge_table
+
+    tbl = _merge_table(spark, sf_dir)
+    cur = tbl.read()
+    # every BASE key ≡0 mod 3 surviving the delete now has status 'U'
+    # (insert keys live above the offset and are legitimately 'I')
+    from iceberg_twist_spark.sources.snapshots import _MERGE_OFFSET
+
+    not_u = cur.filter(
+        (F.col("o_orderkey") % 3 == 0)
+        & (F.col("o_orderkey") < _MERGE_OFFSET)
+        & (F.col("o_orderstatus") != "U")
+    )
+    assert not_u.count() == 0
+    # deleted keys are gone
+    assert cur.filter(F.col("o_orderkey") % 11 == 5).count() == 0
