@@ -42,6 +42,26 @@ def duck_r2(expr: str) -> str:
     return duck_r4(expr, scale=100)
 
 
+def spread(df, *cols: str):
+    """Repartition ONLY when the upstream plan is under-partitioned
+    relative to the session's parallelism.
+
+    Expensive per-row compute (shingling, hash permutations, feature
+    extraction) inherits the scan's partitioning; a source staged as
+    a handful of files (or one single-row-group parquet, as in the
+    local fixtures) pins that work to as many tasks. At 100 TB the
+    corpus arrives as thousands of scan splits and this is a no-op —
+    it exists for the small-file/ingest-skew regime, where one narrow
+    shuffle of the input rows buys full-cluster parallelism for the
+    compute that follows (the partition-sizing rule in PERF.md).
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, *cols) if cols else df.repartition(target)
+
+
 def ts_str(col: Column | str) -> Column:
     """Render a timestamp column as a canonical string."""
     return F.date_format(col, SPARK_TS_FMT)

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from iceberg_twist_spark.catalog import load_tables
-from iceberg_twist_spark.common import duck_r4, r4
+from iceberg_twist_spark.common import duck_r4, r4, spread
 from iceberg_twist_spark.llm.dedup import shingle_docs
 from iceberg_twist_spark.registry import register
 
@@ -123,7 +123,7 @@ def q_llm_rep_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     exploded = (
-        docs.filter(n >= 2)
+        spread(docs, "doc_id").filter(n >= 2)
         .select("doc_id", F.explode(grams).alias("gram"))
     )
     per_gram = exploded.groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
@@ -173,7 +173,8 @@ def q_llm_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_tables(spark, sf_dir)["documents"]
     tf = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        spread(docs, "doc_id")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("word"))
         .groupBy("doc_id", "word")
         .agg(F.count("*").alias("tf"))
     )

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from iceberg_twist_spark.catalog import load_tables
-from iceberg_twist_spark.common import r4
+from iceberg_twist_spark.common import r4, spread
 from iceberg_twist_spark.registry import register
 
 _EXACT_ORACLE = """
@@ -55,7 +55,10 @@ def shingle_docs(docs: DataFrame, k: int = 3) -> DataFrame:
 
     JVM-side: split → sliding k-gram via transform(sequence) →
     array_distinct → explode. Documents shorter than k words are
-    dropped (no shingle is well-defined).
+    dropped (no shingle is well-defined). The source is spread() first:
+    shingle construction is the CPU-heavy step, and an
+    under-partitioned scan (few/single-row-group files) would
+    otherwise serialize it.
     """
     words = F.split("text", " ")
     n = F.size(words)
@@ -66,7 +69,7 @@ def shingle_docs(docs: DataFrame, k: int = 3) -> DataFrame:
         ),
     )
     return (
-        docs.filter(n >= k)
+        spread(docs, "doc_id").filter(n >= k)
         .select("doc_id", F.explode(F.array_distinct(grams)).alias("sh"))
     )
 
@@ -128,13 +131,35 @@ LSH_BANDS = 4  # 4 rows per band
 
 def minhash_signatures(docs: DataFrame, k: int = 3, n_perm: int = N_MINHASH) -> DataFrame:
     """Deterministic MinHash signatures: perm_i(sh) = xxhash64(sh, seed=i);
-    signature[i] = min over shingles. One shuffle (groupBy doc_id)."""
-    sh = shingle_docs(docs, k)
-    mins = [
-        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"mh{i}")
-        for i in range(n_perm)
-    ]
-    return sh.groupBy("doc_id").agg(*mins)
+    signature[i] = min over shingles.
+
+    Computed NARROWLY — the shingle array stays inside its row and each
+    signature column is ``array_min(transform(shingles, xxhash64))`` —
+    so there is no shingle explode and no groupBy shuffle at all: a
+    document never leaves its partition to be signed. (The earlier
+    explode + 16-way min-agg shape produced identical signatures but
+    shuffled |shingles| rows; verified equal before switching.)
+    """
+    words = F.split("text", " ")
+    n = F.size(words)
+    grams = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(k)]
+        ),
+    )
+    base = spread(docs, "doc_id").filter(n >= k).withColumn(
+        "sh_arr", F.array_distinct(grams)
+    )
+    return base.select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.transform("sh_arr", lambda s: F.xxhash64(s, F.lit(i)))
+            ).alias(f"mh{i}")
+            for i in range(n_perm)
+        ],
+    )
 
 
 @register("q_llm_minhash_dedup", tags=("llm", "dedup", "sketch"))
@@ -164,6 +189,13 @@ def q_llm_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band_idx", "band_hash"),
     )
+    # Lazy-materialize the (doc_id, band) rows before the self-join:
+    # without it both join sides re-run the whole signature pipeline
+    # (shingle + 16 hash permutations over every document — by far the
+    # dominant cost; ~2× measured at sf0.1). The checkpoint is tiny
+    # (|docs| × LSH_BANDS rows of 3 longs) and, like PageRank's
+    # per-iteration checkpoints, keeps the join plan flat.
+    bands = bands.localCheckpoint(eager=False)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -190,7 +222,7 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     aggregate with 32 vote columns — vectorized, one shuffle on doc_id,
     no Python.
     """
-    w = docs.select(
+    w = spread(docs, "doc_id").select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("word")
     )
     h = F.xxhash64("word")
