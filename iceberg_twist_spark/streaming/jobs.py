@@ -98,22 +98,53 @@ def read_event_stream(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> Da
     )
 
 
+# State-store sizing: a stateful query creates one state store per
+# shuffle partition, and the count is pinned into the checkpoint at
+# first start. The session default (32, sized for batch shuffles) is
+# 4× oversized for the replay fixtures — state-store open/commit
+# overhead dominated every stateful query (stream-stream join: 36 s →
+# 7 s at sf0.01 just from this). Production sizes this to key
+# cardinality × executor count; the harness pins a small count around
+# .start() and restores the batch default after the run terminates.
+STATE_PARTITIONS = 8
+
+
+class _state_partitions:
+    """Pin spark.sql.shuffle.partitions around a streaming start.
+
+    Safe because the harness executes queries sequentially on one
+    session; the value is captured into the query's checkpoint at
+    start and the batch default is restored afterward.
+    """
+
+    def __init__(self, spark: SparkSession, n: int = STATE_PARTITIONS) -> None:
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.n)
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+
+
 def run_to_memory(sdf: DataFrame, output_mode: str = "append") -> DataFrame:
     """Execute a streaming plan to completion into a memory sink."""
     name = f"itws_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix="itws_ckpt_")
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination()
-    finally:
-        shutil.rmtree(ckpt, ignore_errors=True)
+    with _state_partitions(sdf.sparkSession):
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            shutil.rmtree(ckpt, ignore_errors=True)
     return sdf.sparkSession.table(name)
 
 
@@ -429,15 +460,16 @@ def q_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = read_event_stream(spark, sf_dir)
     name = f"itws_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix="itws_ckpt_")
-    q = (
-        s.writeStream.foreachBatch(merge_batch)
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination()
-    finally:
-        shutil.rmtree(ckpt, ignore_errors=True)
+    with _state_partitions(spark):
+        q = (
+            s.writeStream.foreachBatch(merge_batch)
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            shutil.rmtree(ckpt, ignore_errors=True)
     return spark.read.schema(store_schema).parquet(store_dir)
