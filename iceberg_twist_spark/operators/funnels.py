@@ -164,3 +164,80 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count("*").cast("long").alias("n"))
     )
+
+
+# ------------------------------------------- sequence pattern match
+# MATCH_RECOGNIZE-lite: detect the exact CONSECUTIVE event pattern
+# view → click → purchase per user (no intervening events — stricter
+# than q_funnel_3step's ordered-presence semantics) completing within
+# a day. The standard sessionized-journey detector, expressed as
+# two lead windows over one user_id shuffle — the pattern window never
+# materializes candidate subsequences.
+
+_SEQ_SPAN_S = 86_400
+
+_SEQ_ORACLE = f"""
+WITH seq AS (
+    SELECT user_id,
+           event_type AS e1,
+           lead(event_type, 1) OVER w AS e2,
+           lead(event_type, 2) OVER w AS e3,
+           CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec1,
+           CAST(floor(epoch(lead(CAST(ts AS TIMESTAMP), 2) OVER w)) AS BIGINT) AS sec3,
+           strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS start_ts
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+),
+hits AS (
+    SELECT user_id, start_ts, sec3 - sec1 AS span_s
+    FROM seq
+    WHERE e1 = 'view' AND e2 = 'click' AND e3 = 'purchase'
+      AND sec3 - sec1 <= {_SEQ_SPAN_S}
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_matches,
+       min(start_ts) AS first_match_ts,
+       CAST(min(span_s) AS BIGINT) AS min_span_s
+FROM hits GROUP BY user_id
+"""
+
+
+@register("q_seq_pattern", oracle=_SEQ_ORACLE, tags=("funnel", "window", "pattern"))
+def q_seq_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-pattern detection (MATCH_RECOGNIZE-lite): per user,
+    occurrences of the exact adjacent sequence view→click→purchase
+    completing within a day; returns match count, first match start,
+    and tightest span.
+
+    The two lead windows and the final aggregate all hash on user_id —
+    one shuffle end-to-end, output |matching users|-bounded. Longer
+    patterns extend the lead chain, still one window pass; at 100 TB
+    this beats self-join pattern matching (k-way join on user_id)
+    because no candidate subsequence ever materializes.
+    """
+    from iceberg_twist_spark.common import ts_str
+
+    events = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.floor(F.unix_timestamp(F.date_trunc("second", F.col("ts")))).cast("long")
+    seq = events.select(
+        "user_id",
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+        sec.alias("sec1"),
+        F.lead(sec, 2).over(w).alias("sec3"),
+        ts_str("ts").alias("start_ts"),
+    )
+    span = F.col("sec3") - F.col("sec1")
+    hits = seq.filter(
+        (F.col("e1") == "view")
+        & (F.col("e2") == "click")
+        & (F.col("e3") == "purchase")
+        & (span <= _SEQ_SPAN_S)
+    )
+    return hits.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_matches"),
+        F.min("start_ts").alias("first_match_ts"),
+        F.min(span).cast("long").alias("min_span_s"),
+    )

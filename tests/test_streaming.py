@@ -97,3 +97,80 @@ def test_rate_micro_batch_query_is_deterministic(spark, sf_dir):
     b = sorted(map(tuple, REGISTRY["q_stream_rate_frames"].builder(spark, sf_dir).collect()))
     assert a == b
     assert len(a) == 500
+
+
+def test_socket_source_feeds_frame_decoder(spark):
+    """A1/A2 as a genuine byte stream over a socket: a local server
+    writes hex telemetry frames; Spark's socket source reads them live
+    and the Arrow frame decoder recovers every field exactly."""
+    import socket
+    import struct
+    import tempfile
+    import threading
+    import time
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from iceberg_twist_spark.ingest.frames import decode_frame_hex
+
+    n_frames = 300
+    frames = []
+    for v in range(n_frames):
+        raw = (
+            b"\x00" * 6
+            + struct.pack("<i", 1_700_000_000 + v)
+            + struct.pack("<hh", v % 32768, (v * 3) % 32768)
+        )
+        frames.append(raw.hex())
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    done = threading.Event()
+
+    def serve():
+        conn, _ = srv.accept()
+        with conn:
+            for h in frames:
+                conn.sendall((h + "\n").encode())
+            done.wait(90)  # hold the connection open until the test stops
+
+    threading.Thread(target=serve, daemon=True).start()
+
+    lines = (
+        spark.readStream.format("socket")
+        .option("host", "127.0.0.1")
+        .option("port", port)
+        .load()
+    )
+    rec = decode_frame_hex(F.col("value"))
+    decoded = lines.select(
+        rec["ts_sec"].alias("ts_sec"), rec["s1"].alias("s1"), rec["s2"].alias("s2")
+    )
+    name = f"sock_{uuid.uuid4().hex[:8]}"
+    q = (
+        decoded.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="itws_sock_"))
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.table(name).count() >= n_frames:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        done.set()
+        srv.close()
+    rows = spark.table(name).collect()
+    assert len(rows) == n_frames, f"socket source delivered {len(rows)}/{n_frames}"
+    got = sorted((r.ts_sec, r.s1, r.s2) for r in rows)
+    want = sorted(
+        (1_700_000_000 + v, v % 32768, (v * 3) % 32768) for v in range(n_frames)
+    )
+    assert got == want
