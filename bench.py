@@ -49,6 +49,12 @@ HEADLINE = (
     "q_graph_pagerank",
     "q_profile_table",
     "q_llm_minhash_dedup",
+    # round-2 additions: warehouse modeling (SCD2 history, bucketed
+    # interval-overlap join), sequence-pattern window, LSH ANN pairs
+    "q_scd2_build",
+    "q_join_interval_overlap",
+    "q_seq_pattern",
+    "q_llm_ann_lsh",
 )
 
 # Queries whose result set is large: execute via the noop sink so the

@@ -17,7 +17,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 from iceberg_twist_spark.catalog import load_tables
-from iceberg_twist_spark.common import r4
+# spread(): the per-row interpreted HOF dot products are the CPU cost
+# here; an under-partitioned corpus scan (single-row-group fixture
+# files) would serialize them on one core. No-op on chunked sources.
+from iceberg_twist_spark.common import r4, spread
 from iceberg_twist_spark.registry import register
 
 
@@ -77,7 +80,7 @@ def q_llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_id tiebreak so both engines resolve near-ties identically.
     ORDER BY + LIMIT compiles to TakeOrderedAndProject (per-partition
     top-k, k-row merge — no global sort)."""
-    emb = with_norm(load_tables(spark, sf_dir)["embeddings"], "embedding")
+    emb = with_norm(spread(load_tables(spark, sf_dir)["embeddings"], "vec_id"), "embedding")
     probe = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("p"), F.col("nrm").alias("pn")
     )
@@ -116,7 +119,7 @@ def q_llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Probe set is broadcast so the corpus is scanned once; per-probe
     top-k via row_number (InferWindowGroupLimit prunes map-side)."""
-    emb = with_norm(load_tables(spark, sf_dir)["embeddings"], "embedding")
+    emb = with_norm(spread(load_tables(spark, sf_dir)["embeddings"], "vec_id"), "embedding")
     probes = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p"),
         F.col("nrm").alias("pn"),
@@ -159,7 +162,7 @@ def q_llm_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Correctness baseline only — at corpus scale use lsh_bucket() below
     to restrict comparisons to shared buckets."""
-    emb = with_norm(load_tables(spark, sf_dir)["embeddings"], "embedding")
+    emb = with_norm(spread(load_tables(spark, sf_dir)["embeddings"], "vec_id"), "embedding")
     a = emb.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
         F.col("nrm").alias("na"),
@@ -262,7 +265,7 @@ def q_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a partition column (cluster-partitioned parquet/Iceberg layout)
     and (b) prunes at the directory level.
     """
-    emb = with_norm(load_tables(spark, sf_dir)["embeddings"], "embedding")
+    emb = with_norm(spread(load_tables(spark, sf_dir)["embeddings"], "vec_id"), "embedding")
     centroids = emb.filter(F.col("vec_id") < IVF_K)
     clustered = ivf_assign(emb, centroids)
 
@@ -297,6 +300,40 @@ def q_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_PLANES = 8
 
 
+_SIGN_CACHE: dict[tuple[int, int], list[list[float]]] = {}
+
+
+def _plane_signs(spark: SparkSession, dim: int, n_planes: int) -> list[list[float]]:
+    """±1 hyperplane components: sign(p, d) = ±1 from xxhash64(p, d).
+
+    Evaluated ONCE via a 1-row job and embedded as literals thereafter.
+    Inlining the when(xxhash64(...)) expressions instead looks
+    equivalent but is NOT constant-folded inside the higher-order
+    lambda — Spark re-evaluated all n_planes × dim hash expressions
+    per input row, which made bucketing 6× slower than the projection
+    arithmetic itself. The constants stay xxhash64-derived, so bucket
+    ids are unchanged (verified identical before switching).
+    """
+    key = (dim, n_planes)
+    if key not in _SIGN_CACHE:
+        row = spark.range(1).select(
+            *[
+                F.array(
+                    *[
+                        F.when(
+                            F.xxhash64(F.lit(p), F.lit(d)).bitwiseAND(F.lit(1)) == 1,
+                            1.0,
+                        ).otherwise(-1.0)
+                        for d in range(dim)
+                    ]
+                ).alias(f"p{p}")
+                for p in range(n_planes)
+            ]
+        ).collect()[0]
+        _SIGN_CACHE[key] = [list(row[f"p{p}"]) for p in range(n_planes)]
+    return _SIGN_CACHE[key]
+
+
 def lsh_bucket(emb: DataFrame, dim: int = 64, n_planes: int = N_PLANES) -> DataFrame:
     """Random-hyperplane LSH bucket id per vector (deterministic).
 
@@ -306,15 +343,10 @@ def lsh_bucket(emb: DataFrame, dim: int = 64, n_planes: int = N_PLANES) -> DataF
     scale, candidate generation joins on bucket id instead of
     all-pairs. Expected bucket occupancy is |corpus| / 2^n_planes.
     """
+    signs_py = _plane_signs(emb.sparkSession, dim, n_planes)
     proj_cols = []
     for p in range(n_planes):
-        signs = F.array(
-            *[
-                F.when(F.xxhash64(F.lit(p), F.lit(d)).bitwiseAND(F.lit(1)) == 1, 1.0)
-                .otherwise(-1.0)
-                for d in range(dim)
-            ]
-        )
+        signs = F.array(*[F.lit(v) for v in signs_py[p]])
         proj = F.aggregate(
             F.zip_with(F.col("embedding"), signs, lambda x, s: x.cast("double") * s),
             F.lit(0.0),
@@ -332,7 +364,7 @@ def q_llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via hyperplane-LSH buckets (rows-only: bucketing is
     hash-seeded). Pairs sharing a bucket, with exact cosine verification
     ≥ 0.3 — the scale path for q_llm_cosine_pairs."""
-    emb = with_norm(load_tables(spark, sf_dir)["embeddings"], "embedding")
+    emb = with_norm(spread(load_tables(spark, sf_dir)["embeddings"], "vec_id"), "embedding")
     bucketed = lsh_bucket(emb).cache()
     a = bucketed.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
@@ -384,7 +416,7 @@ def q_vec_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     int8 first and re-rank the survivors in float. All list math is
     JVM higher-order functions — no Python, no shuffle (per-row op).
     """
-    emb = load_tables(spark, sf_dir)["embeddings"]
+    emb = spread(load_tables(spark, sf_dir)["embeddings"], "vec_id")
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     maxabs = F.aggregate(
         dbl, F.lit(0.0), lambda acc, v: F.greatest(acc, F.abs(v))
@@ -489,7 +521,7 @@ def q_vec_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side onto |labels|×dim groups, so shuffle volume is the
     centroid matrix, never the corpus. At 100 TB this is exactly the
     E-step plan: one linear scan per iteration."""
-    emb = load_tables(spark, sf_dir)["embeddings"]
+    emb = spread(load_tables(spark, sf_dir)["embeddings"], "vec_id")
     flat = emb.select(
         "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("p0", "val")
     ).select("label", (F.col("p0") + 1).alias("pos"), "val")
@@ -540,7 +572,7 @@ def q_ml_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed k-means: one broadcast, one linear scan, one |k|-row
     aggregate — iterate with the driver loop exactly like PageRank.
     """
-    emb = load_tables(spark, sf_dir)["embeddings"].select(
+    emb = spread(load_tables(spark, sf_dir)["embeddings"], "vec_id").select(
         "vec_id", F.col("label").alias("old_label"),
         F.col("embedding").cast("array<double>").alias("e"),
     )
