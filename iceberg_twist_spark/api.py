@@ -109,3 +109,64 @@ class Engine:
         from iceberg_twist_spark.ingest.frames import split_frames_map_in_pandas
 
         return split_frames_map_in_pandas(df, payload_col)
+
+    # -- versioned tables (the namesake layer) ---------------------------
+    def snapshot_table(self, path: str):
+        """Open (or initialize) a versioned snapshot table at ``path`` —
+        append/overwrite/merge/delete commits, snapshot-id time travel,
+        history, and rewrite_data_files compaction
+        (sources/snapshots.py)."""
+        from iceberg_twist_spark.sources.snapshots import SnapshotTable
+
+        return SnapshotTable(self.spark, path)
+
+    # -- warehouse helpers (generic over user DataFrames) ----------------
+    @staticmethod
+    def scd2(df: DataFrame, key_col: str, attr_col: str, ts_col: str) -> DataFrame:
+        """Type-2 dimension history from an observation stream: collapse
+        repeat observations per key, stamp [valid_from, valid_to) via
+        lead, open-ended current row (same plan as q_scd2_build; one
+        shuffle on the key)."""
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(key_col).orderBy(ts_col)
+        chg = (
+            df.select(key_col, attr_col, ts_col)
+            .withColumn("__prev", F.lag(attr_col).over(w))
+            .filter(F.col("__prev").isNull() | (F.col("__prev") != F.col(attr_col)))
+        )
+        nxt = F.lead(ts_col).over(Window.partitionBy(key_col).orderBy(ts_col))
+        return chg.select(
+            key_col,
+            F.col(attr_col).alias("attr_value"),
+            F.col(ts_col).alias("valid_from"),
+            nxt.alias("valid_to"),  # null = current row
+            nxt.isNull().alias("is_current"),
+        )
+
+    @staticmethod
+    def match_sequence(
+        df: DataFrame,
+        key_col: str,
+        event_col: str,
+        ts_col: str,
+        pattern: Sequence[str],
+        within_seconds: int | None = None,
+    ) -> DataFrame:
+        """Consecutive-pattern matches per key (MATCH_RECOGNIZE-lite):
+        rows where the adjacent event sequence equals ``pattern``,
+        optionally completing within ``within_seconds``. One window
+        pass, no candidate materialization (same plan as
+        q_seq_pattern)."""
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(key_col).orderBy(ts_col)
+        out = df.select(key_col, event_col, ts_col)
+        cond = F.col(event_col) == pattern[0]
+        for i, step in enumerate(pattern[1:], start=1):
+            cond = cond & (F.lead(event_col, i).over(w) == step)
+        if within_seconds is not None:
+            sec = F.unix_timestamp(F.col(ts_col))
+            span = F.lead(sec, len(pattern) - 1).over(w) - sec
+            cond = cond & (span <= within_seconds)
+        return out.withColumn("__m", cond).filter("__m").drop("__m")

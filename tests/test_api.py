@@ -57,3 +57,51 @@ def test_unknown_table_raises(spark, sf_dir):
         raise AssertionError("expected KeyError")
     except KeyError as e:
         assert "nope" in str(e)
+
+
+def test_snapshot_table_via_engine(spark, sf_dir):
+    import tempfile
+
+    from iceberg_twist_spark.api import Engine
+
+    eng = Engine(spark, sf_dir)
+    tbl = eng.snapshot_table(tempfile.mkdtemp(prefix="itws_api_snap_"))
+    orders = eng.table("orders").select("o_orderkey", "o_orderstatus")
+    tbl.create(orders.filter("o_orderkey % 2 = 0"))
+    tbl.append(orders.filter("o_orderkey % 2 = 1"))
+    assert tbl.read().count() == orders.count()
+    assert tbl.read(snapshot_id=1).count() == orders.filter("o_orderkey % 2 = 0").count()
+
+
+def test_scd2_helper_matches_registered_query(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from iceberg_twist_spark.api import Engine
+    from iceberg_twist_spark.registry import REGISTRY
+
+    eng = Engine(spark, sf_dir)
+    events = eng.table("events")
+    generic = Engine.scd2(events, "user_id", "event_type", "ts")
+    registered = REGISTRY["q_scd2_build"].builder(spark, sf_dir)
+    # same number of versions; same count of open (current) rows
+    assert generic.count() == registered.count()
+    assert (
+        generic.filter("is_current").count()
+        == registered.filter("is_current = 1").count()
+    )
+
+
+def test_match_sequence_helper(spark, sf_dir):
+    from iceberg_twist_spark.api import Engine
+    from iceberg_twist_spark.registry import REGISTRY
+
+    eng = Engine(spark, sf_dir)
+    events = eng.table("events")
+    hits = Engine.match_sequence(
+        events, "user_id", "event_type", "ts",
+        ["view", "click", "purchase"], within_seconds=86_400,
+    )
+    total = REGISTRY["q_seq_pattern"].builder(spark, sf_dir).agg(
+        {"n_matches": "sum"}
+    ).collect()[0][0]
+    assert hits.count() == (total or 0)
