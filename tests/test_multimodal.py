@@ -102,3 +102,30 @@ def test_audio_energy_exact_on_known_blob(spark):
         expected[w] = float(np.sqrt(np.mean(chunk**2)))
         w += 1
     assert rows == expected
+
+
+def test_ppm_decode_known_image(spark):
+    """The numpy PPM parser must decode a hand-built P6 image exactly."""
+    from iceberg_twist_spark.multimodal import decode_ppm
+
+    # 2x2 RGB: red, green, blue, white
+    pixels = bytes([255,0,0, 0,255,0, 0,0,255, 255,255,255])
+    blob = b"P6\n2 2\n255\n" + pixels
+    df = spark.createDataFrame([(1, bytearray(blob))], "doc_id long, media binary")
+    row = decode_ppm(df).collect()[0]
+    assert (row.width, row.height) == (2, 2)
+    assert row.mean_r == (255 + 0 + 0 + 255) / 4
+    assert row.mean_g == (0 + 255 + 0 + 255) / 4
+    assert row.mean_b == (0 + 0 + 255 + 255) / 4
+
+
+def test_ppm_decode_skips_corrupt_blobs(spark):
+    from iceberg_twist_spark.multimodal import decode_ppm
+
+    bad = [
+        (1, bytearray(b"NOTPPM")),
+        (2, bytearray(b"P6\n2 2\n255\nshort")),          # truncated pixels
+        (3, bytearray(b"P6\n1 1\n65535\n" + b"abc")),     # unsupported maxval
+    ]
+    df = spark.createDataFrame(bad, "doc_id long, media binary")
+    assert decode_ppm(df).count() == 0
