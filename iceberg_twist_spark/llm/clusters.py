@@ -54,6 +54,11 @@ def connected_components(
     labels = (
         sym.select("node").distinct().withColumn("label", F.col("node"))
     ).localCheckpoint(eager=True)
+    # Labels only ever decrease, so the label sum strictly decreases
+    # until the fixpoint — a scalar compare replaces the old
+    # join-the-previous-round convergence check (one fewer shuffle
+    # join per round).
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
 
     for _ in range(max_iter):
         # each node offers its label to every neighbor; keep the min of
@@ -61,20 +66,28 @@ def connected_components(
         offers = sym.join(labels, "node").select(
             F.col("nbr").alias("node"), "label"
         )
-        new_labels = (
+        propagated = (
             labels.unionByName(offers)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-        ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
         )
+        # pointer jumping: follow label → label-of-label, halving the
+        # effective distance to the component minimum each round —
+        # convergence in O(log diameter) rounds instead of O(diameter),
+        # the property that makes CC tractable on web-scale graphs
+        # (large-star/small-star). l_label ≤ label by monotonicity.
+        lbl_map = propagated.select(
+            F.col("node").alias("l_node"), F.col("label").alias("l_label")
+        )
+        new_labels = (
+            propagated.join(lbl_map, propagated.label == lbl_map.l_node)
+            .select("node", F.col("l_label").alias("label"))
+        ).localCheckpoint(eager=True)
+        cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels
 
 
