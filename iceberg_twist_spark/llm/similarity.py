@@ -601,3 +601,117 @@ def q_ml_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.avg(F.sqrt("dist2"))).alias("avg_dist"),
         F.sum((F.col("old_label") != F.col("cand")).cast("long")).alias("n_moved"),
     )
+
+
+# ------------------------------------------------- k-means training
+# Full Lloyd's loop (not just one step): N iterations of update →
+# assign from the fixture's initial labels, unrolled in the DuckDB
+# oracle exactly like graph.py's PageRank — so the *training loop*,
+# not just its step, is hash-checked. Centroid means are r4-rounded
+# and distances r8-rounded on BOTH sides each iteration, making every
+# argmin tie-free and engine-independent.
+
+KMEANS_ITER = 3
+
+
+def _kmeans_train_oracle(n_iter: int = KMEANS_ITER) -> str:
+    sql = """
+WITH e AS (
+    SELECT vec_id, embedding, label FROM embeddings
+),
+a0 AS (SELECT vec_id, label, CAST(0.0 AS DOUBLE) AS dist2 FROM e)"""
+    prev = "a0"
+    for i in range(1, n_iter + 1):
+        sql += f""",
+cent{i} AS (
+    SELECT a.label AS c_label, t.i AS pos,
+           floor(avg(CAST(e.embedding[t.i] AS DOUBLE)) * 10000 + 0.5) / 10000 AS v
+    FROM {prev} a
+    JOIN e ON a.vec_id = e.vec_id,
+    LATERAL (SELECT unnest(generate_series(1, len(e.embedding))) AS i) t
+    GROUP BY 1, 2
+),
+d{i} AS (
+    SELECT e.vec_id, c.c_label AS cand,
+           floor(sum(pow(CAST(e.embedding[c.pos] AS DOUBLE) - c.v, 2))
+                 * 100000000 + 0.5) / 100000000 AS dist2
+    FROM e JOIN cent{i} c ON true
+    GROUP BY 1, 2
+),
+a{i} AS (
+    SELECT vec_id, cand AS label, dist2 FROM (
+        SELECT vec_id, cand, dist2,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cand) AS rn
+        FROM d{i}
+    ) WHERE rn = 1
+)"""
+        prev = f"a{i}"
+    sql += f"""
+SELECT label AS cluster,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       floor(avg(sqrt(dist2)) * 10000 + 0.5) / 10000 AS avg_dist,
+       floor(sum(dist2) * 10000 + 0.5) / 10000 AS inertia
+FROM {prev} GROUP BY label
+"""
+    return sql
+
+
+@register(
+    "q_ml_kmeans_train",
+    oracle=_kmeans_train_oracle(),
+    tags=("llm", "similarity", "agg", "graph"),
+)
+def q_ml_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three full Lloyd iterations over the embeddings from the
+    fixture's initial labels: per-label centroid means (r4) →
+    broadcast → per-vector argmin reassignment (r8 distances), labels
+    checkpointed per round so the plan stays one-step deep — the
+    driver-loop iterative-training pattern shared with PageRank and
+    connected components, here with the whole LOOP hash-checked
+    against an unrolled SQL derivation. Final report: cluster sizes,
+    mean distance, inertia.
+    """
+    emb0 = spread(load_tables(spark, sf_dir)["embeddings"], "vec_id").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+        F.col("label").cast("long").alias("label"),
+    ).localCheckpoint(eager=False)
+    vecs = emb0.select("vec_id", "e")
+    labels = emb0.select("vec_id", "label", F.lit(0.0).alias("dist2"))
+    for _ in range(KMEANS_ITER):
+        flat = (
+            vecs.join(labels.select("vec_id", "label"), "vec_id")
+            .select("label", F.posexplode("e").alias("p0", "val"))
+            .select("label", (F.col("p0") + 1).alias("pos"), "val")
+        )
+        cent = (
+            flat.groupBy("label", "pos")
+            .agg(r4(F.avg("val")).alias("v"))
+            .groupBy(F.col("label").alias("cand"))
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                    lambda s: s.v,
+                ).alias("c")
+            )
+        )
+        dist2 = F.aggregate(
+            F.zip_with(F.col("e"), F.col("c"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        d = vecs.crossJoin(F.broadcast(cent)).select(
+            "vec_id", "cand", r4(dist2, 100_000_000).alias("dist2")
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist2", "cand")
+        labels = (
+            d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", F.col("cand").alias("label"), "dist2")
+            .localCheckpoint(eager=True)
+        )
+    return labels.groupBy(F.col("label").alias("cluster")).agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        r4(F.avg(F.sqrt("dist2"))).alias("avg_dist"),
+        r4(F.sum("dist2")).alias("inertia"),
+    )

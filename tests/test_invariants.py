@@ -150,3 +150,65 @@ def test_stream_upsert_sink_accumulates_every_event(spark, sf_dir):
     # exactly the stream's event total
     assert out.count() == ev.select("user_id").distinct().count()
     assert out.agg(F.sum("n_events")).first()[0] == ev.count()
+
+
+def test_scd2_intervals_partition_timeline(spark, sf_dir):
+    """Per user: exactly one open row, no overlapping validity windows,
+    and each row's valid_to equals the next row's valid_from."""
+    from pyspark.sql import functions as F
+
+    from iceberg_twist_spark.registry import REGISTRY
+
+    scd2 = REGISTRY["q_scd2_build"].builder(spark, sf_dir)
+    open_counts = scd2.groupBy("user_id").agg(
+        F.sum("is_current").alias("n_open")
+    )
+    assert open_counts.filter("n_open != 1").count() == 0
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("valid_from")
+    chained = scd2.withColumn("next_from", F.lead("valid_from").over(w))
+    broken = chained.filter(
+        F.col("next_from").isNotNull() & (F.col("valid_to") != F.col("next_from"))
+    )
+    assert broken.count() == 0
+
+
+def test_islands_bounded_by_active_days(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from iceberg_twist_spark.registry import REGISTRY
+
+    isl = REGISTRY["q_ts_islands"].builder(spark, sf_dir)
+    bad = isl.filter(
+        (F.col("longest_streak_days") > F.col("active_days"))
+        | (F.col("n_streaks") > F.col("active_days"))
+        | (F.col("longest_streak_days") < 1)
+    )
+    assert bad.count() == 0
+
+
+def test_interval_overlap_bounded_by_window(spark, sf_dir):
+    """Overlap seconds can never exceed the narrower interval (30 min)."""
+    from pyspark.sql import functions as F
+
+    from iceberg_twist_spark.registry import REGISTRY
+
+    ovl = REGISTRY["q_join_interval_overlap"].builder(spark, sf_dir)
+    assert ovl.filter(
+        (F.col("max_overlap_s") > 1800) | (F.col("max_overlap_s") <= 0)
+    ).count() == 0
+
+
+def test_weighted_sample_prefers_heavy_rows(spark, sf_dir):
+    """The priority/weight sample must skew heavier than uniform: the
+    sampled mean total_price exceeds the population mean."""
+    from pyspark.sql import functions as F
+
+    from iceberg_twist_spark.registry import REGISTRY
+
+    sample = REGISTRY["q_sample_weighted"].builder(spark, sf_dir)
+    s_mean = sample.agg(F.avg("total_price")).collect()[0][0]
+    pop = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    p_mean = pop.agg(F.avg("o_totalprice")).collect()[0][0]
+    assert s_mean > p_mean
