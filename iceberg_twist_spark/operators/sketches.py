@@ -173,3 +173,52 @@ def q_sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("hits", F.lit(0)) == BLOOM_HASHES).alias("maybe_member"),
         )
     )
+
+
+# --------------------------------------------------- mergeable HLL
+# The property that makes sketches THE 100 TB cardinality tool is
+# mergeability: per-partition (or per-day, per-shard) sketches union
+# into the global answer without re-touching rows. Spark 3.5+ exposes
+# Apache DataSketches HLL directly: hll_sketch_agg builds binary
+# sketches, hll_union_agg merges them. The estimator is engine-private,
+# so like q_agg_approx_distinct this carries an ε-band oracle (exact
+# per-group and global distincts, 5% relative error) rather than a
+# hash oracle.
+
+_HLL_EXACT = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS approx_users
+FROM events GROUP BY event_type
+UNION ALL
+SELECT 'ALL' AS event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS approx_users
+FROM events
+"""
+
+
+@register(
+    "q_sketch_hll_merge",
+    tags=("sketch", "agg"),
+    approx_oracle=_HLL_EXACT,
+    approx_rtol=0.05,
+)
+def q_sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-cardinality pipeline: build one DataSketches HLL per
+    event type (hll_sketch_agg over user_id), then union the per-type
+    sketches into the global distinct-user estimate (hll_union_agg) —
+    no second scan of the events. At 100 TB this is the daily-rollup
+    pattern: per-partition sketches persist as bytes and any slice of
+    them unions into an exact-shape answer in |sketches| time.
+    """
+    events = load_tables(spark, sf_dir)["events"]
+    per_type = events.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    per_type_est = per_type.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").alias("approx_users"),
+    )
+    global_est = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+    ).select(F.lit("ALL").alias("event_type"), "approx_users")
+    return per_type_est.unionByName(global_est)
