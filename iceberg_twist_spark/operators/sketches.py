@@ -222,3 +222,69 @@ def q_sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
     ).select(F.lit("ALL").alias("event_type"), "approx_users")
     return per_type_est.unionByName(global_est)
+
+
+# ------------------------------------------- bloom-pruned semi join
+# The runtime-filter pattern end to end: a bloom built from the
+# selective dim side broadcasts onto the fact scan and drops most
+# non-matching rows BEFORE the shuffle/join; an exact semi join then
+# removes the bloom's false positives. No false negatives ⇒ the result
+# provably equals the plain join, which is exactly what the oracle
+# asserts. This is the hand-rolled, inspectable form of Spark's
+# spark.sql.optimizer.runtime.bloomFilter injection — at 100 TB the
+# fact rows that never reach the exchange are the whole win.
+
+_BLOOM_JOIN_ORACLE = """
+WITH dim AS (
+    SELECT DISTINCT s_suppkey
+    FROM supplier WHERE s_suppkey % 4 = 1 AND s_acctbal > 0
+)
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       floor(sum(l_extendedprice) * 10000 + 0.5) / 10000 AS revenue
+FROM lineitem JOIN dim ON l_suppkey = dim.s_suppkey
+GROUP BY l_returnflag
+"""
+
+
+@register("q_join_bloom_prune", oracle=_BLOOM_JOIN_ORACLE, tags=("sketch", "join", "filter"))
+def q_join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned fact⋈dim (selective supplier subset): the dim
+    keys' bloom bits collect into ONE
+    broadcast row; the fact side keeps a row only when all of its key's
+    hash bits are present (forall over the bit set — pure JVM, applied
+    in the scan stage), then an exact broadcast semi join removes false
+    positives. Hash-checked against the plain join, which it must equal
+    because blooms never produce false negatives."""
+    t = load_tables(spark, sf_dir)
+    dim = (
+        t["supplier"]
+        .filter((F.col("s_suppkey") % 4 == 1) & (F.col("s_acctbal") > 0))
+        .select(F.col("s_suppkey").alias("key"))
+        .distinct()
+    )
+    depths = F.explode(F.sequence(F.lit(0), F.lit(BLOOM_HASHES - 1))).alias("d")
+    bloom = (
+        dim.select(F.col("key").cast("string").alias("key"), depths)
+        .select(_bloom_bit(F.col("key"), F.col("d")).alias("bit"))
+        .agg(F.collect_set("bit").alias("bits"))
+    )
+    fact = t["lineitem"].select("l_suppkey", "l_returnflag", "l_extendedprice")
+    probe_bits = F.array(
+        *[
+            _bloom_bit(F.col("l_suppkey").cast("string"), F.lit(d))
+            for d in range(BLOOM_HASHES)
+        ]
+    )
+    pruned = (
+        fact.crossJoin(F.broadcast(bloom))
+        .filter(F.forall(probe_bits, lambda b: F.array_contains("bits", b)))
+        .drop("bits")
+    )
+    exact = pruned.join(
+        F.broadcast(dim.select(F.col("key").alias("l_suppkey"))), "l_suppkey", "left_semi"
+    )
+    return exact.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        (F.floor(F.sum("l_extendedprice") * 10000 + F.lit(0.5)) / 10000).alias("revenue"),
+    )

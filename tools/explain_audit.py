@@ -122,6 +122,14 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
     ),
     # weighted sample: top-K by priority is a per-partition heap
     "q_sample_weighted": (["TakeOrderedAndProject"], ["Exchange rangepartitioning"]),
+    # bloom-pruned join: 1-row bit-set attach + broadcast semi join —
+    # the FACT side never shuffles for the join (the only hash
+    # exchanges in the plan are the tiny dim-side distinct and the
+    # final |flags|-row aggregate)
+    "q_join_bloom_prune": (
+        ["LeftSemi", "BroadcastHashJoin"],
+        ["SortMergeJoin", "ShuffledHashJoin"],
+    ),
 }
 
 
