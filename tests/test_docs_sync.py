@@ -45,3 +45,15 @@ def test_perf_md_counts_are_live():
     assert f"({audits}/{audits} passing)" in text, (
         "PERF.md plan-audit count drifted from tools/explain_audit.AUDITS"
     )
+
+
+def test_readme_counts_are_live():
+    audits, total, oracle, approx, rows_only = _counts()
+    text = open(os.path.join(REPO, "README.md"), encoding="utf-8").read()
+    assert (
+        f"**{total} registered\nqueries, {oracle} hash-checked" in text
+        or f"**{total} registered queries, {oracle} hash-checked" in text
+    ), "README.md registered/oracle counts drifted from the registry"
+    assert f"{audits} asserted plan shapes" in text, (
+        "README.md plan-audit count drifted from tools/explain_audit.AUDITS"
+    )
