@@ -13,7 +13,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from iceberg_twist_spark.catalog import load_tables
-from iceberg_twist_spark.common import r4
+from iceberg_twist_spark.common import r4, spread
 from iceberg_twist_spark.registry import register
 
 _STATS_ORACLE = """
@@ -327,5 +327,62 @@ def q_llm_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4((F.count("*") - F.count("in_vocab")) * F.lit(1.0) / F.count("*")).alias(
                 "oov_ratio"
             ),
+        )
+    )
+
+
+# --------------------------------------------- unigram LM scoring
+# Perplexity-proxy quality filter: score every document by the mean
+# log-probability of its tokens under the corpus's own unigram model —
+# the cheap stand-in for model-based perplexity filtering in training
+# pipelines (low mean logprob ⇒ rare/garbled token mix). All relative
+# frequencies, so no model weights and no Python anywhere.
+
+_UNIGRAM_ORACLE = """
+WITH tok AS (
+    SELECT doc_id, w.word
+    FROM documents, LATERAL unnest(string_split(text, ' ')) AS w(word)
+),
+vocab AS (
+    SELECT word, count(*) AS cnt FROM tok GROUP BY word
+),
+total AS (SELECT sum(cnt) AS n FROM vocab)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       floor(avg(ln(v.cnt / total.n)) * 10000 + 0.5) / 10000 AS mean_logprob,
+       floor((-avg(ln(v.cnt / total.n))) * 10000 + 0.5) / 10000 AS ppl_proxy
+FROM tok t
+JOIN vocab v ON t.word = v.word
+CROSS JOIN total
+GROUP BY t.doc_id
+"""
+
+
+@register("q_llm_unigram_logprob", oracle=_UNIGRAM_ORACLE, tags=("llm", "text", "agg"))
+def q_llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM document scoring: p(w) = corpus frequency, document
+    score = mean ln p(w) over its tokens (and its negation, the
+    cross-entropy perplexity proxy).
+
+    One (doc, word) explode shuffles to build the vocab counts AND to
+    score — the equi-join on word reuses the exchange, the corpus-size
+    scalar rides a one-row broadcast, and the final per-doc aggregate
+    hashes back on doc_id. Output is |docs| rows however long the
+    documents; at 100 TB the vocab table is the only state that grows
+    sublinearly and it shuffles as (word, count) pairs only.
+    """
+    docs = spread(load_tables(spark, sf_dir)["documents"], "doc_id")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    vocab = tok.groupBy("word").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("double").alias("n"))
+    logp = F.log(F.col("cnt") / F.col("n"))
+    return (
+        tok.join(vocab, "word")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            r4(F.avg(logp)).alias("mean_logprob"),
+            r4(-F.avg(logp)).alias("ppl_proxy"),
         )
     )
