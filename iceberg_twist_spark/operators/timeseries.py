@@ -321,3 +321,78 @@ def q_ts_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(gap).cast("long").alias("max_gap_s"),
         )
     )
+
+
+# ------------------------------------------ linear-interp resampling
+# The third resampling primitive after gap-fill (null spine) and
+# forward-fill (step function): reconstruct the signal at hour-aligned
+# grid points by linear interpolation between each consecutive
+# observation pair. Segment-explode shape: ONE lead window pairs the
+# observations, each pair emits only the grid points it covers — no
+# spine join, no second shuffle; output is |grid points|-bounded.
+
+_INTERP_STEP = 3600
+
+_INTERP_ORACLE = f"""
+WITH seq AS (
+    SELECT user_id,
+           CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS t0,
+           value AS v0,
+           lead(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT))
+               OVER w AS t1,
+           lead(value) OVER w AS v1
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+),
+grid AS (
+    SELECT user_id, t0, v0, t1, v1, g.g AS gsec
+    FROM seq,
+         LATERAL unnest(range((CAST(floor(t0 / {_INTERP_STEP}) AS BIGINT) + 1)
+                                  * {_INTERP_STEP},
+                              t1 + 1, {_INTERP_STEP})) AS g(g)
+    WHERE t1 IS NOT NULL
+      AND (CAST(floor(t0 / {_INTERP_STEP}) AS BIGINT) + 1) * {_INTERP_STEP} <= t1
+)
+SELECT user_id, gsec AS grid_sec,
+       floor((v0 + (v1 - v0) * (gsec - t0) * 1.0 / (t1 - t0)) * 10000 + 0.5)
+           / 10000 AS interp_value
+FROM grid
+"""
+
+
+@register("q_ts_interp", oracle=_INTERP_ORACLE, tags=("timeseries", "window"))
+def q_ts_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample each sensor's value series onto an hour-aligned grid by
+    linear interpolation between consecutive observations.
+
+    One user_id lead window pairs observations; each pair explodes to
+    exactly the grid instants inside it (start > t0 guard keeps Spark's
+    inclusive ``sequence`` bounds valid and drops zero-width pairs, so
+    the divisor is never zero). Same keyed-window + narrow-explode
+    discipline as gap-fill: no spine table, no extra shuffle, and at
+    100 TB output scales with grid density, not event volume.
+    """
+    events = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.floor(F.unix_timestamp(F.date_trunc("second", F.col("ts")))).cast("long")
+    seq = events.select(
+        "user_id",
+        sec.alias("t0"),
+        F.col("value").alias("v0"),
+        F.lead(sec).over(w).alias("t1"),
+        F.lead("value").over(w).alias("v1"),
+    )
+    start = (F.floor(F.col("t0") / _INTERP_STEP) + 1) * _INTERP_STEP
+    pairs = seq.filter(F.col("t1").isNotNull() & (start <= F.col("t1")))
+    grid = pairs.select(
+        "user_id", "t0", "v0", "t1", "v1",
+        F.explode(F.sequence(start.cast("long"), F.col("t1"), F.lit(_INTERP_STEP))).alias("gsec"),
+    )
+    interp = F.col("v0") + (F.col("v1") - F.col("v0")) * (
+        F.col("gsec") - F.col("t0")
+    ) / (F.col("t1") - F.col("t0"))
+    return grid.select(
+        "user_id",
+        F.col("gsec").alias("grid_sec"),
+        r4(interp).alias("interp_value"),
+    )
