@@ -116,7 +116,9 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "timing": "best-of-2-warm",
+                # 2 warm runs, plus a 3rd only when the first two
+                # disagree by >10% — label the policy, not one case
+                "timing": "adaptive-best-of-2-3-warm",
             }
         )
     )

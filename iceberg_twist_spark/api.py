@@ -122,20 +122,36 @@ class Engine:
 
     # -- warehouse helpers (generic over user DataFrames) ----------------
     @staticmethod
-    def scd2(df: DataFrame, key_col: str, attr_col: str, ts_col: str) -> DataFrame:
+    def scd2(
+        df: DataFrame,
+        key_col: str,
+        attr_col: str,
+        ts_col: str,
+        tiebreak_col: str | None = None,
+    ) -> DataFrame:
         """Type-2 dimension history from an observation stream: collapse
         repeat observations per key, stamp [valid_from, valid_to) via
         lead, open-ended current row (same plan as q_scd2_build; one
-        shuffle on the key)."""
+        shuffle on the key).
+
+        Pass ``tiebreak_col`` (a unique per-key column) whenever
+        duplicate timestamps per key are possible — without it the
+        lag/lead order among equal timestamps is engine-chosen and the
+        result is nondeterministic (the repo's determinism convention,
+        FIXTURES.md)."""
         from pyspark.sql import Window
 
-        w = Window.partitionBy(key_col).orderBy(ts_col)
+        order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+        cols = [key_col, attr_col, ts_col] + (
+            [tiebreak_col] if tiebreak_col and tiebreak_col not in (key_col, attr_col, ts_col) else []
+        )
+        w = Window.partitionBy(key_col).orderBy(*order)
         chg = (
-            df.select(key_col, attr_col, ts_col)
+            df.select(*cols)
             .withColumn("__prev", F.lag(attr_col).over(w))
             .filter(F.col("__prev").isNull() | (F.col("__prev") != F.col(attr_col)))
         )
-        nxt = F.lead(ts_col).over(Window.partitionBy(key_col).orderBy(ts_col))
+        nxt = F.lead(ts_col).over(Window.partitionBy(key_col).orderBy(*order))
         return chg.select(
             key_col,
             F.col(attr_col).alias("attr_value"),
@@ -152,16 +168,26 @@ class Engine:
         ts_col: str,
         pattern: Sequence[str],
         within_seconds: int | None = None,
+        tiebreak_col: str | None = None,
     ) -> DataFrame:
         """Consecutive-pattern matches per key (MATCH_RECOGNIZE-lite):
         rows where the adjacent event sequence equals ``pattern``,
         optionally completing within ``within_seconds``. One window
         pass, no candidate materialization (same plan as
-        q_seq_pattern)."""
+        q_seq_pattern).
+
+        Pass ``tiebreak_col`` (unique per key, e.g. an event id) when
+        duplicate timestamps per key are possible — without it the
+        adjacency order among equal timestamps is engine-chosen and
+        matches are nondeterministic."""
         from pyspark.sql import Window
 
-        w = Window.partitionBy(key_col).orderBy(ts_col)
-        out = df.select(key_col, event_col, ts_col)
+        order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+        cols = [key_col, event_col, ts_col] + (
+            [tiebreak_col] if tiebreak_col and tiebreak_col not in (key_col, event_col, ts_col) else []
+        )
+        w = Window.partitionBy(key_col).orderBy(*order)
+        out = df.select(*cols)
         cond = F.col(event_col) == pattern[0]
         for i, step in enumerate(pattern[1:], start=1):
             cond = cond & (F.lead(event_col, i).over(w) == step)

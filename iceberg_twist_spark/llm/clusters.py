@@ -57,8 +57,12 @@ def connected_components(
     # Labels only ever decrease, so the label sum strictly decreases
     # until the fixpoint — a scalar compare replaces the old
     # join-the-previous-round convergence check (one fewer shuffle
-    # join per round).
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    # join per round). Summed as decimal(38,0): with non-ANSI Spark an
+    # int64 sum wraps silently, and for callers whose node ids are
+    # full-range 64-bit hashes an overflow coincidence could end the
+    # loop early. decimal(38,0) holds 2^63 · any realistic node count.
+    _label_sum = F.sum(F.col("label").cast("decimal(38,0)"))
+    prev_sum = labels.agg(_label_sum).collect()[0][0]
 
     for _ in range(max_iter):
         # each node offers its label to every neighbor; keep the min of
@@ -83,7 +87,7 @@ def connected_components(
             propagated.join(lbl_map, propagated.label == lbl_map.l_node)
             .select("node", F.col("l_label").alias("label"))
         ).localCheckpoint(eager=True)
-        cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        cur_sum = new_labels.agg(_label_sum).collect()[0][0]
         labels = new_labels
         if cur_sum == prev_sum:
             break

@@ -264,6 +264,7 @@ FROM events GROUP BY event_type
     tags=("agg", "sketch"),
     approx_oracle=_APPROX_DISTINCT_EXACT,
     approx_rtol=0.05,
+    approx_keys=("event_type",),
 )
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL approximate distinct (rows-only: estimator differs from DuckDB).
@@ -291,6 +292,7 @@ FROM orders GROUP BY o_orderstatus
     tags=("agg", "sketch"),
     approx_oracle=_APPROX_PCTL_EXACT,
     approx_rtol=0.05,
+    approx_keys=("o_orderstatus",),
 )
 def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile p50/p95/p99 of order totals per status.

@@ -201,6 +201,7 @@ FROM events
     tags=("sketch", "agg"),
     approx_oracle=_HLL_EXACT,
     approx_rtol=0.05,
+    approx_keys=("event_type",),
 )
 def q_sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-cardinality pipeline: build one DataSketches HLL per

@@ -41,6 +41,11 @@ class QuerySpec:
     # "value-unchecked" for the approx family.
     approx_oracle: str | None = None
     approx_rtol: float = 0.05
+    # Unique-key columns an approx query's rows are aligned on before
+    # the ε-band compare. Required whenever approx_oracle is set — the
+    # harness must never sort on the estimates themselves (an estimate
+    # crossing the exact value would misalign rows).
+    approx_keys: tuple[str, ...] = ()
 
 
 def register(
@@ -49,12 +54,18 @@ def register(
     tags: tuple[str, ...] = (),
     approx_oracle: str | None = None,
     approx_rtol: float = 0.05,
+    approx_keys: tuple[str, ...] = (),
 ):
     """Decorator: register a query builder under ``name``."""
 
     def deco(fn: Builder) -> Builder:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
+        if approx_oracle is not None and not approx_keys:
+            raise ValueError(
+                f"{name}: approx_oracle requires approx_keys (unique key "
+                "columns to align rows on — estimates must not be sort keys)"
+            )
         REGISTRY[name] = QuerySpec(
             name=name,
             builder=fn,
@@ -62,6 +73,7 @@ def register(
             tags=tags,
             approx_oracle=approx_oracle,
             approx_rtol=approx_rtol,
+            approx_keys=approx_keys,
         )
         return fn
 

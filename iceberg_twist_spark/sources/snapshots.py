@@ -169,7 +169,11 @@ class SnapshotTable:
         survivors = base.join(source.select(key), on=key, how="left_anti")
         merged = survivors.unionByName(source)
         files, n = self._write_files(merged)
-        return self._commit(files, n, "merge", source.schema.json())
+        # commit the schema of the frame actually written — the union
+        # keeps the BASE table's column order/nullability, and a source
+        # with same names but different nullability/metadata must not
+        # be recorded as describing the committed files
+        return self._commit(files, n, "merge", merged.schema.json())
 
     def delete_where(self, condition) -> int:
         """Copy-on-write DELETE: rewrite the current snapshot without

@@ -74,21 +74,27 @@ def _compare_approx(
         return False, f"approx columns differ: spark={sorted(s_cols)} duck={sorted(d_cols)}", elapsed
     if len(s_rows) != len(d_rows):
         return False, f"approx row count: spark={len(s_rows)} duck={len(d_rows)}", elapsed
-    # Align rows by the non-numeric key columns only — sorting on the
-    # estimates themselves could misalign rows whenever an estimate
-    # crosses an exact value.
+    # Align rows on the query's DECLARED unique key columns (QuerySpec
+    # .approx_keys, enforced at registration) — never on the estimates
+    # themselves, which could misalign rows whenever an estimate
+    # crosses an exact value, and never on inferred cell types, which
+    # breaks for numeric keys or duplicate string keys.
     order = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
     d_order = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
+    sorted_cols = sorted(s_cols)
+    key_idx = [sorted_cols.index(k) for k in spec.approx_keys]
 
-    # Approx queries must carry at least one string-typed key column;
-    # numeric cells (the estimates) are excluded from the sort key.
     def canon_keyed(rows, idx):
         out = [tuple(_norm_cell(r[i]) for i in idx) for r in rows]
-        out.sort(key=lambda t: tuple(str(x) for x in t if isinstance(x, str)))
+        out.sort(key=lambda t: tuple((t[i] is None, str(t[i])) for i in key_idx))
         return out
 
     s_canon = canon_keyed([tuple(r) for r in s_rows], order)
     d_canon = canon_keyed(d_rows, d_order)
+    # the declared keys must be unique or alignment is meaningless
+    s_keys = [tuple(r[i] for i in key_idx) for r in s_canon]
+    if len(set(s_keys)) != len(s_keys):
+        return False, f"approx_keys {spec.approx_keys} not unique in result", elapsed
     rtol = spec.approx_rtol
     for i, (srow, drow) in enumerate(zip(s_canon, d_canon)):
         for sv, dv in zip(srow, drow):
