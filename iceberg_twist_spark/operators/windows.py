@@ -144,6 +144,52 @@ def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _global_rank(
+    df: DataFrame, value_col: str, tiebreak_col: str, n_buckets: int = 64
+) -> tuple[DataFrame, int]:
+    """Distributed EXACT global rank over a unique total order
+    (value_col, tiebreak_col) — no single-reducer window anywhere.
+
+    Shape (the scale-out form of ``row_number() OVER (ORDER BY …)``):
+    1. value-range bucketing on ``value_col`` — a pure expression of
+       the row, so it is deterministic under stage recomputation
+       (unlike ``spark_partition_id()`` after ``repartitionByRange``,
+       whose sampled boundaries a retried stage may re-draw);
+    2. per-bucket ``row_number`` — parallel windows, one per bucket;
+    3. per-bucket counts (≤ ``n_buckets`` rows) materialized once and
+       re-emitted as cumulative offsets via a broadcast join — the
+       same one-time tiny-constant materialization pattern as
+       ``similarity._plane_signs``, never O(rows) driver traffic;
+    4. ``global_rank = bucket_offset + local row_number``.
+
+    At 100 TB the same plan holds: each bucket sorts independently
+    (bucket count sized to executor memory), and the offsets frame
+    stays ≤ n_buckets rows regardless of data volume. Returns
+    (df + ``__rank`` column, total row count).
+    """
+    lo, hi = df.agg(F.min(value_col), F.max(value_col)).first()
+    span = float(hi) - float(lo) or 1.0
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.floor((F.col(value_col) - F.lit(float(lo))) * n_buckets / F.lit(span)),
+    ).cast("int")
+    b = df.withColumn("__bucket", bucket)
+    counts = {r[0]: r[1] for r in b.groupBy("__bucket").count().collect()}
+    total = sum(counts.values())
+    run, rows = 0, []
+    for k in range(n_buckets):
+        rows.append((k, run))
+        run += counts.get(k, 0)
+    off = df.sparkSession.createDataFrame(rows, "__bucket INT, __offset BIGINT")
+    w = Window.partitionBy("__bucket").orderBy(value_col, tiebreak_col)
+    ranked = (
+        b.join(F.broadcast(off), "__bucket")
+        .withColumn("__rank", F.col("__offset") + F.row_number().over(w))
+        .drop("__bucket", "__offset")
+    )
+    return ranked, total
+
+
 _NTILE_ORACLE = """
 SELECT c_custkey, c_acctbal,
        CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS quartile
@@ -153,17 +199,26 @@ FROM customer
 
 @register("q_win_ntile", oracle=_NTILE_ORACLE, tags=("window",))
 def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile over a total order (c_custkey tiebreak → deterministic).
+    """Exact distributed ntile over a total order (c_custkey tiebreak).
 
-    Note: an unpartitioned window is a single-reducer sort — acceptable
-    for quartile assignment of a dimension table; at fact-table scale
-    use approx percentiles + a bucketing join instead."""
+    ntile(k) is pure arithmetic once the global rank exists: the first
+    ``n % k`` tiles get ``n//k + 1`` rows, the rest ``n//k`` — so the
+    single-reducer ``Window.orderBy`` the naive form needs is replaced
+    by ``_global_rank`` (bucketed parallel sort) + a closed-form tile
+    expression. Holds at fact-table scale, not just on dimensions."""
     c = load_tables(spark, sf_dir)["customer"]
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return c.select(
+    ranked, n = _global_rank(c, "c_acctbal", "c_custkey")
+    k = 4
+    base, rem = divmod(n, k)
+    boundary = rem * (base + 1)
+    r = F.col("__rank")
+    tile = F.when(
+        r <= boundary, F.floor((r - 1) / (base + 1)) + 1
+    ).otherwise(rem + F.floor((r - boundary - 1) / max(base, 1)) + 1)
+    return ranked.select(
         "c_custkey",
         "c_acctbal",
-        F.ntile(4).over(w).cast("long").alias("quartile"),
+        tile.cast("long").alias("quartile"),
     )
 
 
@@ -340,13 +395,18 @@ FROM customer
 
 @register("q_win_cume_dist", oracle=_CUMEDIST_ORACLE, tags=("window",))
 def q_win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """percent_rank + cume_dist over a total order (custkey tiebreak).
-    Like ntile, an unpartitioned ranking is fine on a dimension table;
-    a fact-scale variant would partition or approximate."""
+    """Exact distributed percent_rank + cume_dist over a total order.
+
+    The ordering (c_acctbal, c_custkey) is UNIQUE, so there are no
+    peers: rank == row_number, percent_rank = (rank-1)/(n-1) and
+    cume_dist = rank/n become closed-form arithmetic over the
+    ``_global_rank`` bucketed parallel sort — the fact-scale form of
+    what a single-reducer ``Window.orderBy`` would compute."""
     c = load_tables(spark, sf_dir)["customer"]
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return c.select(
+    ranked, n = _global_rank(c, "c_acctbal", "c_custkey")
+    r = F.col("__rank")
+    return ranked.select(
         "c_custkey", "c_acctbal",
-        r4(F.percent_rank().over(w)).alias("pct_rank"),
-        r4(F.cume_dist().over(w)).alias("cume"),
+        r4((r - 1) / F.lit(max(n - 1, 1))).alias("pct_rank"),
+        r4(r / F.lit(n)).alias("cume"),
     )

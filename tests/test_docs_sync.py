@@ -37,6 +37,31 @@ def test_baseline_md_counts_are_live():
     assert f"`tools/explain_audit.py` ({audits}/{audits})" in text, (
         "BASELINE.md plan-audit count drifted from tools/explain_audit.AUDITS"
     )
+    assert f"registry-wide invariant sweep over all {total} registered" in text, (
+        "BASELINE.md invariant-sweep count drifted from the registry"
+    )
+
+
+def test_audit_allowlists_reference_registered_queries():
+    """Every audit-allowlist entry must name a live registered query —
+    a renamed or dropped query must not leave a stale exemption."""
+    from iceberg_twist_spark.registry import REGISTRY, _load_all_modules
+    from tools.explain_audit import (
+        AUDITS,
+        BNLJ_ALLOWED,
+        CARTESIAN_ALLOWED,
+        GLOBAL_WINDOW_ALLOWED,
+    )
+
+    _load_all_modules()
+    for coll_name, coll in [
+        ("AUDITS", AUDITS),
+        ("BNLJ_ALLOWED", BNLJ_ALLOWED),
+        ("GLOBAL_WINDOW_ALLOWED", GLOBAL_WINDOW_ALLOWED),
+        ("CARTESIAN_ALLOWED", CARTESIAN_ALLOWED),
+    ]:
+        stale = [n for n in coll if n not in REGISTRY]
+        assert not stale, f"{coll_name} references unregistered queries: {stale}"
 
 
 def test_perf_md_counts_are_live():

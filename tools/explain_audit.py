@@ -1,10 +1,22 @@
 """Plan-shape audit: assert the physical plans we designed for.
 
-Each entry asserts properties a 100 TB deployment depends on:
-pushdown reaching the parquet scan, dimension joins broadcasting,
-top-k compiling to TakeOrderedAndProject / WindowGroupLimit, and no
-accidental CartesianProduct anywhere an equi/bounded join was
-intended. Run: ``python tools/explain_audit.py [sf_dir]``.
+Two layers, both run over every registered query:
+
+1. **Named audits** (``AUDITS``) — per-query must-contain /
+   must-not-contain assertions: pushdown reaching the parquet scan,
+   dimension joins broadcasting, top-k compiling to
+   TakeOrderedAndProject / WindowGroupLimit.
+2. **Registry-wide invariants** — checked on ALL queries, so a plan
+   regression anywhere is as unskippable as a hash regression:
+   (a) no CartesianProduct, ever;
+   (b) no BroadcastNestedLoopJoin outside the declared allowlist
+       (cross/theta joins and one-row scalar broadcasts);
+   (c) no single-partition Window (a Window whose required child
+       distribution is ``Exchange SinglePartition`` — the
+       single-reducer global sort) outside the two post-aggregate
+       allowlisted frames.
+
+Run: ``python tools/explain_audit.py [sf_dir]``.
 """
 
 from __future__ import annotations
@@ -132,30 +144,113 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
     ),
 }
 
+# Registry-wide invariant allowlists. Every entry carries the reason it
+# is allowed — an unlisted query hitting the pattern fails the audit.
+
+# BroadcastNestedLoopJoin: legitimate ONLY as (1) a declared cross or
+# theta join, or (2) a one-row/small-bounded broadcast a scalar or
+# probe-set attaches with. Both keep the big side streaming map-side.
+BNLJ_ALLOWED: dict[str, str] = {
+    "q_join_cross": "the declared cross join (two dimension tables)",
+    "q_join_theta": "declared theta join (inequality predicate)",
+    "q_agg_histogram": "1-row min/max bounds broadcast",
+    "q_agg_histogram_eqdepth": "1-row decile-edge array broadcast",
+    "q_cdc_upsert": "1-row max(o_orderkey) insert-offset broadcast",
+    "q_join_bloom_prune": "1-row bloom bit-set broadcast onto fact scan",
+    "q_profile_table": "1-row agg × 1-row agg column stitch",
+    "q_tpch_q11": "1-row group-value threshold broadcast (spec'd HAVING)",
+    "q_tpch_q22": "1-row avg(acctbal) scalar broadcast (spec'd subquery)",
+    "q_llm_cosine_topk": "k-row probe-vector broadcast",
+    "q_llm_cosine_pairs": "bounded candidate-block broadcast",
+    "q_llm_knn_join": "probe-set broadcast (|probes| ≪ corpus)",
+    "q_llm_hybrid_search": "probe-vector + idf-model broadcast",
+    "q_llm_ann_ivf": "centroid-table broadcast (nlist rows)",
+    "q_llm_tfidf_topk": "1-row corpus-size scalar broadcast",
+    "q_llm_unigram_logprob": "1-row vocab-total scalar broadcast",
+    "q_llm_neg_sample": "1-row corpus-count scalar broadcast",
+    "q_ml_kmeans_step": "k-row centroid broadcast",
+}
+
+# Single-partition Window (Exchange SinglePartition feeding a Window):
+# allowed only over post-aggregate frames whose row count is bounded by
+# a group-by cardinality, never over raw table rows.
+GLOBAL_WINDOW_ALLOWED: dict[str, str] = {
+    "q_win_share": "global share over 25 post-aggregate nation rows",
+    "q_profile_skew": "rank over |distinct keys| post-aggregate rows",
+}
+
+# CartesianProduct: never. (Even q_join_cross compiles to a broadcast
+# nested loop, not an unpartitioned cartesian.)
+CARTESIAN_ALLOWED: dict[str, str] = {}
+
+_WINDOW_RE = re.compile(r"\bWindow(GroupLimit)? \[")
+
+
+def single_partition_windows(plan: str) -> int:
+    """Count Window nodes fed by an Exchange SinglePartition (the
+    nearest Exchange below the Window in the plan text — AQE may
+    interpose AQEShuffleRead/ShuffleQueryStage lines)."""
+    lines = plan.splitlines()
+    hits = 0
+    for i, ln in enumerate(lines):
+        if _WINDOW_RE.search(ln):
+            for j in range(i + 1, min(i + 6, len(lines))):
+                if "Exchange" in lines[j]:
+                    if "Exchange SinglePartition" in lines[j]:
+                        hits += 1
+                    break
+    return hits
+
+
+def invariant_violations(name: str, plan: str) -> list[str]:
+    errs = []
+    if "CartesianProduct" in plan and name not in CARTESIAN_ALLOWED:
+        errs.append("CartesianProduct")
+    if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
+        errs.append("BroadcastNestedLoopJoin (not allowlisted)")
+    if name not in GLOBAL_WINDOW_ALLOWED and single_partition_windows(plan):
+        errs.append("single-partition Window")
+    return errs
+
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     _load_all_modules()
     spark = get_spark("explain-audit")
     spark.sparkContext.setLogLevel("ERROR")
-    failures = []
-    for name, (wants, rejects) in AUDITS.items():
-        df = REGISTRY[name].builder(spark, sf_dir)
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        missing = [w for w in wants if w not in plan]
-        present = [r for r in rejects if r in plan]
-        ok = not missing and not present
-        joins = sorted(set(re.findall(
-            r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin|CartesianProduct)",
-            plan,
-        )))
-        print(f"{'PASS' if ok else 'FAIL':5s} {name:24s} joins={joins or '-'}"
-              + (f" missing={missing}" if missing else "")
-              + (f" forbidden={present}" if present else ""))
-        if not ok:
-            failures.append(name)
-    print(f"\n{len(AUDITS) - len(failures)}/{len(AUDITS)} plan audits passed")
-    return 1 if failures else 0
+    named_failures, sweep_failures = [], []
+    for name in sorted(REGISTRY):
+        try:
+            df = REGISTRY[name].builder(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name:28s} BUILD-ERR {type(exc).__name__}: {str(exc)[:120]}")
+            sweep_failures.append(name)
+            continue
+        # layer 2: registry-wide invariants
+        errs = invariant_violations(name, plan)
+        if errs:
+            sweep_failures.append(name)
+            print(f"FAIL  {name:28s} invariants: {errs}")
+        # layer 1: named plan-shape assertions
+        if name in AUDITS:
+            wants, rejects = AUDITS[name]
+            missing = [w for w in wants if w not in plan]
+            present = [r for r in rejects if r in plan]
+            ok = not missing and not present
+            joins = sorted(set(re.findall(
+                r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin|CartesianProduct)",
+                plan,
+            )))
+            print(f"{'PASS' if ok else 'FAIL':5s} {name:24s} joins={joins or '-'}"
+                  + (f" missing={missing}" if missing else "")
+                  + (f" forbidden={present}" if present else ""))
+            if not ok:
+                named_failures.append(name)
+    n_sweep = len(REGISTRY)
+    print(f"\n{len(AUDITS) - len(named_failures)}/{len(AUDITS)} plan audits passed")
+    print(f"{n_sweep - len(sweep_failures)}/{n_sweep} registry-wide invariant checks passed")
+    return 1 if named_failures or sweep_failures else 0
 
 
 if __name__ == "__main__":
