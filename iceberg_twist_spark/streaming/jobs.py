@@ -61,29 +61,57 @@ def stage_replay_dir(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> str
     """Stage ``events`` as N time-ordered parquet chunks for file replay.
 
     Chunk k holds the k-th time-quantile slice, so replaying one file
-    per trigger presents data in (roughly) event-time order — the same
-    arrival pattern the satellite link gives the reference service.
+    per trigger presents data in event-time order — the same arrival
+    pattern the satellite link gives the reference service.
+
+    Fully distributed: chunk assignment is an exact ntile over
+    (ts, event_id) via the bucketed global rank
+    (``operators.windows._global_rank`` — no single-reducer sort), and
+    every chunk file is written by an executor task; the round-2
+    ``toPandas()`` here was the repo's last driver-side data
+    materialization. Deterministic: the (ts, event_id) order is unique,
+    and chunk files get strictly ascending mtimes so the file stream
+    source replays them in the same order every run. At a larger
+    events fixture, raise ``n_chunks`` — staging cost stays one
+    distributed rank + n_chunks filtered writes.
     """
     key = (sf_dir, n_chunks)
     if key in _REPLAY_CACHE and os.path.isdir(_REPLAY_CACHE[key]):
         return _REPLAY_CACHE[key]
+    from iceberg_twist_spark.operators.windows import _global_rank
+
     events = load_tables(spark, sf_dir)["events"].select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
+    # NTZ timestamps don't cast to double directly; the tz-cast chain
+    # is monotone in ts (fixed session tz), which is all the rank needs
+    tsd = F.col("ts").cast("timestamp").cast("double")
+    ranked, n = _global_rank(events.withColumn("__tsd", tsd), "__tsd", "event_id")
+    step = (n + n_chunks - 1) // n_chunks
+    chunked = (
+        ranked.withColumn("__chunk", F.floor((F.col("__rank") - 1) / step).cast("int"))
+        .drop("__tsd", "__rank")
+        .localCheckpoint(eager=True)  # rank once, reuse across chunk writes
+    )
     out = tempfile.mkdtemp(prefix="itws_replay_")
-    pdf = events.toPandas().sort_values("ts").reset_index(drop=True)
-    step = (len(pdf) + n_chunks - 1) // n_chunks
     for k in range(n_chunks):
-        chunk = pdf.iloc[k * step : (k + 1) * step]
-        if len(chunk):
-            # pandas writes datetime64[ns]; Spark's streaming parquet
-            # reader wants µs TimestampType — coerce at write time
-            chunk.to_parquet(
-                os.path.join(out, f"chunk_{k:03d}.parquet"),
-                index=False,
-                coerce_timestamps="us",
-                allow_truncated_timestamps=True,
-            )
+        stage = os.path.join(out, f".stage_{k}")
+        (
+            chunked.filter(F.col("__chunk") == k)
+            .drop("__chunk")
+            .coalesce(1)  # one replay file per chunk = one micro-batch each
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        parts = [p for p in os.listdir(stage) if p.endswith(".parquet")]
+        if parts:
+            dst = os.path.join(out, f"chunk_{k:03d}.parquet")
+            os.replace(os.path.join(stage, parts[0]), dst)
+            # ascending mtimes: FileStreamSource orders by modification
+            # time, and same-millisecond writes would leave replay
+            # order to tie-breaking
+            os.utime(dst, (1_600_000_000 + k, 1_600_000_000 + k))
+        shutil.rmtree(stage, ignore_errors=True)
     _REPLAY_CACHE[key] = out
     return out
 
