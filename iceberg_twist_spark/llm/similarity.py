@@ -300,50 +300,55 @@ def q_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_PLANES = 8
 
 
-_SIGN_CACHE: dict[tuple[int, int], list[list[float]]] = {}
+def _plane_signs(dim: int, n_planes: int) -> list[list[float]]:
+    """±1 hyperplane components: sign(p, d) = parity of md5(f"{p}:{d}").
 
-
-def _plane_signs(spark: SparkSession, dim: int, n_planes: int) -> list[list[float]]:
-    """±1 hyperplane components: sign(p, d) = ±1 from xxhash64(p, d).
-
-    Evaluated ONCE via a 1-row job and embedded as literals thereafter.
-    Inlining the when(xxhash64(...)) expressions instead looks
-    equivalent but is NOT constant-folded inside the higher-order
-    lambda — Spark re-evaluated all n_planes × dim hash expressions
-    per input row, which made bucketing 6× slower than the projection
-    arithmetic itself. The constants stay xxhash64-derived, so bucket
-    ids are unchanged (verified identical before switching).
+    Pure-Python derivation (hashlib — no engine hash functions), so the
+    SAME literal sign vectors embed into both the Spark plan and the
+    DuckDB oracle SQL: that is what upgrades the LSH family from
+    rows-only to hash-checked. Materializing signs outside the plan
+    also keeps the round-2 lesson: expressions inside higher-order
+    lambdas are not constant-folded, so anything hash-shaped inlined
+    there re-evaluates per row (measured 6× slower than the projection
+    arithmetic itself). A production deployment would draw Gaussian
+    planes from a seeded RNG and persist them beside the index;
+    parity-of-digest is the same ±1 Rademacher family.
     """
-    key = (dim, n_planes)
-    if key not in _SIGN_CACHE:
-        row = spark.range(1).select(
-            *[
-                F.array(
-                    *[
-                        F.when(
-                            F.xxhash64(F.lit(p), F.lit(d)).bitwiseAND(F.lit(1)) == 1,
-                            1.0,
-                        ).otherwise(-1.0)
-                        for d in range(dim)
-                    ]
-                ).alias(f"p{p}")
-                for p in range(n_planes)
-            ]
-        ).collect()[0]
-        _SIGN_CACHE[key] = [list(row[f"p{p}"]) for p in range(n_planes)]
-    return _SIGN_CACHE[key]
+    import hashlib
+
+    return [
+        [
+            1.0 if hashlib.md5(f"{p}:{d}".encode()).digest()[0] & 1 else -1.0
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def _lsh_bucket_sql(col: str, dim: int = 64, n_planes: int = N_PLANES) -> str:
+    """DuckDB expression computing the same bucket id as ``lsh_bucket``
+    (same literal sign vectors, same sign-bit packing)."""
+    terms = []
+    for p, signs in enumerate(_plane_signs(dim, n_planes)):
+        arr = "[" + ", ".join(str(v) for v in signs) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(CAST({col} AS DOUBLE[]), "
+            f"CAST({arr} AS DOUBLE[])) > 0 THEN {1 << p} ELSE 0 END)"
+        )
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
 
 def lsh_bucket(emb: DataFrame, dim: int = 64, n_planes: int = N_PLANES) -> DataFrame:
     """Random-hyperplane LSH bucket id per vector (deterministic).
 
-    Plane p's component d is a pseudo-random ±1 derived from
-    xxhash64(p, d) — reproducible across runs with zero stored state.
-    The bucket id packs the sign bits of the n_planes projections; at
-    scale, candidate generation joins on bucket id instead of
-    all-pairs. Expected bucket occupancy is |corpus| / 2^n_planes.
+    Plane p's component d is a pseudo-random ±1 derived from an md5
+    parity — reproducible across runs (and engines) with zero stored
+    state. The bucket id packs the sign bits of the n_planes
+    projections; at scale, candidate generation joins on bucket id
+    instead of all-pairs. Expected bucket occupancy is
+    |corpus| / 2^n_planes.
     """
-    signs_py = _plane_signs(emb.sparkSession, dim, n_planes)
+    signs_py = _plane_signs(dim, n_planes)
     proj_cols = []
     for p in range(n_planes):
         signs = F.array(*[F.lit(v) for v in signs_py[p]])
@@ -359,11 +364,25 @@ def lsh_bucket(emb: DataFrame, dim: int = 64, n_planes: int = N_PLANES) -> DataF
     return emb.select("*", bucket.cast("long").alias("bucket"))
 
 
-@register("q_llm_ann_lsh", tags=("llm", "similarity", "sketch"))
+_LSH_ORACLE = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_lsh_bucket_sql('embedding')} AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, bb.vec_id AS vec_b,
+       floor(({_DUCK_COS.format(a='a.embedding', b='bb.embedding')}) * 10000 + 0.5) / 10000 AS cos_sim
+FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+WHERE {_DUCK_COS.format(a='a.embedding', b='bb.embedding')} >= 0.3
+"""
+
+
+@register("q_llm_ann_lsh", oracle=_LSH_ORACLE, tags=("llm", "similarity", "sketch"))
 def q_llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN via hyperplane-LSH buckets (rows-only: bucketing is
-    hash-seeded). Pairs sharing a bucket, with exact cosine verification
-    ≥ 0.3 — the scale path for q_llm_cosine_pairs."""
+    """ANN via hyperplane-LSH buckets: pairs sharing a bucket, with
+    exact cosine verification ≥ 0.3 — the scale path for
+    q_llm_cosine_pairs. Hash-checked: the sign vectors are pure-Python
+    constants embedded as literals in both engines' plans (round-3
+    upgrade from rows-only)."""
     emb = with_norm(spread(load_tables(spark, sf_dir)["embeddings"], "vec_id"), "embedding")
     bucketed = lsh_bucket(emb).cache()
     a = bucketed.select(
@@ -382,6 +401,96 @@ def q_llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sim") >= 0.3)
         .select("vec_a", "vec_b", r4(F.col("sim")).alias("cos_sim"))
     )
+
+
+# --------------------------------------------------------- ANN recall
+# IVF and LSH are deterministic, but determinism says nothing about
+# QUALITY — the number a user tuning nprobe / n_planes actually needs
+# is recall@k against the exact answer. Computed as a checked query so
+# an index-parameter regression fails the oracle gate like any other
+# bug.
+
+RECALL_K = 10
+# Multi-probe radius: also scan buckets whose signature is within this
+# Hamming distance of the probe's — the standard LSH recall/scan-cost
+# knob. Radius 2 over 8 planes = 37 of 256 buckets (~14% of a uniform
+# corpus) — measured recall at this operating point is what the pinned
+# test bound protects.
+LSH_PROBE_RADIUS = 2
+
+_RECALL_ORACLE = f"""
+WITH brute AS ({_TOPK_ORACLE}),
+ivf AS ({_IVF_ORACLE}),
+b AS (
+  SELECT vec_id, embedding, {_lsh_bucket_sql('embedding')} AS bucket
+  FROM embeddings
+),
+probe AS (SELECT embedding AS p, bucket AS pbucket FROM b WHERE vec_id = 0),
+lshtop AS (
+  SELECT bb.vec_id
+  FROM b bb, probe
+  WHERE bit_count(xor(bb.bucket, probe.pbucket)) <= {LSH_PROBE_RADIUS}
+    AND bb.vec_id <> 0
+  ORDER BY floor(({_DUCK_COS.format(a='bb.embedding', b='probe.p')}) * 10000 + 0.5) / 10000 DESC,
+           bb.vec_id
+  LIMIT {RECALL_K}
+)
+SELECT 'ivf' AS method, CAST({RECALL_K} AS INT) AS k,
+       floor((SELECT count(*) FROM ivf JOIN brute USING (vec_id)) / {RECALL_K}.0 * 10000 + 0.5) / 10000 AS recall
+UNION ALL
+SELECT 'lsh_multiprobe' AS method, CAST({RECALL_K} AS INT) AS k,
+       floor((SELECT count(*) FROM lshtop JOIN brute USING (vec_id)) / {RECALL_K}.0 * 10000 + 0.5) / 10000 AS recall
+"""
+
+
+@register("q_llm_ann_recall", oracle=_RECALL_ORACLE, tags=("llm", "similarity", "sketch"))
+def q_llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the IVF and multi-probe-LSH indexes against the
+    brute-force exact top-10 on the same probe (vec_id = 0).
+
+    IVF candidates are q_llm_ann_ivf's own top-10; LSH candidates are
+    the members of every bucket within Hamming ≤ LSH_PROBE_RADIUS of
+    the probe's signature (multi-probe LSH — the knob that trades scan
+    fraction for recall; single-bucket probing on this fixture's
+    similarity range measures ~0, which is itself the reason recall
+    must be a checked number, not an assumption). Every candidate set
+    is ≤ k rows by the time it reaches the recall join, so those joins
+    broadcast. tests pin the measured bounds so an index-parameter
+    change that silently degrades retrieval quality fails CI.
+    """
+    brute = q_llm_cosine_topk(spark, sf_dir).select("vec_id")
+    ivf = q_llm_ann_ivf(spark, sf_dir).select("vec_id")
+
+    emb = with_norm(spread(load_tables(spark, sf_dir)["embeddings"], "vec_id"), "embedding")
+    bucketed = lsh_bucket(emb)
+    pb = bucketed.filter(F.col("vec_id") == 0).select(
+        F.col("bucket").alias("pbucket"),
+        F.col("embedding").alias("p"),
+        F.col("nrm").alias("pn"),
+    )
+    pair_sim = _dot(F.col("embedding"), F.col("p")) / (F.col("nrm") * F.col("pn"))
+    hamming = F.bit_count(F.col("bucket").bitwiseXOR(F.col("pbucket")))
+    lsh_top = (
+        bucketed.crossJoin(F.broadcast(pb))
+        .filter((hamming <= LSH_PROBE_RADIUS) & (F.col("vec_id") != 0))
+        .select("vec_id", r4(pair_sim).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(RECALL_K)
+        .select("vec_id")
+    )
+
+    def rec(method: str, cand: DataFrame) -> DataFrame:
+        return (
+            cand.join(F.broadcast(brute), "vec_id", "left_semi")
+            .agg(r4(F.count("*") / float(RECALL_K)).alias("recall"))
+            .select(
+                F.lit(method).alias("method"),
+                F.lit(RECALL_K).cast("int").alias("k"),
+                "recall",
+            )
+        )
+
+    return rec("ivf", ivf).unionByName(rec("lsh_multiprobe", lsh_top))
 
 
 _QUANT_ORACLE = """

@@ -463,6 +463,151 @@ FROM b GROUP BY doc_id, width, height
 """
 
 
+# ------------------------------------------------------ real audio codec
+# Tier 3b: WAV/PCM16 is the audio analogue of the PPM path — a real,
+# standard container simple enough to encode JVM-side (44-byte RIFF
+# header + little-endian int16 samples) and decode with numpy alone.
+# The sample decode is the reference's own trick: int16 little-endian
+# frombuffer at a fixed offset (`iceberg-twist/main.py:77-81` reads
+# its sensor payload exactly this way).
+
+WAV_SAMPLE_RATE = 8000
+
+_WAV_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("duration_ms", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.LongType()),
+    ]
+)
+
+
+def build_wav_table(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL mono PCM16 WAV clips: canonical 44-byte RIFF
+    header + n samples, n = 64 + doc_id mod 64, sample i =
+    int16((doc_id·7919 + i·104729) mod 2^16). Assembly is pure JVM
+    expressions (hex concat → unhex), like the other media fixtures."""
+
+    def le_lit_hex(v: int, n_bytes: int) -> str:
+        return v.to_bytes(n_bytes, "little").hex().upper()
+
+    n_samples = (F.lit(64) + F.col("doc_id") % 64).cast("int")
+    data_size = (n_samples * 2).cast("int")
+    header_hex = F.concat(
+        F.hex(F.encode(F.lit("RIFF"), "utf-8")),
+        _le_hex_int(F.lit(36) + data_size, 4),
+        F.hex(F.encode(F.lit("WAVEfmt "), "utf-8")),
+        F.lit(le_lit_hex(16, 4)),                    # fmt chunk size
+        F.lit(le_lit_hex(1, 2)),                     # PCM
+        F.lit(le_lit_hex(1, 2)),                     # mono
+        F.lit(le_lit_hex(WAV_SAMPLE_RATE, 4)),       # sample rate
+        F.lit(le_lit_hex(WAV_SAMPLE_RATE * 2, 4)),   # byte rate
+        F.lit(le_lit_hex(2, 2)),                     # block align
+        F.lit(le_lit_hex(16, 2)),                    # bits/sample
+        F.hex(F.encode(F.lit("data"), "utf-8")),
+        _le_hex_int(data_size, 4),
+    )
+    samples_hex = F.expr(
+        """
+        array_join(transform(sequence(0, cast(64 + doc_id % 64 as int) - 1, 1),
+          i -> concat(
+            lpad(hex(((doc_id*7919 + i*104729) % 65536) % 256), 2, '0'),
+            lpad(hex(((doc_id*7919 + i*104729) % 65536) div 256), 2, '0'))), '')
+        """
+    )
+    return docs.select(
+        "doc_id", F.unhex(F.concat(header_hex, samples_hex)).alias("media")
+    )
+
+
+def decode_wav(media_df: DataFrame) -> DataFrame:
+    """Genuine WAV/PCM16 decode (numpy, no audio libraries): validate
+    the RIFF/WAVE/fmt/data layout, read the format fields, and view the
+    sample block as little-endian int16 — per-clip duration, RMS and
+    peak. Arrow-batched ``mapInPandas``; the exact plumbing a real
+    audio-feature stage (VAD, fingerprint, mel filterbank) plugs into."""
+
+    def gen(batches):
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "n_channels", "sample_rate", "n_samples",
+                "duration_ms", "rms", "peak",
+            )}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                raw = bytes(blob)
+                if len(raw) < 44 or raw[0:4] != b"RIFF" or raw[8:12] != b"WAVE":
+                    continue  # not a WAV — skip, don't crash the task
+                audio_format = int(np.frombuffer(raw[20:22], "<u2")[0])
+                n_channels = int(np.frombuffer(raw[22:24], "<u2")[0])
+                sample_rate = int(np.frombuffer(raw[24:28], "<u4")[0])
+                bits = int(np.frombuffer(raw[34:36], "<u2")[0])
+                data_size = int(np.frombuffer(raw[40:44], "<u4")[0])
+                if audio_format != 1 or bits != 16 or raw[36:40] != b"data":
+                    continue
+                samples = np.frombuffer(
+                    raw[44 : 44 + data_size], dtype="<i2"
+                ).astype(np.float64)
+                n = samples.size // max(n_channels, 1)
+                rows["doc_id"].append(doc_id)
+                rows["n_channels"].append(n_channels)
+                rows["sample_rate"].append(sample_rate)
+                rows["n_samples"].append(n)
+                rows["duration_ms"].append(n * 1000.0 / sample_rate)
+                rows["rms"].append(
+                    float(np.sqrt(np.mean(samples**2))) if samples.size else 0.0
+                )
+                rows["peak"].append(int(np.abs(samples).max()) if samples.size else 0)
+            yield pd.DataFrame(rows)
+
+    return media_df.select("doc_id", "media").mapInPandas(gen, _WAV_SCHEMA)
+
+
+_WAV_ORACLE = f"""
+WITH m AS (
+    SELECT doc_id, CAST(64 + doc_id % 64 AS INT) AS n FROM documents
+), s AS (
+    SELECT doc_id, n, (doc_id*7919 + t.i*104729) % 65536 AS v
+    FROM m, LATERAL unnest(range(0, CAST(n AS BIGINT))) AS t(i)
+), sg AS (
+    SELECT doc_id, n, CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS smp
+    FROM s
+)
+SELECT doc_id,
+       CAST(1 AS INT) AS n_channels,
+       CAST({WAV_SAMPLE_RATE} AS INT) AS sample_rate,
+       CAST(n AS INT) AS n_samples,
+       floor((n * 1000.0 / {WAV_SAMPLE_RATE}) * 10000 + 0.5)/10000 AS duration_ms,
+       floor(sqrt(avg(smp*smp)) * 10000 + 0.5)/10000 AS rms,
+       CAST(max(abs(smp)) AS BIGINT) AS peak
+FROM sg GROUP BY doc_id, n
+"""
+
+
+@register("q_mm_wav_stats", oracle=_WAV_ORACLE, tags=("multimodal", "udf"))
+def q_mm_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-format audio round trip: encode every document as an actual
+    mono PCM16 WAV (JVM expressions build the RIFF container), decode
+    it with the numpy parser (header validation + ``<i2`` sample view —
+    the reference's own int16 decode trick, `iceberg-twist/main.py:77-81`),
+    and hash-check duration/RMS/peak against a first-principles SQL
+    derivation of the same samples. Audio joins PPM as a tier-3 codec
+    that runs for real with zero library dependencies."""
+    from iceberg_twist_spark.common import spread
+
+    docs = spread(load_tables(spark, sf_dir)["documents"], "doc_id")
+    decoded = decode_wav(build_wav_table(docs))
+    return decoded.select(
+        "doc_id", "n_channels", "sample_rate", "n_samples",
+        r4("duration_ms").alias("duration_ms"),
+        r4("rms").alias("rms"),
+        "peak",
+    )
+
+
 @register("q_mm_ppm_decode", oracle=_PPM_ORACLE, tags=("multimodal", "udf"))
 def q_mm_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real-format codec round trip: encode every document as an actual

@@ -212,3 +212,18 @@ def test_weighted_sample_prefers_heavy_rows(spark, sf_dir):
     pop = spark.read.parquet(f"{sf_dir}/orders.parquet")
     p_mean = pop.agg(F.avg("o_totalprice")).collect()[0][0]
     assert s_mean > p_mean
+
+
+def test_ann_recall_bounds(spark, sf_dir):
+    """Pinned retrieval-quality floor: IVF recall@10 >= 0.9 and
+    multi-probe-LSH recall@10 >= 0.5 on the fixtures — an index
+    parameter change (nprobe, n_planes, probe radius) that silently
+    degrades retrieval fails here, not in production."""
+    from iceberg_twist_spark.registry import REGISTRY
+
+    rows = {
+        r.method: r.recall
+        for r in REGISTRY["q_llm_ann_recall"].builder(spark, sf_dir).collect()
+    }
+    assert rows["ivf"] >= 0.9, rows
+    assert rows["lsh_multiprobe"] >= 0.5, rows

@@ -129,3 +129,58 @@ def test_ppm_decode_skips_corrupt_blobs(spark):
     ]
     df = spark.createDataFrame(bad, "doc_id long, media binary")
     assert decode_ppm(df).count() == 0
+
+
+def test_wav_decode_known_clip(spark):
+    """The numpy WAV parser must decode a stdlib-built PCM16 clip exactly."""
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+
+    from iceberg_twist_spark.multimodal import decode_wav
+
+    samples = [0, 1000, -1000, 32767, -32768, 500, -500, 0]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack("<8h", *samples))
+    df = spark.createDataFrame(
+        [(7, bytearray(buf.getvalue()))], "doc_id long, media binary"
+    )
+    row = decode_wav(df).collect()[0]
+    arr = np.asarray(samples, dtype=np.float64)
+    assert (row.n_channels, row.sample_rate, row.n_samples) == (1, 8000, 8)
+    assert row.duration_ms == 8 * 1000.0 / 8000
+    assert row.rms == float(np.sqrt(np.mean(arr**2)))
+    assert row.peak == 32768
+
+
+def test_wav_decode_skips_corrupt_blobs(spark):
+    from iceberg_twist_spark.multimodal import decode_wav
+
+    bad = [
+        (1, bytearray(b"NOTWAV")),
+        (2, bytearray(b"RIFF" + b"\x00" * 40)),  # no WAVE marker
+    ]
+    df = spark.createDataFrame(bad, "doc_id long, media binary")
+    assert decode_wav(df).count() == 0
+
+
+def test_wav_fixture_is_valid_riff(spark, sf_dir):
+    """The JVM-built WAV blobs must be readable by the stdlib wave module."""
+    import io
+    import wave
+
+    from iceberg_twist_spark.multimodal import build_wav_table
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    row = build_wav_table(docs).orderBy("doc_id").first()
+    with wave.open(io.BytesIO(bytes(row.media))) as w:
+        assert w.getnchannels() == 1
+        assert w.getsampwidth() == 2
+        assert w.getframerate() == 8000
+        assert w.getnframes() == 64 + row.doc_id % 64
