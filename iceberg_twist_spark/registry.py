@@ -46,6 +46,13 @@ class QuerySpec:
     # harness must never sort on the estimates themselves (an estimate
     # crossing the exact value would misalign rows).
     approx_keys: tuple[str, ...] = ()
+    # Streaming equivalence: a BATCH builder producing the semantically
+    # identical result on the same staged data. When set (and no SQL
+    # oracle exists), the harness runs the streaming job to completion
+    # AND the batch twin, then hash-compares the two — "rows-only"
+    # becomes "stream≡batch" for every stateful job whose semantics a
+    # batch plan can express.
+    batch_twin: Builder | None = None
 
 
 def register(
@@ -55,6 +62,7 @@ def register(
     approx_oracle: str | None = None,
     approx_rtol: float = 0.05,
     approx_keys: tuple[str, ...] = (),
+    batch_twin: Builder | None = None,
 ):
     """Decorator: register a query builder under ``name``."""
 
@@ -74,6 +82,7 @@ def register(
             approx_oracle=approx_oracle,
             approx_rtol=approx_rtol,
             approx_keys=approx_keys,
+            batch_twin=batch_twin,
         )
         return fn
 

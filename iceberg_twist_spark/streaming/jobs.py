@@ -20,8 +20,12 @@ Execution model: the events table is re-staged as a directory of
 time-ordered parquet chunk files; ``maxFilesPerTrigger=1`` +
 ``Trigger.AvailableNow`` replays it as a sequence of micro-batches so
 state genuinely evolves across batches, then terminates. Results land
-in a memory sink and are returned as a normal DataFrame (the driver
-records a rows-only check — streaming state is not SQL-expressible).
+in a memory sink and are returned as a normal DataFrame. The driver
+records a rows-only check (streaming state is not DuckDB-expressible),
+but the local harness goes further: every job here carries a
+``batch_twin`` — an independent batch plan over the same replay chunks
+— and ``tools/check.py`` hash-compares the completed stream against it
+(stream≡batch equivalence; see the twins section below).
 
 At scale the same plans run unchanged against a real source (Kafka /
 files-on-S3): only ``stage_replay_dir`` is test harness.
@@ -35,7 +39,7 @@ import tempfile
 import uuid
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -55,6 +59,33 @@ EVENT_SCHEMA = T.StructType(
         T.StructField("props", T.StringType()),
     ]
 )
+
+
+def chunked_events(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> DataFrame:
+    """``events`` + its deterministic replay-chunk id ``__chunk``.
+
+    Exact ntile over the unique (ts, event_id) order via the bucketed
+    distributed global rank (``operators.windows._global_rank`` — no
+    single-reducer sort). This is the SINGLE source of micro-batch
+    boundaries: ``stage_replay_dir`` writes one file per chunk from it,
+    and the batch twins (stream≡batch equivalence) reason about
+    per-micro-batch state transitions from the same assignment — the
+    two cannot diverge.
+    """
+    from iceberg_twist_spark.operators.windows import _global_rank
+
+    events = load_tables(spark, sf_dir)["events"].select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    # NTZ timestamps don't cast to double directly; the tz-cast chain
+    # is monotone in ts (fixed session tz), which is all the rank needs
+    tsd = F.col("ts").cast("timestamp").cast("double")
+    ranked, n = _global_rank(events.withColumn("__tsd", tsd), "__tsd", "event_id")
+    step = (n + n_chunks - 1) // n_chunks
+    return (
+        ranked.withColumn("__chunk", F.floor((F.col("__rank") - 1) / step).cast("int"))
+        .drop("__tsd", "__rank")
+    )
 
 
 def stage_replay_dir(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> str:
@@ -78,20 +109,8 @@ def stage_replay_dir(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> str
     key = (sf_dir, n_chunks)
     if key in _REPLAY_CACHE and os.path.isdir(_REPLAY_CACHE[key]):
         return _REPLAY_CACHE[key]
-    from iceberg_twist_spark.operators.windows import _global_rank
-
-    events = load_tables(spark, sf_dir)["events"].select(
-        "event_id", "ts", "user_id", "event_type", "value", "props"
-    )
-    # NTZ timestamps don't cast to double directly; the tz-cast chain
-    # is monotone in ts (fixed session tz), which is all the rank needs
-    tsd = F.col("ts").cast("timestamp").cast("double")
-    ranked, n = _global_rank(events.withColumn("__tsd", tsd), "__tsd", "event_id")
-    step = (n + n_chunks - 1) // n_chunks
-    chunked = (
-        ranked.withColumn("__chunk", F.floor((F.col("__rank") - 1) / step).cast("int"))
-        .drop("__tsd", "__rank")
-        .localCheckpoint(eager=True)  # rank once, reuse across chunk writes
+    chunked = chunked_events(spark, sf_dir, n_chunks).localCheckpoint(
+        eager=True  # rank once, reuse across chunk writes
     )
     out = tempfile.mkdtemp(prefix="itws_replay_")
     for k in range(n_chunks):
@@ -176,7 +195,215 @@ def run_to_memory(sdf: DataFrame, output_mode: str = "append") -> DataFrame:
     return sdf.sparkSession.table(name)
 
 
-@register("q_stream_throttle", tags=("streaming",))
+# ---------------------------------------------------------------------------
+# Batch twins — stream≡batch equivalence (SURVEY §5 round-3 upgrade)
+#
+# Each `_twin_*` is a BATCH plan producing the semantically identical
+# result the streaming job materializes over the same replay data;
+# tools/check.py runs the streaming job to completion AND its twin and
+# hash-compares the two. Micro-batch boundaries come from
+# ``chunked_events`` — the same assignment the staging writes — and
+# per-batch watermarks are re-derived as wm_k = max(ts of chunks < k)
+# − delay, so the twins model exactly what the streaming engine does:
+# window-close (append emits windows with end ≤ final watermark),
+# state timeouts (fire when watermark passes the set timestamp), and
+# per-batch bounded-queue admission.
+# ---------------------------------------------------------------------------
+
+def _tsx():
+    # batch parquet is NTZ; stream reads LTZ — UTC session makes them equal
+    return F.col("ts").cast("timestamp")
+
+
+def _final_wm(events: DataFrame, delay: str = "10 minutes"):
+    """1-row frame carrying the run's final watermark (broadcast scalar)."""
+    return events.agg(
+        (F.max(_tsx()) - F.expr(f"INTERVAL {delay}")).alias("__wm")
+    )
+
+
+def _twin_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir)["events"]
+    agg = (
+        events.groupBy(F.window(_tsx(), "1 minute").alias("w"), "user_id")
+        .agg(
+            F.min_by("value", F.struct(_tsx(), F.col("event_id"))).alias("first_value"),
+            F.count("*").alias("n_raw"),
+        )
+    )
+    return (
+        agg.crossJoin(F.broadcast(_final_wm(events)))
+        .filter(F.col("w.end") <= F.col("__wm"))
+        .select(F.col("w.start").alias("window_start"), "user_id", "first_value", "n_raw")
+    )
+
+
+def _twin_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir)["events"]
+    agg = events.groupBy(F.window(_tsx(), "1 hour").alias("w")).agg(
+        F.count("*").alias("cnt")
+    )
+    return (
+        agg.crossJoin(F.broadcast(_final_wm(events)))
+        .filter(F.col("w.end") <= F.col("__wm"))
+        .select(F.col("w.start").alias("window_start"), "cnt")
+    )
+
+
+def _twin_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # duplicates are exact per-event copies within one batch, so the
+    # watermarked dedup restores precisely the original events
+    return load_tables(spark, sf_dir)["events"].select(
+        "event_id", _tsx().alias("ts"), "user_id", "event_type", "value", "props"
+    )
+
+
+def _twin_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    customer = t["customer"].select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_nationkey").alias("nation_key"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    return (
+        t["events"]
+        .select("event_id", _tsx().alias("ts"), "user_id", "value")
+        .join(F.broadcast(customer), "user_id", "left")
+        .select("event_id", "ts", "user_id", "nation_key", "acctbal", "value")
+    )
+
+
+def _twin_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # in-order replay retains every click a purchase can still match,
+    # and inner stream-stream joins emit on match — so the complete
+    # batch interval join IS the streaming answer
+    events = load_tables(spark, sf_dir)["events"]
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        _tsx().alias("click_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        _tsx().alias("purchase_ts"),
+        F.col("value").alias("amount"),
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id", "click_id", "amount",
+        F.col("purchase_ts").cast("string").alias("purchase_ts"),
+        F.col("click_ts").cast("string").alias("click_ts"),
+    )
+
+
+def _twin_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # latest-wins across time-ordered batches = latest-wins overall
+    return (
+        load_tables(spark, sf_dir)["events"]
+        .groupBy("user_id")
+        .agg(
+            F.max_by("value", F.struct(_tsx(), F.col("event_id"))).alias("last_value"),
+            F.count("*").cast("long").alias("n_events"),
+            F.max(_tsx()).alias("last_ts"),
+        )
+    )
+
+
+def _twin_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        chunked_events(spark, sf_dir)
+        .groupBy(F.col("__chunk").cast("long").alias("batch_id"))
+        .agg(F.count("*").alias("rows"), F.sum(F.length("props")).alias("bytes"))
+    )
+
+
+def _twin_queue_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch re-implementation of the bounded-queue state machine.
+
+    Per (user, micro-batch): events counted, the first QUEUE_SIZE in
+    (ts, event_id) order admitted (bytes accounted send/lost), counters
+    cumulative per key; a key idle past its event-time TTL when a later
+    batch's watermark arrives emits an expiry row and resets. The
+    per-key fold runs in a batch ``applyInPandas`` over at most
+    n_chunks+1 pre-aggregated rows per key — a genuinely independent
+    execution path from ``applyInPandasWithState``, which is the point
+    of the equivalence check.
+    """
+    n_chunks = 4
+    ch = chunked_events(spark, sf_dir, n_chunks).withColumn("tsx", _tsx())
+    w = Window.partitionBy("user_id", "__chunk").orderBy("tsx", "event_id")
+    per = (
+        ch.withColumn("rn", F.row_number().over(w))
+        .withColumn("sz", F.coalesce(F.length("props"), F.lit(0)))
+        .groupBy("user_id", "__chunk")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("rn") <= QUEUE_SIZE, F.col("sz")).otherwise(0)).alias("adm_bytes"),
+            F.sum(F.when(F.col("rn") > QUEUE_SIZE, F.col("sz")).otherwise(0)).alias("lost_bytes"),
+            (F.floor(F.unix_micros(F.max("tsx")) / 1000)).alias("last_ts_ms"),
+        )
+    )
+    # per-batch watermarks: wm entering batch k = max ts of chunks < k
+    # − 10 min; one extra no-data batch fires the remaining timeouts.
+    # ms precision, matching the engine's event-time stats. n_chunks+1
+    # scalars — one-time constant materialization, never O(rows).
+    chunk_max = {
+        r[0]: r[1]
+        for r in ch.groupBy("__chunk")
+        .agg(F.floor(F.unix_micros(F.max("tsx")) / 1000))
+        .collect()
+    }
+    delay_ms, run = 10 * 60 * 1000, None
+    wms: list[int | None] = []
+    for k in range(n_chunks):
+        wms.append(run - delay_ms if run is not None else None)
+        m = chunk_max.get(k)
+        run = m if run is None else max(run, m)
+    final_wm = run - delay_ms
+
+    def fold(pdf: pd.DataFrame):
+        (user,) = pdf["user_id"].unique()
+        rows = {int(r["__chunk"]): r for _, r in pdf.iterrows()}
+        out = []
+        ms_ = ml = bs = bl = 0
+        exists, timeout = False, None
+        for k in range(n_chunks):
+            wm = wms[k]
+            if k not in rows:
+                if exists and wm is not None and wm > timeout:
+                    out.append((user, 0, ms_, ml, bs, bl, True))
+                    ms_ = ml = bs = bl = 0
+                    exists, timeout = False, None
+                continue
+            r = rows[k]
+            adm = min(int(r["n"]), QUEUE_SIZE)
+            ms_ += adm
+            ml += int(r["n"]) - adm
+            bs += int(r["adm_bytes"])
+            bl += int(r["lost_bytes"])
+            exists, timeout = True, int(r["last_ts_ms"]) + TTL_MS
+            out.append((user, int(r["n"]), ms_, ml, bs, bl, False))
+        if exists and final_wm > timeout:
+            out.append((user, 0, ms_, ml, bs, bl, True))
+        return pd.DataFrame(
+            out,
+            columns=[
+                "user_id", "batch_events", "msg_sent", "msg_lost",
+                "byte_sent", "byte_lost", "expired",
+            ],
+        )
+
+    return per.groupBy("user_id").applyInPandas(fold, _QOUT)
+
+
+@register("q_stream_throttle", tags=("streaming",), batch_twin=_twin_throttle)
 def q_stream_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A28 throttle: 1-minute tumbling windows keeping the first sample
     per user (min_by on event time), watermarked 10 minutes."""
@@ -185,7 +412,9 @@ def q_stream_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 minute").alias("w"), "user_id")
         .agg(
-            F.min_by("value", "ts").alias("first_value"),
+            # event_id tiebreak: duplicate ts within a (user, minute)
+            # must pick the same survivor on every engine/run
+            F.min_by("value", F.struct("ts", "event_id")).alias("first_value"),
             F.count("*").alias("n_raw"),
         )
         .select(
@@ -194,7 +423,7 @@ def q_stream_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_stream_dedup_watermark", tags=("streaming",))
+@register("q_stream_dedup_watermark", tags=("streaming",), batch_twin=_twin_dedup)
 def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup: each event duplicated 2× upstream, then
     ``dropDuplicatesWithinWatermark`` on event_id restores uniqueness
@@ -208,7 +437,7 @@ def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_stream_late_drop", tags=("streaming",))
+@register("q_stream_late_drop", tags=("streaming",), batch_twin=_twin_late_drop)
 def q_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark + windowed count in append mode: rows later than the
     10-minute watermark are dropped from closed windows; closed windows
@@ -222,7 +451,7 @@ def q_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_stream_enrich_join", tags=("streaming",))
+@register("q_stream_enrich_join", tags=("streaming",), batch_twin=_twin_enrich)
 def q_stream_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A30 enrichment: stream-static join against the customer dim —
     the static side is broadcast into every micro-batch (the 'GPS fix
@@ -302,23 +531,24 @@ def _queue_fn(key, pdf_iter, state: GroupState):
     msg_sent, msg_lost, byte_sent, byte_lost = (
         state.get if state.exists else (0, 0, 0, 0)
     )
-    batch_events = 0
+    # Admission order is (ts, event_id) — concatenate the batch's Arrow
+    # chunks and sort before admitting, so WHICH rows the bounded queue
+    # keeps is deterministic (arrival order within a micro-batch is
+    # scheduler-dependent) and the batch twin can reproduce it exactly.
+    # Memory: one micro-batch's rows for one key — the same bound the
+    # un-sorted form already had via the state-store write.
+    batch = pd.concat(list(pdf_iter), ignore_index=True)
+    batch = batch.sort_values(["ts", "event_id"], ignore_index=True)
+    batch_events = len(batch)
     max_ts_ms = 0
-    batch_admitted = 0  # queue capacity is per MICRO-BATCH, so the
-    # admission budget must carry across Arrow chunks — otherwise the
-    # counters would depend on maxRecordsPerBatch chunking
-    for pdf in pdf_iter:
-        sizes = pdf["props"].str.len().fillna(0).astype(int)
-        n = len(pdf)
-        batch_events += n
-        admitted = min(n, max(0, QUEUE_SIZE - batch_admitted))
-        batch_admitted += admitted
+    if batch_events:
+        sizes = batch["props"].str.len().fillna(0).astype(int)
+        admitted = min(batch_events, QUEUE_SIZE)
         msg_sent += admitted
         byte_sent += int(sizes.iloc[:admitted].sum())
-        msg_lost += n - admitted
+        msg_lost += batch_events - admitted
         byte_lost += int(sizes.iloc[admitted:].sum())
-        if n:
-            max_ts_ms = max(max_ts_ms, int(pdf["ts"].max().value // 1_000_000))
+        max_ts_ms = int(batch["ts"].max().value // 1_000_000)
     state.update((msg_sent, msg_lost, byte_sent, byte_lost))
     if max_ts_ms:
         state.setTimeoutTimestamp(max_ts_ms + TTL_MS)
@@ -337,7 +567,7 @@ def _queue_fn(key, pdf_iter, state: GroupState):
     )
 
 
-@register("q_stream_queue_ttl", tags=("streaming", "stateful"))
+@register("q_stream_queue_ttl", tags=("streaming", "stateful"), batch_twin=_twin_queue_ttl)
 def q_stream_queue_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful bounded queue with loss accounting and TTL — the direct
     port of the reference's Rx queue service (A17–A21). One status row
@@ -354,7 +584,7 @@ def q_stream_queue_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(stats, output_mode="update")
 
 
-@register("q_stream_observe", tags=("streaming", "metrics"))
+@register("q_stream_observe", tags=("streaming", "metrics"), batch_twin=_twin_observe)
 def q_stream_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A18/A23/A32 observed metrics: per-micro-batch row and byte
     counters via ``observe()``, harvested from query progress — the
@@ -392,7 +622,7 @@ def q_stream_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_stream_stream_join", tags=("streaming", "join"))
+@register("q_stream_stream_join", tags=("streaming", "join"), batch_twin=_twin_stream_join)
 def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join: per user, join each ``purchase``
     event to ``click`` events from the preceding hour — the canonical
@@ -439,7 +669,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(joined)
 
 
-@register("q_stream_upsert_sink", tags=("streaming", "cdc"))
+@register("q_stream_upsert_sink", tags=("streaming", "cdc"), batch_twin=_twin_upsert)
 def q_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch CDC sink: every micro-batch merges latest-wins
     per-sensor state (last value, event count, last event time) into
@@ -458,7 +688,9 @@ def q_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         incoming = (
             batch_df.groupBy("user_id")
             .agg(
-                F.max_by("value", "ts").alias("last_value"),
+                # event_id tiebreak keeps the per-batch survivor
+                # deterministic under duplicate ts
+                F.max_by("value", F.struct("ts", "event_id")).alias("last_value"),
                 F.count("*").alias("n_events"),
                 F.max("ts").alias("last_ts"),
             )

@@ -29,11 +29,20 @@ def _counts():
 
 def test_baseline_md_counts_are_live():
     audits, total, oracle, approx, rows_only = _counts()
+    from iceberg_twist_spark.registry import REGISTRY
+
+    twins = sum(
+        1 for s in REGISTRY.values()
+        if s.oracle is None and s.approx_oracle is None and s.batch_twin is not None
+    )
     text = open(os.path.join(REPO, "BASELINE.md"), encoding="utf-8").read()
     assert (
         f"{total}/{total} pass ({oracle} hash-checked, {approx} ε-band vs exact, "
         f"{rows_only} rows-only" in text
     ), "BASELINE.md suite counts drifted from the registry"
+    assert f"{rows_only} rows-only of which {twins} stream≡batch" in text, (
+        "BASELINE.md stream≡batch twin count drifted from the registry"
+    )
     assert f"`tools/explain_audit.py` ({audits}/{audits})" in text, (
         "BASELINE.md plan-audit count drifted from tools/explain_audit.AUDITS"
     )

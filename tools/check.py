@@ -121,6 +121,19 @@ def compare(name: str, spark, con, sf_dir: str) -> tuple[bool, str, float]:
     if spec.oracle is None:
         if spec.approx_oracle is not None:
             return _compare_approx(spec, s_rows, s_cols, con, elapsed)
+        if spec.batch_twin is not None:
+            tdf = spec.batch_twin(spark, sf_dir)
+            t_rows, t_cols = tdf.collect(), tdf.columns
+            if sorted(s_cols) != sorted(t_cols):
+                return False, f"stream≡batch columns differ: {sorted(s_cols)} vs {sorted(t_cols)}", elapsed
+            if len(s_rows) != len(t_rows):
+                return False, f"stream≡batch rows: stream={len(s_rows)} batch={len(t_rows)}", elapsed
+            s_canon = _canon([tuple(r) for r in s_rows], s_cols)
+            t_canon = _canon([tuple(r) for r in t_rows], t_cols)
+            if s_canon != t_canon:
+                diffs = [(i, a, b) for i, (a, b) in enumerate(zip(s_canon, t_canon)) if a != b][:3]
+                return False, f"stream≡batch values differ, first diffs: {diffs}", elapsed
+            return True, f"stream≡batch match ({len(s_rows)} rows)", elapsed
         return True, f"rows-only ({len(s_rows)} rows)", elapsed
     d = con.execute(spec.oracle)
     d_cols = [c[0] for c in d.description]
