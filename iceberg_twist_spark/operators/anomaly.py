@@ -144,17 +144,30 @@ WITH seq AS (
     FROM events
 ),
 halves AS (
-    SELECT user_id, value, (rn * 2 <= n) AS first_half FROM seq
+    -- exact integer-cent moments: avg/var_samp over doubles are
+    -- summation-order-dependent in the last ulp, which flips the r4
+    -- boundary between engines (surfaced by the sf1 twin data)
+    SELECT user_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+           (rn * 2 <= n) AS first_half
+    FROM seq
+),
+moments AS (
+    SELECT user_id,
+           sum(CASE WHEN first_half THEN c END) AS s1,
+           sum(CASE WHEN first_half THEN c * c END) AS q1,
+           count(CASE WHEN first_half THEN c END) AS n1,
+           sum(CASE WHEN NOT first_half THEN c END) AS s2,
+           sum(CASE WHEN NOT first_half THEN c * c END) AS q2,
+           count(CASE WHEN NOT first_half THEN c END) AS n2
+    FROM halves GROUP BY user_id
 ),
 stats AS (
-    SELECT user_id,
-           avg(CASE WHEN first_half THEN value END) AS m1,
-           var_samp(CASE WHEN first_half THEN value END) AS v1,
-           count(CASE WHEN first_half THEN value END) AS n1,
-           avg(CASE WHEN NOT first_half THEN value END) AS m2,
-           var_samp(CASE WHEN NOT first_half THEN value END) AS v2,
-           count(CASE WHEN NOT first_half THEN value END) AS n2
-    FROM halves GROUP BY user_id
+    SELECT user_id, n1, n2,
+           s1 / (n1 * 100.0) AS m1,
+           s2 / (n2 * 100.0) AS m2,
+           (q1 - s1 * s1 / n1) / (n1 - 1) / 10000.0 AS v1,
+           (q2 - s2 * s2 / n2) / (n2 - 1) / 10000.0 AS v2
+    FROM moments WHERE n1 >= 2 AND n2 >= 2
 )
 SELECT user_id,
        CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
@@ -162,7 +175,7 @@ SELECT user_id,
        {duck_r4('(m2 - m1) / sqrt(v1 / n1 + v2 / n2)')} AS drift_z,
        abs({duck_r4('(m2 - m1) / sqrt(v1 / n1 + v2 / n2)')}) >= 2.0 AS drifted
 FROM stats
-WHERE n1 >= 2 AND n2 >= 2 AND v1 / n1 + v2 / n2 > 0
+WHERE v1 / n1 + v2 / n2 > 0
 """
 
 
@@ -174,30 +187,44 @@ def q_ts_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     same test a training pipeline runs between data snapshots).
 
     One shuffle on user_id shared by the ordering window and the
-    half-stats aggregate; the drift decision applies to the rounded
-    statistic so the boundary is engine-independent.
+    half-stats aggregate. Mean/variance come from EXACT integer-cent
+    moment sums (values carry 2 decimals) so every double op after the
+    aggregation is one identical IEEE sequence on both engines —
+    avg/var_samp over doubles drift by summation order and can flip
+    the r4 boundary (caught by the sf1 twin data).
     """
     events = load_tables(spark, sf_dir)["events"]
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = events.select(
-        "user_id", "value",
+        "user_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
         F.row_number().over(w).alias("rn"),
         F.count("*").over(Window.partitionBy("user_id")).alias("n"),
     )
     first = F.col("rn") * 2 <= F.col("n")
-    half_val = lambda cond: F.when(cond, F.col("value"))  # noqa: E731
-    stats = seq.groupBy("user_id").agg(
-        F.avg(half_val(first)).alias("m1"),
-        F.var_samp(half_val(first)).alias("v1"),
-        F.count(half_val(first)).alias("n1"),
-        F.avg(half_val(~first)).alias("m2"),
-        F.var_samp(half_val(~first)).alias("v2"),
-        F.count(half_val(~first)).alias("n2"),
+    half = lambda cond, e: F.when(cond, e)  # noqa: E731
+    c, c2 = F.col("c"), F.col("c") * F.col("c")
+    moments = seq.groupBy("user_id").agg(
+        F.sum(half(first, c)).alias("s1"),
+        F.sum(half(first, c2)).alias("q1"),
+        F.count(half(first, c)).alias("n1"),
+        F.sum(half(~first, c)).alias("s2"),
+        F.sum(half(~first, c2)).alias("q2"),
+        F.count(half(~first, c)).alias("n2"),
+    )
+    s1, q1, n1 = F.col("s1"), F.col("q1"), F.col("n1")
+    s2, q2, n2 = F.col("s2"), F.col("q2"), F.col("n2")
+    stats = moments.filter((n1 >= 2) & (n2 >= 2)).select(
+        "user_id", "n1", "n2",
+        (s1 / (n1 * 100.0)).alias("m1"),
+        (s2 / (n2 * 100.0)).alias("m2"),
+        ((q1 - s1 * s1 / n1) / (n1 - 1) / 10000.0).alias("v1"),
+        ((q2 - s2 * s2 / n2) / (n2 - 1) / 10000.0).alias("v2"),
     )
     se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
     z = r4((F.col("m2") - F.col("m1")) / F.sqrt(se2))
     return (
-        stats.filter((F.col("n1") >= 2) & (F.col("n2") >= 2) & (se2 > 0))
+        stats.filter(se2 > 0)
         .select(
             "user_id",
             F.col("n1").cast("long").alias("n1"),

@@ -439,7 +439,12 @@ WITH holes AS (
     FROM events
 ),
 mu AS (
-    SELECT user_id, avg(value) AS user_mean
+    -- exact integer-cent sum: avg(double) is summation-order-dependent
+    -- in the last ulp, and a mean landing on the r4 boundary would
+    -- round differently per engine (surfaced by the sf1 twin data)
+    SELECT user_id,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / (count(value) * 100.0)
+               AS user_mean
     FROM holes WHERE value IS NOT NULL GROUP BY 1
 )
 SELECT h.event_id, h.user_id,
@@ -461,10 +466,15 @@ def q_impute_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id",
         F.when(F.col("event_id") % 7 == 0, None).otherwise(F.col("value")).alias("value"),
     )
+    # integer-cent mean: values carry 2 decimals, so summing
+    # floor(value·100 + .5) as longs is exact — the double division at
+    # the end is one identical IEEE op on both engines, immune to the
+    # summation-order ulp drift that plain avg(double) has
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
     mu = (
         holes.filter(F.col("value").isNotNull())
         .groupBy("user_id")
-        .agg(F.avg("value").alias("user_mean"))
+        .agg((F.sum(cents) / (F.count("value") * 100.0)).alias("user_mean"))
     )
     return holes.join(F.broadcast(mu), "user_id").select(
         "event_id", "user_id",

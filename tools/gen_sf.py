@@ -1,0 +1,239 @@
+"""Seeded scale-factor twin generator — the sf1 scale rehearsal input.
+
+The driver fixtures (/root/testdata, TESTDATA.md) stop at sf0.1, where
+per-query time is dominated by local-mode fixed overhead; every
+100×-scale claim in PERF.md was argued from plan shapes. This tool
+generates a BIGGER seeded twin of the same schema (FIXTURES.md) so the
+full oracle suite and bench can actually run at sf1+ — converting
+those claims into measured results (VERDICT r2 top ask).
+
+Design:
+- fully distributed: every column is a deterministic expression of the
+  row id (xxhash64-derived uniforms), built on ``spark.range`` — no
+  driver-side data, no Python RNG, so any executor count and any retry
+  produces byte-identical values;
+- same value families as the driver fixtures (verified against the
+  real parquet: name formats, categorical sets, numeric ranges, the
+  31-word document vocabulary, monotone event timestamps);
+- documents/embeddings scale SUBLINEARLY like the driver's own tables
+  do (sf0.1 ships 5k docs / 2k vectors, not 1/10 of sf1-linear) so the
+  deliberately-quadratic correctness baselines (exact cosine pairs)
+  stay runnable while everything else scales linearly;
+- output layout: ``{out}/{table}.parquet`` as a DIRECTORY of part
+  files (row-group parallelism at scan time — the driver's single-file
+  fixtures are 1-task scans, the round-2 `spread()` lesson);
+  tools/check.py globs directories transparently.
+
+Usage: python tools/gen_sf.py OUT_DIR [SF]
+e.g.   python tools/gen_sf.py /root/repo/.localdata/sf1 1.0
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SEED = 42
+
+MKTSEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+ORDERSTATUS = ["F", "O", "P"]
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+PTYPES = ["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"]
+ADJS = ["small", "old", "new", "blue", "cold", "hot", "red", "big"]
+NOUNS = ["bolt", "widget", "rod", "anvil", "ring"]
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+RETURNFLAGS = ["A", "N", "R"]
+LINESTATUS = ["F", "O"]
+VOCAB = [
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup", "fast",
+    "filter", "group", "hash", "join", "key", "line", "merge", "order",
+    "part", "query", "row", "scan", "slow", "small", "sort", "spark",
+    "stream", "table", "the", "value", "vector", "window",
+]
+
+
+def _u(col: Column, salt: int) -> Column:
+    """Deterministic uniform [0,1) from (col, salt) — xxhash64-derived."""
+    return (
+        F.pmod(F.xxhash64(col, F.lit(salt), F.lit(SEED)), F.lit(1_000_000_000))
+        / 1_000_000_000.0
+    )
+
+
+def _pick(col: Column, salt: int, values: list[str]) -> Column:
+    arr = F.array(*[F.lit(v) for v in values])
+    return F.element_at(arr, (F.floor(_u(col, salt) * len(values)) + 1).cast("int"))
+
+
+def _r2(c: Column) -> Column:
+    return F.round(c, 2)
+
+
+def _days(base: str, span: int, col: Column, salt: int) -> Column:
+    return F.to_timestamp(
+        F.date_add(F.lit(base).cast("date"), F.floor(_u(col, salt) * span).cast("int"))
+    )
+
+
+def gen_tables(spark: SparkSession, sf: float) -> dict[str, tuple[DataFrame, int]]:
+    """Build every table as (DataFrame, n_output_files)."""
+    n_supp = max(10, int(10_000 * sf))
+    n_cust = max(150, int(150_000 * sf))
+    n_part = max(200, int(200_000 * sf))
+    n_ord = max(1_500, int(1_500_000 * sf))
+    n_li = max(6_000, int(6_000_000 * sf))
+    n_ev = max(1_000, int(1_000_000 * sf))
+    n_users = max(15, int(15_000 * sf))
+    # sublinear like the driver's own fixtures (see module docstring)
+    n_doc = max(500, int(5_000 * (10 * sf) ** 0.5))
+    n_emb = max(500, int(2_000 * (10 * sf) ** 0.5))
+
+    i = F.col("id")
+
+    region = spark.createDataFrame(
+        [(k, n) for k, n in enumerate(["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"])],
+        "r_regionkey int, r_name string",
+    )
+    nation = spark.range(25).select(
+        i.cast("int").alias("n_nationkey"),
+        F.concat(F.lit("NATION_"), i.cast("string")).alias("n_name"),
+        (i % 5).cast("int").alias("n_regionkey"),
+    )
+    supplier = spark.range(n_supp).select(
+        i.alias("s_suppkey"),
+        F.format_string("Supplier#%09d", i).alias("s_name"),
+        F.floor(_u(i, 1) * 25).cast("int").alias("s_nationkey"),
+        _r2(F.lit(-1000.0) + _u(i, 2) * 11_000.0).alias("s_acctbal"),
+    )
+    customer = spark.range(n_cust).select(
+        i.alias("c_custkey"),
+        F.format_string("Customer#%09d", i).alias("c_name"),
+        F.floor(_u(i, 3) * 25).cast("int").alias("c_nationkey"),
+        _r2(F.lit(-1000.0) + _u(i, 4) * 11_000.0).alias("c_acctbal"),
+        _pick(i, 5, MKTSEGMENTS).alias("c_mktsegment"),
+    )
+    part = spark.range(n_part).select(
+        i.alias("p_partkey"),
+        F.concat(_pick(i, 6, ADJS), F.lit(" "), _pick(i, 7, NOUNS)).alias("p_name"),
+        F.concat(F.lit("Brand#"), F.floor(_u(i, 8) * 25).cast("string")).alias("p_brand"),
+        _pick(i, 9, PTYPES).alias("p_type"),
+        (F.floor(_u(i, 10) * 50) + 1).cast("int").alias("p_size"),
+        _r2(F.lit(900.0) + (i % 1000) / 10.0).alias("p_retailprice"),
+    )
+    orders = spark.range(n_ord).select(
+        i.alias("o_orderkey"),
+        F.floor(_u(i, 11) * n_cust).alias("o_custkey"),
+        _pick(i, 12, ORDERSTATUS).alias("o_orderstatus"),
+        _r2(F.lit(1000.0) + _u(i, 13) * 499_000.0).alias("o_totalprice"),
+        _days("1995-01-01", 2404, i, 14).alias("o_orderdate"),
+        _pick(i, 15, PRIORITIES).alias("o_orderpriority"),
+    )
+    lineitem = spark.range(n_li).select(
+        F.floor(_u(i, 16) * n_ord).alias("l_orderkey"),
+        F.floor(_u(i, 17) * n_part).alias("l_partkey"),
+        F.floor(_u(i, 18) * n_supp).alias("l_suppkey"),
+        (F.floor(_u(i, 19) * 7) + 1).cast("int").alias("l_linenumber"),
+        (F.floor(_u(i, 20) * 50) + 1).cast("double").alias("l_quantity"),
+        _r2(F.lit(900.0) + _u(i, 21) * 104_100.0).alias("l_extendedprice"),
+        _r2(F.floor(_u(i, 22) * 11) / 100.0).alias("l_discount"),
+        _r2(F.floor(_u(i, 23) * 9) / 100.0).alias("l_tax"),
+        _pick(i, 24, RETURNFLAGS).alias("l_returnflag"),
+        _pick(i, 25, LINESTATUS).alias("l_linestatus"),
+        _days("1995-01-02", 2499, i, 26).alias("l_shipdate"),
+    )
+    # events: ts strictly monotone in event_id (base + id·step + jitter<step)
+    span_us = 29 * 24 * 3600 * 1_000_000
+    step_us = span_us // n_ev
+    base_us = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC
+    events = spark.range(n_ev).select(
+        i.alias("event_id"),
+        F.timestamp_micros(
+            F.lit(base_us) + i * step_us + F.floor(_u(i, 27) * (step_us * 0.9)).cast("long")
+        ).alias("ts"),
+        F.floor(_u(i, 28) * n_users).alias("user_id"),
+        _pick(i, 29, EVENT_TYPES).alias("event_type"),
+        _r2(F.lit(0.01) + _u(i, 30) * 490.0).alias("value"),
+        F.format_string('{"k": %d}', F.floor(_u(i, 31) * 100)).alias("props"),
+    )
+    # documents: 10–99 words from the 31-word fixture vocabulary
+    vocab = F.array(*[F.lit(w) for w in VOCAB])
+    n_words = (F.floor(_u(i, 32) * 90) + 10).cast("int")
+    text = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), n_words),
+            lambda k: F.element_at(
+                vocab,
+                (F.pmod(F.xxhash64(i, k, F.lit(SEED)), F.lit(len(VOCAB))) + 1).cast("int"),
+            ),
+        ),
+        " ",
+    )
+    lang = (
+        F.when(_u(i, 33) < 0.44, "en")
+        .when(_u(i, 33) < 0.58, "de")
+        .when(_u(i, 33) < 0.72, "es")
+        .when(_u(i, 33) < 0.86, "fr")
+        .otherwise("zh")
+    )
+    documents = spark.range(n_doc).select(
+        i.alias("doc_id"),
+        text.alias("text"),
+        lang.alias("lang"),
+        F.concat(F.lit("src"), F.floor(_u(i, 34) * 20).cast("string")).alias("source"),
+        F.length(text).cast("long").alias("n_chars"),
+    ).select("doc_id", "text", "lang", "source", "n_chars")
+    # embeddings: unit-normalized (label-center + noise) so same-label
+    # vectors correlate — gives the similarity family real structure
+    label = F.floor(_u(i, 35) * 10).cast("int")
+    dims = F.sequence(F.lit(0), F.lit(63))
+    raw = F.transform(
+        dims,
+        lambda d: (
+            (F.pmod(F.xxhash64(i, d, F.lit(SEED)), F.lit(1_000_000_000)) / 1e9 - 0.5)
+            + 0.35 * (F.pmod(F.xxhash64(label, d, F.lit(SEED + 1)), F.lit(1_000_000_000)) / 1e9 - 0.5)
+        ),
+    )
+    nrm = F.sqrt(F.aggregate(raw, F.lit(0.0), lambda a, v: a + v * v))
+    embeddings = spark.range(n_emb).select(
+        i.alias("vec_id"),
+        F.transform(raw, lambda v: (v / nrm).cast("float")).alias("embedding"),
+        label.alias("label"),
+    )
+    files = lambda n: max(1, min(32, n // 250_000))  # noqa: E731
+    return {
+        "region": (region, 1),
+        "nation": (nation, 1),
+        "supplier": (supplier, 1),
+        "customer": (customer, files(n_cust)),
+        "part": (part, files(n_part)),
+        "orders": (orders, max(4, files(n_ord))),
+        "lineitem": (lineitem, max(8, files(n_li))),
+        "events": (events, max(4, files(n_ev))),
+        "documents": (documents, 2),
+        "embeddings": (embeddings, 2),
+    }
+
+
+def main() -> int:
+    out = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.localdata/sf1"
+    sf = float(sys.argv[2]) if len(sys.argv) > 2 else 1.0
+    from iceberg_twist_spark.session import get_spark
+
+    spark = get_spark("gen-sf")
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(out, exist_ok=True)
+    for name, (df, n_files) in gen_tables(spark, sf).items():
+        path = os.path.join(out, f"{name}.parquet")
+        df.repartition(n_files).write.mode("overwrite").parquet(path)
+        print(f"wrote {path} ({n_files} files)")
+    print(f"done: sf={sf} at {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
