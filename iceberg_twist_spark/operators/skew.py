@@ -51,7 +51,10 @@ def salted_join(
 _SALTED_ORACLE = """
 SELECT o_orderpriority,
        CAST(count(*) AS BIGINT) AS n_lines,
-       floor((sum(l_extendedprice)) * 10000 + 0.5) / 10000 AS revenue
+       -- exact integer-cent sum (see q_iceberg_compact: at sf1 the
+       -- group sums outgrow the 1e-4 grain of double rounding)
+       floor((sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0)
+             * 10000 + 0.5) / 10000 AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 """
@@ -68,7 +71,8 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
     )
     joined = salted_join(li, orders, "l_orderkey")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
     return joined.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_lines"),
-        r4(F.sum("l_extendedprice")).alias("revenue"),
+        r4(F.sum(cents) / 100.0).alias("revenue"),
     )

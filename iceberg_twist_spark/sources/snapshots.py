@@ -275,7 +275,11 @@ def q_iceberg_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _COMPACT_ORACLE = """
 SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
-       floor(sum(o_totalprice) * 10000 + 0.5) / 10000 AS sum_price
+       -- exact integer-cent sum: at sf1 the group sums reach 1.25e11,
+       -- where double ulp (1.5e-5) exceeds the 1e-4 rounding grain and
+       -- engine summation order flips the hash (sf1 rehearsal finding)
+       floor((sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0)
+             * 10000 + 0.5) / 10000 AS sum_price
 FROM orders GROUP BY o_orderstatus
 """
 
@@ -288,14 +292,14 @@ def q_iceberg_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     The file-count drop itself is pinned in tests/test_snapshots.py."""
     tbl = _orders_table(spark, sf_dir)
     assert tbl.snapshots()[-1]["operation"] == "rewrite"
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    total = F.sum(cents) / 100.0
     return (
         tbl.read()
         .groupBy("o_orderstatus")
         .agg(
             F.count("*").cast("long").alias("n"),
-            (F.floor(F.sum("o_totalprice") * 10000 + F.lit(0.5)) / 10000).alias(
-                "sum_price"
-            ),
+            (F.floor(total * 10000 + F.lit(0.5)) / 10000).alias("sum_price"),
         )
     )
 
