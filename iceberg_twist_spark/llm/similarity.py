@@ -403,6 +403,77 @@ def q_llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------------- SemDeDup
+# Semantic dedup, cluster-bounded: assign every vector to its nearest
+# centroid, compare ONLY within clusters, and drop any vector with a
+# more-canonical (smaller-id) near-twin in its cluster. This is the
+# published SemDeDup recipe's plan shape: pairwise cost falls from
+# O(n²) to O(Σ cluster²), and at 100 TB the cluster id becomes a
+# partition column so each comparison job reads one cluster's shard.
+
+SEMDEDUP_TAU = 0.35
+
+_SEMDEDUP_ORACLE = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS c FROM embeddings WHERE vec_id < {IVF_K}
+), csims AS (
+  SELECT e.vec_id, cent.cid,
+         {_DUCK_R4COS.format(a='e.embedding', b='cent.c')} AS csim
+  FROM embeddings e CROSS JOIN cent
+), clusters AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+    FROM csims
+  ) WHERE rn = 1
+), dropped AS (
+  SELECT DISTINCT ca.vec_id
+  FROM clusters ca
+  JOIN clusters cb ON ca.cid = cb.cid AND cb.vec_id < ca.vec_id
+  JOIN embeddings a ON a.vec_id = ca.vec_id
+  JOIN embeddings b ON b.vec_id = cb.vec_id
+  WHERE {_DUCK_R4COS.format(a='a.embedding', b='b.embedding')} >= {SEMDEDUP_TAU}
+)
+SELECT c.vec_id, CAST(c.cid AS BIGINT) AS cluster_id,
+       d.vec_id IS NULL AS is_kept
+FROM clusters c LEFT JOIN dropped d ON c.vec_id = d.vec_id
+"""
+
+
+@register("q_llm_semdedup", oracle=_SEMDEDUP_ORACLE, tags=("llm", "dedup", "similarity"))
+def q_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (SemDeDup shape): a vector is dropped when a
+    smaller-id vector in its OWN IVF cluster has r4-rounded cosine ≥
+    SEMDEDUP_TAU to it; keepers are the per-near-twin canonical
+    representatives. Comparisons never leave a cluster — the candidate
+    join is on the cluster id (bounded Σ|cluster|², audited: no
+    all-pairs) and the centroid assignment is one broadcast pass."""
+    emb = with_norm(spread(load_tables(spark, sf_dir)["embeddings"], "vec_id"), "embedding")
+    clustered = ivf_assign(emb, emb.filter(F.col("vec_id") < IVF_K))
+    a = clustered.select(
+        F.col("vec_id").alias("va"), F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"), "cluster",
+    )
+    b = clustered.select(
+        F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"), "cluster",
+    )
+    sim = r4(_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")))
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("vb") < F.col("va"))
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= SEMDEDUP_TAU)
+        .select(F.col("va").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        clustered.select("vec_id", F.col("cluster").cast("long").alias("cluster_id"))
+        .join(dropped.withColumn("__d", F.lit(1)), "vec_id", "left")
+        .select("vec_id", "cluster_id", F.col("__d").isNull().alias("is_kept"))
+    )
+
+
 # --------------------------------------------------------- ANN recall
 # IVF and LSH are deterministic, but determinism says nothing about
 # QUALITY — the number a user tuning nprobe / n_planes actually needs

@@ -463,6 +463,204 @@ FROM b GROUP BY doc_id, width, height
 """
 
 
+# ------------------------------------------------- perceptual hashing
+# Image near-dup detection: an average-hash (aHash) fingerprint over
+# every image's pixel stream, then Hamming-distance pairing — the
+# multimodal counterpart of MinHash/SimHash text dedup. The fixture
+# plants near-duplicates (groups of 4 docs share one md5 pixel stream,
+# variants perturb 2 chars) so the pairing has real structure.
+
+PHASH_W = PHASH_H = 16
+PHASH_STREAM = PHASH_W * PHASH_H * 3  # 768 pixel bytes
+PHASH_BITS = 64
+PHASH_MAX_HAMMING = 7  # ≤7 bit errors over 8 byte-bands → pigeonhole-complete
+
+
+def build_phash_media(docs: DataFrame) -> DataFrame:
+    """Deterministic 16×16 P6 PPMs with PLANTED near-duplicates:
+    groups of 4 consecutive doc_ids share the pixel stream of
+    md5(doc_id div 4); variants v=1..3 overwrite 2 chars at position
+    7·v. Pure JVM string expressions, like the other media fixtures."""
+    # chained md5 blocks, NOT repeat(): a periodic stream aliases with
+    # the evenly-spaced sample positions (stride 12 over period 32 hits
+    # only 8 distinct chars) and collapses the hash to 8 effective bits
+    base_sql = (
+        f"substr(array_join(transform(sequence(0, {PHASH_STREAM // 32}), "
+        f"j -> md5(concat(cast(doc_id div 4 as string), ':', cast(j as string)))), ''), "
+        f"1, {PHASH_STREAM})"
+    )
+    v = F.col("doc_id") % 4
+    # overlay 'zz' at 1-based position 12·v + 1 — position 12·v
+    # (0-based) IS a sample point, so variants sit at Hamming ≈ 0–2
+    # from their base: close enough to pair, visible in the distance
+    perturbed = F.when(v == 0, F.expr(base_sql)).otherwise(
+        F.concat(
+            F.expr(f"substr({base_sql}, 1, cast((doc_id % 4) * 12 as int))"),
+            F.lit("zz"),
+            F.expr(f"substr({base_sql}, cast((doc_id % 4) * 12 + 3 as int))"),
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.encode(
+            F.concat(F.lit(f"P6\n{PHASH_W} {PHASH_H}\n255\n"), perturbed), "utf-8"
+        ).alias("media"),
+    )
+
+
+_PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("h1", T.LongType()),
+        T.StructField("h2", T.LongType()),
+    ]
+)
+
+
+def decode_phash(media_df: DataFrame) -> DataFrame:
+    """aHash over the decoded pixel stream (numpy, Arrow-batched):
+    sample 64 evenly-spaced payload bytes, threshold each against the
+    integer mean, pack the bits into two 32-bit halves (avoids int64
+    sign games in cross-engine XOR). Same mapInPandas plumbing as the
+    PPM/WAV decoders."""
+    import re
+
+    header_re = re.compile(rb"^P6\s+(\d+)\s+(\d+)\s+(\d+)\s")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = {"doc_id": [], "h1": [], "h2": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                raw = bytes(blob)
+                m = header_re.match(raw)
+                if m is None:
+                    continue
+                w, h, _ = (int(g) for g in m.groups())
+                px = np.frombuffer(raw[m.end():], dtype=np.uint8)
+                n = w * h * 3
+                if px.size != n:
+                    continue
+                idx = (np.arange(PHASH_BITS) * n) // PHASH_BITS
+                sampled = px[idx].astype(np.int64)
+                mean = int(sampled.sum()) // PHASH_BITS
+                bits = sampled > mean
+                h1 = int(sum(1 << i for i in range(32) if bits[i]))
+                h2 = int(sum(1 << (i - 32) for i in range(32, 64) if bits[i]))
+                rows["doc_id"].append(doc_id)
+                rows["h1"].append(h1)
+                rows["h2"].append(h2)
+            yield pd.DataFrame(rows)
+
+    return media_df.select("doc_id", "media").mapInPandas(gen, _PHASH_SCHEMA)
+
+
+# the oracle recomputes the perturbed stream and the aHash from first
+# principles (constant sample positions — w/h are fixture constants)
+_PHASH_BASE_SQL = (
+    f"substr(array_to_string(list_transform(range(0, {PHASH_STREAM // 32 + 1}), "
+    f"j -> md5(CAST(doc_id // 4 AS VARCHAR) || ':' || CAST(j AS VARCHAR))), ''), "
+    f"1, {PHASH_STREAM})"
+)
+
+_PHASH_STREAM_SQL = f"""
+CASE WHEN doc_id % 4 = 0
+     THEN {_PHASH_BASE_SQL}
+     ELSE substr({_PHASH_BASE_SQL}, 1, CAST((doc_id % 4) * 12 AS INT))
+          || 'zz'
+          || substr({_PHASH_BASE_SQL}, CAST((doc_id % 4) * 12 + 3 AS INT))
+END
+"""
+
+_PHASH_ORACLE = f"""
+WITH img AS (
+    SELECT doc_id, ({_PHASH_STREAM_SQL}) AS s FROM documents
+), sampled AS (
+    SELECT doc_id, t.i,
+           ascii(substr(s, CAST((t.i * {PHASH_STREAM}) // {PHASH_BITS} + 1 AS INT), 1)) AS b
+    FROM img, LATERAL unnest(range(0, {PHASH_BITS})) AS t(i)
+), withmean AS (
+    SELECT doc_id, i, b,
+           sum(b) OVER (PARTITION BY doc_id) // {PHASH_BITS} AS mean
+    FROM sampled
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN b > mean AND i < 32
+                     THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS h1,
+       CAST(sum(CASE WHEN b > mean AND i >= 32
+                     THEN (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END) AS BIGINT) AS h2
+FROM withmean GROUP BY doc_id
+"""
+
+
+@register("q_mm_phash", oracle=_PHASH_ORACLE, tags=("multimodal", "udf", "dedup"))
+def q_mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual fingerprint round trip: build the planted-duplicate
+    PPM fixture, decode each image's aHash with numpy, hash-check the
+    (h1, h2) fingerprints against a byte-level SQL derivation."""
+    from iceberg_twist_spark.common import spread
+
+    docs = spread(load_tables(spark, sf_dir)["documents"], "doc_id")
+    return decode_phash(build_phash_media(docs))
+
+
+_PHASH_DEDUP_ORACLE = f"""
+WITH ph AS ({_PHASH_ORACLE})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) AS BIGINT)
+           AS hamming
+FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) <= {PHASH_MAX_HAMMING}
+"""
+
+
+@register("q_mm_phash_dedup", oracle=_PHASH_DEDUP_ORACLE, tags=("multimodal", "dedup"))
+def q_mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs: Hamming ≤ {PHASH_MAX_HAMMING} over the
+    64-bit aHash. Candidates come from an 8-way byte-band join —
+    pigeonhole-complete (≤7 bit errors cannot touch all 8 bands, so
+    every qualifying pair shares at least one exact band) — then exact
+    Hamming verification. The oracle's all-pairs form is the
+    correctness baseline; the banded join is the 100 TB path (same
+    shape as MinHash banding)."""
+    from iceberg_twist_spark.common import spread
+
+    docs = spread(load_tables(spark, sf_dir)["documents"], "doc_id")
+    ph = decode_phash(build_phash_media(docs)).localCheckpoint(eager=False)
+    bands = ph.select(
+        "doc_id", "h1", "h2",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("band"),
+                    F.shiftright(F.col("h1" if j < 4 else "h2"), (j % 4) * 8)
+                    .bitwiseAND(F.lit(255)).alias("val"),
+                )
+                for j in range(8)
+            ])
+        ).alias("bv"),
+    ).select("doc_id", "h1", "h2", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("h1").alias("h1a"),
+        F.col("h2").alias("h2a"), "band", "val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("h1").alias("h1b"),
+        F.col("h2").alias("h2b"), "band", "val",
+    )
+    hamming = (
+        F.bit_count(F.col("h1a").bitwiseXOR(F.col("h1b")))
+        + F.bit_count(F.col("h2a").bitwiseXOR(F.col("h2b")))
+    )
+    return (
+        a.join(b, ["band", "val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
+    )
+
+
 # ------------------------------------------------------ real audio codec
 # Tier 3b: WAV/PCM16 is the audio analogue of the PPM path — a real,
 # standard container simple enough to encode JVM-side (44-byte RIFF

@@ -88,22 +88,60 @@ class SnapshotTable:
         return [self._manifest(i) for i in range(1, self.current_snapshot_id() + 1)]
 
     # ---- commits -----------------------------------------------------
-    def _write_files(self, df: DataFrame) -> tuple[list[str], int]:
-        """Stage df as immutable parquet files; return (paths, n_records)."""
+    @staticmethod
+    def _file_stats(path: str) -> dict[str, list]:
+        """Per-column [min, max] for one data file, read from the
+        parquet FOOTER (row-group statistics — no data scan). This is
+        the zone-map Iceberg keeps per data file in its manifests; it
+        is what lets a filtered read skip files without opening them.
+        Only JSON-representable primitive stats are kept."""
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        mins: dict[str, object] = {}
+        maxs: dict[str, object] = {}
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                name = col.path_in_schema
+                mn, mx = st.min, st.max
+                if isinstance(mn, bytes):
+                    try:
+                        mn, mx = mn.decode("utf-8"), mx.decode("utf-8")
+                    except UnicodeDecodeError:
+                        continue
+                import decimal
+
+                if isinstance(mn, decimal.Decimal):
+                    mn, mx = float(mn), float(mx)
+                if not isinstance(mn, (int, float, str)) or isinstance(mn, bool):
+                    continue
+                mins[name] = mn if name not in mins else min(mins[name], mn)
+                maxs[name] = mx if name not in maxs else max(maxs[name], mx)
+        return {k: [mins[k], maxs[k]] for k in mins}
+
+    def _write_files(self, df: DataFrame) -> tuple[list[str], int, dict]:
+        """Stage df as immutable parquet files; return
+        (paths, n_records, per-file column stats)."""
         stage = tempfile.mkdtemp(prefix="itws_snapstage_")
         df.write.mode("overwrite").parquet(stage)
-        files = []
+        files, stats = [], {}
         for name in sorted(os.listdir(stage)):
             if not name.endswith(".parquet"):
                 continue
             dst = os.path.join(self._data, f"{uuid.uuid4().hex}.parquet")
             os.replace(os.path.join(stage, name), dst)
             files.append(dst)
+            stats[dst] = self._file_stats(dst)
         n = self.spark.read.parquet(*files).count() if files else 0
-        return files, n
+        return files, n, stats
 
     def _commit(self, files: list[str], n_records: int, operation: str,
-                schema_json: str) -> int:
+                schema_json: str, file_stats: dict | None = None) -> int:
         parent = self.current_snapshot_id()
         snap = parent + 1
         manifest = {
@@ -114,6 +152,9 @@ class SnapshotTable:
             "n_files": len(files),
             "n_records": n_records,
             "schema": schema_json,
+            # per-file zone maps ({path: {col: [min, max]}}) — absent
+            # entries simply can't be pruned (backward compatible)
+            "file_stats": file_stats or {},
         }
         mpath = os.path.join(self._meta, f"v{snap}.json")
         with open(mpath, "w") as f:
@@ -129,28 +170,81 @@ class SnapshotTable:
         return self.overwrite(df)
 
     def overwrite(self, df: DataFrame) -> int:
-        files, n = self._write_files(df)
-        return self._commit(files, n, "overwrite", df.schema.json())
+        files, n, st = self._write_files(df)
+        return self._commit(files, n, "overwrite", df.schema.json(), st)
 
     def append(self, df: DataFrame) -> int:
-        files, n = self._write_files(df)
+        files, n, st = self._write_files(df)
         cur = self.current_snapshot_id()
-        prev = self._manifest(cur) if cur else {"files": [], "n_records": 0}
+        prev = (
+            self._manifest(cur)
+            if cur
+            else {"files": [], "n_records": 0, "file_stats": {}}
+        )
         return self._commit(
-            prev["files"] + files, prev["n_records"] + n, "append", df.schema.json()
+            prev["files"] + files,
+            prev["n_records"] + n,
+            "append",
+            df.schema.json(),
+            {**prev.get("file_stats", {}), **st},
         )
 
     # ---- reads ---------------------------------------------------------
-    def read(self, snapshot_id: int | None = None) -> DataFrame:
-        """Scan a snapshot (latest by default) — time travel by id."""
+    def plan_files(
+        self,
+        snapshot_id: int | None = None,
+        skip: tuple[str, float, float] | None = None,
+    ) -> list[str]:
+        """The data files a scan must open — after zone-map pruning.
+
+        ``skip=(col, lo, hi)`` drops every file whose recorded
+        [min, max] for ``col`` cannot intersect [lo, hi]; files without
+        stats are conservatively kept. This is Iceberg's manifest-level
+        data skipping: at 100 TB a day-range query over a time-sorted
+        table plans thousands of files down to the handful that can
+        match, before any executor starts.
+        """
+        snap = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
+        if snap == 0:
+            raise ValueError(f"no snapshots in {self.path}")
+        m = self._manifest(snap)
+        files = m["files"]
+        if skip is not None:
+            col, lo, hi = skip
+            fstats = m.get("file_stats", {})
+
+            def may_contain(path: str) -> bool:
+                rng = fstats.get(path, {}).get(col)
+                return rng is None or (rng[0] <= hi and rng[1] >= lo)
+
+            files = [f for f in files if may_contain(f)]
+        return files
+
+    def read(
+        self,
+        snapshot_id: int | None = None,
+        skip: tuple[str, float, float] | None = None,
+    ) -> DataFrame:
+        """Scan a snapshot (latest by default) — time travel by id.
+
+        With ``skip=(col, lo, hi)``, non-matching data files are pruned
+        via the manifest zone maps (see ``plan_files``) and the exact
+        residual ``BETWEEN`` filter is applied row-level — the result
+        provably equals the unpruned filtered scan (no false negatives:
+        a file is only skipped when its stats PROVE emptiness)."""
         snap = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
         if snap == 0:
             raise ValueError(f"no snapshots in {self.path}")
         m = self._manifest(snap)
         schema = T.StructType.fromJson(json.loads(m["schema"]))
-        if not m["files"]:
+        files = self.plan_files(snap, skip)
+        if not files:
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*m["files"])
+        df = self.spark.read.schema(schema).parquet(*files)
+        if skip is not None:
+            col, lo, hi = skip
+            df = df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
+        return df
 
     # ---- row-level commits ---------------------------------------------
     def merge(self, source: DataFrame, key: str) -> int:
@@ -168,12 +262,12 @@ class SnapshotTable:
         base = self.read()
         survivors = base.join(source.select(key), on=key, how="left_anti")
         merged = survivors.unionByName(source)
-        files, n = self._write_files(merged)
+        files, n, st = self._write_files(merged)
         # commit the schema of the frame actually written — the union
         # keeps the BASE table's column order/nullability, and a source
         # with same names but different nullability/metadata must not
         # be recorded as describing the committed files
-        return self._commit(files, n, "merge", merged.schema.json())
+        return self._commit(files, n, "merge", merged.schema.json(), st)
 
     def delete_where(self, condition) -> int:
         """Copy-on-write DELETE: rewrite the current snapshot without
@@ -182,8 +276,8 @@ class SnapshotTable:
         those; with a flat manifest the rewrite set is all files.)"""
         base = self.read()
         remaining = base.filter(~condition)
-        files, n = self._write_files(remaining)
-        return self._commit(files, n, "delete", base.schema.json())
+        files, n, st = self._write_files(remaining)
+        return self._commit(files, n, "delete", base.schema.json(), st)
 
     # ---- maintenance ---------------------------------------------------
     def rewrite_data_files(self, target_bytes: int = TARGET_FILE_BYTES) -> int:
@@ -195,8 +289,8 @@ class SnapshotTable:
         total = sum(os.path.getsize(p) for p in cur["files"])
         n_out = max(1, -(-total // target_bytes))  # ceil
         df = self.read().repartition(int(n_out))
-        files, n = self._write_files(df)
-        return self._commit(files, n, "rewrite", cur["schema"])
+        files, n, st = self._write_files(df)
+        return self._commit(files, n, "rewrite", cur["schema"], st)
 
 
 # --------------------------------------------------------------------------
@@ -229,6 +323,53 @@ def _orders_table(spark: SparkSession, sf_dir: str) -> SnapshotTable:
     tbl.rewrite_data_files()
     _TABLE_CACHE[key] = tbl
     return tbl
+
+
+def _orders_range_table(spark: SparkSession, sf_dir: str) -> SnapshotTable:
+    """Staged versioned table over ``orders``, range-layout on
+    o_totalprice (8 files, each covering a tight price band) — the
+    sort-order table layout that makes zone-map pruning effective.
+    At 100 TB this is the write-side half of data skipping: cluster the
+    table on the predicate column (Iceberg sort orders / z-order
+    rewrite) so file min/max ranges are narrow."""
+    key = f"snaprange::{sf_dir}"
+    tbl = _TABLE_CACHE.get(key)
+    if tbl is not None and tbl.current_snapshot_id() >= 1:
+        return tbl
+    tbl = SnapshotTable(spark, tempfile.mkdtemp(prefix="itws_snaprange_"))
+    orders = load_tables(spark, sf_dir)["orders"].select(*_ORDER_COLS)
+    tbl.overwrite(orders.repartitionByRange(8, "o_totalprice"))
+    _TABLE_CACHE[key] = tbl
+    return tbl
+
+
+PRUNE_LO, PRUNE_HI = 100_000.0, 150_000.0
+
+_PRUNE_ORACLE = f"""
+SELECT o_orderkey, o_orderstatus,
+       floor(o_totalprice * 10000 + 0.5) / 10000 AS o_totalprice
+FROM orders
+WHERE o_totalprice BETWEEN {PRUNE_LO} AND {PRUNE_HI}
+"""
+
+
+@register("q_iceberg_prune", oracle=_PRUNE_ORACLE, tags=("iceberg", "source", "filter"))
+def q_iceberg_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map data skipping: a price-band read over the range-laid-out
+    snapshot table plans only the data files whose footer [min, max]
+    can intersect the band (``SnapshotTable.plan_files``) and applies
+    the exact residual filter — the result must equal the plain
+    filtered scan of the source table (no false negatives by
+    construction: files are skipped only when stats prove emptiness).
+    tests/test_snapshots.py pins the pruning EFFECT (files planned <
+    files total); this query pins the CORRECTNESS."""
+    tbl = _orders_range_table(spark, sf_dir)
+    return tbl.read(skip=("o_totalprice", PRUNE_LO, PRUNE_HI)).select(
+        "o_orderkey", "o_orderstatus",
+        (F.floor(F.col("o_totalprice") * 10000 + F.lit(0.5)) / 10000).alias(
+            "o_totalprice"
+        ),
+    )
 
 
 _ROUNDTRIP_ORACLE = """

@@ -184,3 +184,18 @@ def test_wav_fixture_is_valid_riff(spark, sf_dir):
         assert w.getsampwidth() == 2
         assert w.getframerate() == 8000
         assert w.getnframes() == 64 + row.doc_id % 64
+
+
+def test_phash_pairs_are_exactly_planted_groups(spark, sf_dir):
+    """aHash near-dup pairing must find every planted variant pair
+    (groups of 4 share a base image, Hamming <= 2) and nothing else."""
+    from iceberg_twist_spark.registry import REGISTRY, _load_all_modules
+
+    _load_all_modules()
+    df = REGISTRY["q_mm_phash_dedup"].builder(spark, sf_dir)
+    pairs = df.collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    n_groups_of_4 = n_docs // 4
+    assert len(pairs) == n_groups_of_4 * 6  # C(4,2) per full group
+    assert all(r.doc_a // 4 == r.doc_b // 4 for r in pairs)
+    assert all(r.hamming <= 2 for r in pairs)

@@ -124,3 +124,54 @@ def test_merge_updates_and_deletes_applied(spark, sf_dir):
     assert not_u.count() == 0
     # deleted keys are gone
     assert cur.filter(F.col("o_orderkey") % 11 == 5).count() == 0
+
+
+def test_zone_map_pruning_skips_files(spark, sf_dir):
+    """A narrow price band over the range-laid-out table must plan
+    strictly fewer files than the full scan, and the pruned read must
+    equal the unpruned filtered read exactly."""
+    from iceberg_twist_spark.sources.snapshots import (
+        PRUNE_HI,
+        PRUNE_LO,
+        _orders_range_table,
+    )
+
+    tbl = _orders_range_table(spark, sf_dir)
+    all_files = tbl.plan_files()
+    pruned = tbl.plan_files(skip=("o_totalprice", PRUNE_LO, PRUNE_HI))
+    assert len(all_files) == 8
+    assert 0 < len(pruned) < len(all_files)
+    skipped = tbl.read(skip=("o_totalprice", PRUNE_LO, PRUNE_HI))
+    full = tbl.read().filter(
+        (F.col("o_totalprice") >= PRUNE_LO) & (F.col("o_totalprice") <= PRUNE_HI)
+    )
+    assert skipped.exceptAll(full).count() == 0
+    assert full.exceptAll(skipped).count() == 0
+
+
+def test_zone_map_absent_stats_are_conservative(spark):
+    """A manifest without stats for a file must keep it (no false
+    negatives on old commits or unstatted columns)."""
+    import json
+
+    tbl = SnapshotTable(spark, tempfile.mkdtemp(prefix="itws_prune_"))
+    tbl.overwrite(spark.range(100).selectExpr("id", "id * 1.0 AS v"))
+    # simulate a pre-stats manifest by dropping file_stats
+    mpath = os.path.join(tbl._meta, "v1.json")
+    m = json.load(open(mpath))
+    m["file_stats"] = {}
+    json.dump(m, open(mpath, "w"))
+    assert tbl.plan_files(skip=("v", 5.0, 6.0)) == tbl.plan_files()
+    assert tbl.read(skip=("v", 5.0, 6.0)).count() == 2
+
+
+def test_file_stats_recorded_on_every_commit(spark):
+    tbl = SnapshotTable(spark, tempfile.mkdtemp(prefix="itws_stats_"))
+    tbl.overwrite(spark.range(50).selectExpr("id", "id * 2.0 AS v"))
+    tbl.append(spark.range(50, 100).selectExpr("id", "id * 2.0 AS v"))
+    m = tbl.snapshots()[-1]
+    assert set(m["file_stats"]) == set(m["files"])
+    for st in m["file_stats"].values():
+        assert "id" in st and "v" in st
+        lo, hi = st["v"]
+        assert lo <= hi

@@ -165,6 +165,7 @@ BNLJ_ALLOWED: dict[str, str] = {
     "q_llm_knn_join": "probe-set broadcast (|probes| ≪ corpus)",
     "q_llm_hybrid_search": "probe-vector + idf-model broadcast",
     "q_llm_ann_ivf": "centroid-table broadcast (nlist rows)",
+    "q_llm_semdedup": "centroid-table broadcast for the cluster assignment",
     "q_llm_ann_recall": "embeds the ivf/topk probe broadcasts + 1-row probe-bucket broadcast",
     "q_llm_tfidf_topk": "1-row corpus-size scalar broadcast",
     "q_llm_unigram_logprob": "1-row vocab-total scalar broadcast",
