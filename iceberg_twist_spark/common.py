@@ -42,6 +42,31 @@ def duck_r2(expr: str) -> str:
     return duck_r4(expr, scale=100)
 
 
+def exact_sum(col: Column | str, scale: int = 100) -> Column:
+    """Summation-order-proof sum of a fixed-decimal double column.
+
+    ``sum(double)`` differs between engines (and between partitionings)
+    in the last ulp because IEEE addition is order-dependent; once the
+    sum's magnitude × 1e-4 approaches its ulp (money sums ≳1e11, i.e.
+    sf≳1 group totals), that drift flips the r4 hashing boundary — the
+    sf1 rehearsal caught four such queries. Fix: each value is
+    converted to an EXACT integer at ``scale`` (cents for 2-decimal
+    money, 1e4 for 4-decimal products), summed exactly in int64, and
+    divided back once — a single identical IEEE op on both engines.
+    int64 headroom: cents of a 5e5-max money column overflow past
+    ~1.8e14 rows per group (sf ≈ 3×10⁷) — far beyond any rehearsal.
+    The DuckDB twin is ``duck_exact_sum``.
+    """
+    if isinstance(col, str):
+        col = F.col(col)
+    return F.sum(F.floor(col * scale + F.lit(0.5)).cast("long")) / float(scale)
+
+
+def duck_exact_sum(expr: str, scale: int = 100) -> str:
+    """DuckDB-side order-proof sum matching ``exact_sum`` bit-for-bit."""
+    return f"(sum(CAST(floor(({expr}) * {scale} + 0.5) AS BIGINT)) / {scale}.0)"
+
+
 def spread(df, *cols: str):
     """Repartition ONLY when the upstream plan is under-partitioned
     relative to the session's parallelism.

@@ -20,13 +20,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from iceberg_twist_spark.catalog import load_tables
-from iceberg_twist_spark.common import duck_r4, r4
+from iceberg_twist_spark.common import duck_exact_sum, duck_r4, exact_sum, r4
 from iceberg_twist_spark.registry import register
 
-_GLOBAL_ORACLE = """
+_GLOBAL_ORACLE = f"""
 SELECT CAST(count(*) AS BIGINT) AS cnt,
        floor((sum(l_quantity)) * 10000 + 0.5) / 10000 AS sum_qty,
-       floor((sum(l_extendedprice)) * 10000 + 0.5) / 10000 AS sum_price,
+       floor(({duck_exact_sum('l_extendedprice')}) * 10000 + 0.5) / 10000 AS sum_price,
        floor((avg(l_discount)) * 10000 + 0.5) / 10000 AS avg_disc,
        floor((min(l_extendedprice)) * 10000 + 0.5) / 10000 AS min_price,
        floor((max(l_extendedprice)) * 10000 + 0.5) / 10000 AS max_price
@@ -40,20 +40,20 @@ def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_tables(spark, sf_dir)["lineitem"]
     return li.agg(
         F.count("*").alias("cnt"),
-        r4(F.sum("l_quantity")).alias("sum_qty"),
-        r4(F.sum("l_extendedprice")).alias("sum_price"),
+        r4(F.sum("l_quantity")).alias("sum_qty"),  # integral values: exact
+        r4(exact_sum("l_extendedprice")).alias("sum_price"),
         r4(F.avg("l_discount")).alias("avg_disc"),
         r4(F.min("l_extendedprice")).alias("min_price"),
         r4(F.max("l_extendedprice")).alias("max_price"),
     )
 
 
-_Q1_ORACLE = """
+_Q1_ORACLE = f"""
 SELECT l_returnflag, l_linestatus,
        floor((sum(l_quantity)) * 10000 + 0.5) / 10000 AS sum_qty,
-       floor((sum(l_extendedprice)) * 10000 + 0.5) / 10000 AS sum_base_price,
-       floor((sum(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) / 10000 AS sum_disc_price,
-       floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 10000 + 0.5) / 10000 AS sum_charge,
+       floor(({duck_exact_sum('l_extendedprice')}) * 10000 + 0.5) / 10000 AS sum_base_price,
+       floor(({duck_exact_sum('l_extendedprice * (1 - l_discount)', 10000)}) * 10000 + 0.5) / 10000 AS sum_disc_price,
+       floor(({duck_exact_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 10000)}) * 10000 + 0.5) / 10000 AS sum_charge,
        floor((avg(l_quantity)) * 10000 + 0.5) / 10000 AS avg_qty,
        floor((avg(l_extendedprice)) * 10000 + 0.5) / 10000 AS avg_price,
        floor((avg(l_discount)) * 10000 + 0.5) / 10000 AS avg_disc,
@@ -79,10 +79,12 @@ def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            r4(F.sum("l_quantity")).alias("sum_qty"),
-            r4(F.sum("l_extendedprice")).alias("sum_base_price"),
-            r4(F.sum(disc_price)).alias("sum_disc_price"),
-            r4(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
+            r4(F.sum("l_quantity")).alias("sum_qty"),  # integral: exact
+            r4(exact_sum("l_extendedprice")).alias("sum_base_price"),
+            # 4-decimal fixed-point accounting for the product sums —
+            # per-row floor at 1e-4 grain, exact int64 accumulation
+            r4(exact_sum(disc_price, 10000)).alias("sum_disc_price"),
+            r4(exact_sum(disc_price * (1 + F.col("l_tax")), 10000)).alias("sum_charge"),
             r4(F.avg("l_quantity")).alias("avg_qty"),
             r4(F.avg("l_extendedprice")).alias("avg_price"),
             r4(F.avg("l_discount")).alias("avg_disc"),
@@ -125,10 +127,10 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.rollup("r_name", "n_name").agg(F.count("*").alias("cnt"))
 
 
-_CUBE_ORACLE = """
+_CUBE_ORACLE = f"""
 SELECT o_orderstatus, o_orderpriority,
        CAST(count(*) AS BIGINT) AS cnt,
-       floor((sum(o_totalprice)) * 10000 + 0.5) / 10000 AS sum_price
+       floor(({duck_exact_sum('o_totalprice')}) * 10000 + 0.5) / 10000 AS sum_price
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
@@ -139,7 +141,7 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_tables(spark, sf_dir)["orders"]
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count("*").alias("cnt"),
-        r4(F.sum("o_totalprice")).alias("sum_price"),
+        r4(exact_sum("o_totalprice")).alias("sum_price"),
     )
 
 

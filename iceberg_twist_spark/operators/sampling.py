@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from iceberg_twist_spark.catalog import load_tables
-from iceberg_twist_spark.common import duck_r4, r4
+from iceberg_twist_spark.common import duck_exact_sum, duck_r4, exact_sum, r4
 from iceberg_twist_spark.registry import register
 
 
@@ -41,7 +41,7 @@ def _hash_bucket(key):
 _SYSTEMATIC_ORACLE = f"""
 SELECT o_orderstatus,
        count(*) * 20 AS est_orders,
-       {duck_r4('sum(o_totalprice) * 20')} AS est_revenue
+       {duck_r4(duck_exact_sum('o_totalprice') + ' * 20')} AS est_revenue
 FROM orders
 WHERE o_orderkey % 20 = 3
 GROUP BY o_orderstatus
@@ -63,7 +63,7 @@ def q_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             (F.count("*") * 20).alias("est_orders"),
-            r4(F.sum("o_totalprice") * 20).alias("est_revenue"),
+            r4(exact_sum("o_totalprice") * 20).alias("est_revenue"),
         )
     )
 
@@ -120,7 +120,7 @@ _STRATIFIED_ORACLE = f"""
 SELECT event_type,
        count(*) AS sampled_rows,
        count(*) * (CASE {_SCALE_CASES} END) AS est_rows,
-       {duck_r4('sum(value) * (CASE ' + _SCALE_CASES + ' END)')} AS est_value
+       {duck_r4(duck_exact_sum('value') + ' * (CASE ' + _SCALE_CASES + ' END)')} AS est_value
 FROM events
 WHERE substr(md5(cast(event_id AS varchar)), 1, 2)
       < (CASE {_STRAT_CASES} END)
@@ -151,7 +151,7 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("sampled_rows"),
             (F.count("*") * F.max(scale_expr)).alias("est_rows"),
-            r4(F.sum("value") * F.max(scale_expr)).alias("est_value"),
+            r4(exact_sum("value") * F.max(scale_expr)).alias("est_value"),
         )
     )
 

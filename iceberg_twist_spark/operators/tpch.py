@@ -35,7 +35,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from iceberg_twist_spark.catalog import load_tables
-from iceberg_twist_spark.common import duck_r4, duck_ts_str, r4, ts_str
+from iceberg_twist_spark.common import (
+    duck_exact_sum,
+    duck_r4,
+    duck_ts_str,
+    exact_sum,
+    r4,
+    ts_str,
+)
 from iceberg_twist_spark.registry import register
 
 
@@ -47,9 +54,9 @@ def _ts(s: str):
 _Q1_ORACLE = f"""
 SELECT l_returnflag, l_linestatus,
        {duck_r4('sum(l_quantity)')} AS sum_qty,
-       {duck_r4('sum(l_extendedprice)')} AS sum_base_price,
-       {duck_r4('sum(l_extendedprice * (1 - l_discount))')} AS sum_disc_price,
-       {duck_r4('sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))')} AS sum_charge,
+       {duck_r4(duck_exact_sum('l_extendedprice'))} AS sum_base_price,
+       {duck_r4(duck_exact_sum('l_extendedprice * (1 - l_discount)', 10000))} AS sum_disc_price,
+       {duck_r4(duck_exact_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 10000))} AS sum_charge,
        {duck_r4('avg(l_quantity)')} AS avg_qty,
        {duck_r4('avg(l_extendedprice)')} AS avg_price,
        {duck_r4('avg(l_discount)')} AS avg_disc,
@@ -70,10 +77,11 @@ def q_tpch_q01(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_shipdate") <= _ts("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            r4(F.sum("l_quantity")).alias("sum_qty"),
-            r4(F.sum("l_extendedprice")).alias("sum_base_price"),
-            r4(F.sum(disc)).alias("sum_disc_price"),
-            r4(F.sum(disc * (1 + F.col("l_tax")))).alias("sum_charge"),
+            r4(F.sum("l_quantity")).alias("sum_qty"),  # integral: exact
+            r4(exact_sum("l_extendedprice")).alias("sum_base_price"),
+            # order-proof 4-decimal fixed-point sums (common.exact_sum)
+            r4(exact_sum(disc, 10000)).alias("sum_disc_price"),
+            r4(exact_sum(disc * (1 + F.col("l_tax")), 10000)).alias("sum_charge"),
             r4(F.avg("l_quantity")).alias("avg_qty"),
             r4(F.avg("l_extendedprice")).alias("avg_price"),
             r4(F.avg("l_discount")).alias("avg_disc"),
@@ -215,7 +223,7 @@ def q_tpch_q04(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- Q5
 _Q5_ORACLE = f"""
 SELECT n.n_name,
-       {duck_r4('sum(l.l_extendedprice * (1 - l.l_discount))')} AS revenue
+       {duck_r4(duck_exact_sum('l.l_extendedprice * (1 - l.l_discount)', 10000))} AS revenue
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -250,13 +258,13 @@ def q_tpch_q05(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
         .filter(F.col("r_name") == "ASIA")
         .groupBy("n_name")
-        .agg(r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .agg(r4(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)).alias("revenue"))
     )
 
 
 # ---------------------------------------------------------------- Q6
 _Q6_ORACLE = f"""
-SELECT {duck_r4('sum(l_extendedprice * l_discount)')} AS revenue
+SELECT {duck_r4(duck_exact_sum('l_extendedprice * l_discount', 10000))} AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
@@ -276,7 +284,7 @@ def q_tpch_q06(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(r4(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"))
+        .agg(r4(exact_sum(F.col("l_extendedprice") * F.col("l_discount"), 10000)).alias("revenue"))
     )
 
 
@@ -284,7 +292,7 @@ def q_tpch_q06(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q7_ORACLE = f"""
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        year(l.l_shipdate) AS l_year,
-       {duck_r4('sum(l.l_extendedprice * (1 - l.l_discount))')} AS revenue
+       {duck_r4(duck_exact_sum('l.l_extendedprice * (1 - l.l_discount)', 10000))} AS revenue
 FROM supplier s
 JOIN lineitem l ON s.s_suppkey = l.l_suppkey
 JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -325,7 +333,7 @@ def q_tpch_q07(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .agg(r4(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)).alias("revenue"))
     )
 
 
@@ -387,10 +395,10 @@ def q_tpch_q08(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- Q9
 _Q9_ORACLE = f"""
 SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
-       {duck_r4(
-           'sum(l.l_extendedprice * (1 - l.l_discount)'
-           ' - 0.8 * p.p_retailprice * l.l_quantity)'
-       )} AS sum_profit
+       {duck_r4(duck_exact_sum(
+           'l.l_extendedprice * (1 - l.l_discount)'
+           ' - 0.8 * p.p_retailprice * l.l_quantity', 10000
+       ))} AS sum_profit
 FROM part p
 JOIN lineitem l ON p.p_partkey = l.l_partkey
 JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -420,7 +428,7 @@ def q_tpch_q09(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
-        .agg(r4(F.sum(profit)).alias("sum_profit"))
+        .agg(r4(exact_sum(profit, 10000)).alias("sum_profit"))
     )
 
 
@@ -755,7 +763,7 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------- Q19
 _Q19_ORACLE = f"""
-SELECT {duck_r4('sum(l.l_extendedprice * (1 - l.l_discount))')} AS revenue
+SELECT {duck_r4(duck_exact_sum('l.l_extendedprice * (1 - l.l_discount)', 10000))} AS revenue
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
        AND l.l_quantity BETWEEN 1 AND 11)
@@ -781,7 +789,7 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
         .filter(band("Brand#12", 5, 1, 11) | band("Brand#23", 10, 10, 20)
                 | band("Brand#15", 15, 20, 30))
-        .agg(r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .agg(r4(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)).alias("revenue"))
     )
 
 
@@ -905,7 +913,7 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------- Q22
 _Q22_ORACLE = f"""
 SELECT c.c_nationkey AS cntrycode, count(*) AS numcust,
-       {duck_r4('sum(c.c_acctbal)')} AS totacctbal
+       {duck_r4(duck_exact_sum('c.c_acctbal'))} AS totacctbal
 FROM customer c
 WHERE c.c_nationkey IN (3, 8, 13, 18, 23)
   AND c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
@@ -936,5 +944,5 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_acctbal") > F.col("avg_bal"))
         .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .groupBy(F.col("c_nationkey").alias("cntrycode"))
-        .agg(F.count("*").alias("numcust"), r4(F.sum("c_acctbal")).alias("totacctbal"))
+        .agg(F.count("*").alias("numcust"), r4(exact_sum("c_acctbal")).alias("totacctbal"))
     )

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from iceberg_twist_spark.catalog import load_tables
-from iceberg_twist_spark.common import duck_r4, r4
+from iceberg_twist_spark.common import duck_r4, exact_sum, r4
 from iceberg_twist_spark.registry import register
 
 _ROWNUM_ORACLE = """
@@ -301,7 +301,7 @@ def q_win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SHARE_ORACLE = f"""
 WITH rev AS (
     SELECT n.n_name, r.r_name,
-           sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+           (sum(CAST(floor((l.l_extendedprice * (1 - l.l_discount)) * 10000 + 0.5) AS BIGINT)) / 10000.0) AS revenue
     FROM lineitem l
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
     JOIN nation n ON s.s_nationkey = n.n_nationkey
@@ -330,7 +330,7 @@ def q_win_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name", "r_name")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000).alias("revenue"))
     )
     w_region = Window.partitionBy("r_name")
     w_all = Window.partitionBy()
