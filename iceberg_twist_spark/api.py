@@ -110,6 +110,67 @@ class Engine:
 
         return split_frames_map_in_pandas(df, payload_col)
 
+    @staticmethod
+    def semdedup(
+        df: DataFrame,
+        vec_col: str,
+        key_col: str,
+        n_clusters: int = 16,
+        tau: float = 0.35,
+    ) -> DataFrame:
+        """Semantic dedup (SemDeDup shape) over any embedding column:
+        rows clustered to deterministic centroids (smallest keys),
+        cosine compared ONLY within clusters, dropped when a
+        smaller-key near-twin (cos ≥ tau) shares the cluster. Returns
+        (key, cluster_id, is_kept). Same plan as q_llm_semdedup."""
+        from iceberg_twist_spark.llm.similarity import _dot, ivf_assign, with_norm
+        from iceberg_twist_spark.common import r4
+
+        emb = with_norm(
+            df.select(F.col(key_col).alias("vec_id"), F.col(vec_col).alias("embedding")),
+            "embedding",
+        )
+        centroids = emb.orderBy("vec_id").limit(n_clusters)
+        clustered = ivf_assign(emb, centroids)
+        a = clustered.select(
+            F.col("vec_id").alias("va"), F.col("embedding").alias("ea"),
+            F.col("nrm").alias("na"), "cluster",
+        )
+        b = clustered.select(
+            F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"),
+            F.col("nrm").alias("nb"), "cluster",
+        )
+        sim = r4(_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")))
+        dropped = (
+            a.join(b, "cluster")
+            .filter(F.col("vb") < F.col("va"))
+            .withColumn("sim", sim)
+            .filter(F.col("sim") >= tau)
+            .select(F.col("va").alias("vec_id"))
+            .distinct()
+        )
+        return (
+            clustered.select("vec_id", F.col("cluster").cast("long").alias("cluster_id"))
+            .join(dropped.withColumn("__d", F.lit(1)), "vec_id", "left")
+            .select(
+                F.col("vec_id").alias(key_col),
+                "cluster_id",
+                F.col("__d").isNull().alias("is_kept"),
+            )
+        )
+
+    @staticmethod
+    def perceptual_hash(df: DataFrame, media_col: str, key_col: str) -> DataFrame:
+        """aHash fingerprint of P6-PPM media blobs: (key, h1, h2) — two
+        32-bit halves; near-dup pairs come from Hamming distance via
+        bit_count(h1a^h1b) + bit_count(h2a^h2b) (same plan as
+        q_mm_phash / q_mm_phash_dedup)."""
+        from iceberg_twist_spark.multimodal import decode_phash
+
+        return decode_phash(
+            df.select(F.col(key_col).alias("doc_id"), F.col(media_col).alias("media"))
+        ).withColumnRenamed("doc_id", key_col)
+
     # -- versioned tables (the namesake layer) ---------------------------
     def snapshot_table(self, path: str):
         """Open (or initialize) a versioned snapshot table at ``path`` —

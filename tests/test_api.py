@@ -105,3 +105,33 @@ def test_match_sequence_helper(spark, sf_dir):
         {"n_matches": "sum"}
     ).collect()[0][0]
     assert hits.count() == (total or 0)
+
+
+def test_semdedup_helper_matches_registered(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from iceberg_twist_spark.api import Engine
+    from iceberg_twist_spark.registry import REGISTRY
+
+    eng = Engine(spark, sf_dir)
+    emb = eng.table("embeddings")
+    generic = Engine.semdedup(emb, "embedding", "vec_id")
+    registered = REGISTRY["q_llm_semdedup"].builder(spark, sf_dir)
+    # centroid choice is the same (vec_id < 16 == smallest 16 keys),
+    # so keep/drop decisions must be identical
+    assert (
+        generic.filter(~F.col("is_kept")).count()
+        == registered.filter("NOT is_kept").count()
+    )
+    assert generic.count() == registered.count()
+
+
+def test_perceptual_hash_helper(spark, sf_dir):
+    from iceberg_twist_spark.api import Engine
+    from iceberg_twist_spark.multimodal import build_phash_media
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = build_phash_media(docs)
+    ph = Engine.perceptual_hash(media, "media", "doc_id")
+    assert ph.columns == ["doc_id", "h1", "h2"]
+    assert ph.count() == docs.count()
