@@ -216,20 +216,31 @@ def q_llm_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     """32-bit SimHash per document.
 
-    Each distinct word hashes to 64 bits (xxhash64); bit j of the
-    fingerprint is 1 iff the sum of ±1 votes (bit j set → +1) over the
-    document's words is positive. Computed as explode → one hash
-    aggregate with 32 vote columns — vectorized, one shuffle on doc_id,
-    no Python.
+    Each distinct word hashes via md5; bit j of a word's hash is bit
+    (j mod 4) of hex digit j//4 — derivable from the md5 STRING with
+    substr/ascii arithmetic, so DuckDB computes the identical
+    fingerprint and the query family is hash-checked (round-3 upgrade
+    from the xxhash64 rows-only form). Bit j of the fingerprint is 1
+    iff the sum of ±1 votes over the document's words is positive.
+    Computed as explode → one hash aggregate with 32 vote columns —
+    vectorized, one shuffle on doc_id, no Python.
     """
-    w = spread(docs, "doc_id").select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("word")
+    w = (
+        spread(docs, "doc_id")
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split("text", " "))).alias("word"),
+        )
+        .select("doc_id", F.md5("word").alias("hx"))
     )
-    h = F.xxhash64("word")
+
+    def bit(j: int):
+        c = F.substring(F.col("hx"), j // 4 + 1, 1)
+        v = F.when(c.between("0", "9"), F.ascii(c) - 48).otherwise(F.ascii(c) - 87)
+        return F.shiftright(v, j % 4).bitwiseAND(F.lit(1))
+
     aggs = [
-        F.sum(
-            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{j}")
+        F.sum(F.when(bit(j) == 1, 1).otherwise(-1)).alias(f"v{j}")
         for j in range(bits)
     ]
     votes = w.groupBy("doc_id").agg(*aggs)
@@ -243,33 +254,69 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     return votes.select("doc_id", fingerprint.alias("simhash"))
 
 
-@register("q_llm_simhash", tags=("llm", "dedup", "sketch"))
+def _simhash_oracle(bits: int = 32, max_hamming: int = 3) -> str:
+    """DuckDB SQL computing the identical SimHash pairs (all-pairs
+    Hamming — the correctness baseline for the banded candidate join)."""
+    digit = (
+        "(CASE WHEN substr(hx, {d}, 1) BETWEEN '0' AND '9' "
+        "THEN ascii(substr(hx, {d}, 1)) - 48 "
+        "ELSE ascii(substr(hx, {d}, 1)) - 87 END)"
+    )
+    votes = ",\n           ".join(
+        f"sum(CASE WHEN (({digit.format(d=j // 4 + 1)} >> {j % 4}) & 1) = 1 "
+        f"THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(bits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN (CAST(1 AS BIGINT) << {j}) ELSE 0 END)"
+        for j in range(bits)
+    )
+    return f"""
+WITH w AS (
+    SELECT doc_id, md5(unnest(list_distinct(string_split(text, ' ')))) AS hx
+    FROM documents
+), votes AS (
+    SELECT doc_id,
+           {votes}
+    FROM w GROUP BY doc_id
+), fp AS (
+    SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+@register("q_llm_simhash", oracle=_simhash_oracle(), tags=("llm", "dedup", "sketch"))
 def q_llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints + near-dup candidates at Hamming distance ≤ 3
-    (rows-only: xxhash64-based). Candidates via 16-bit half-band match —
-    any pair within distance 3 shares at least one exact half
-    (pigeonhole over 2 halves for distance ≤ 1 per half... bands chosen
-    for recall on 2 halves with d ≤ 3 concentrated); the exact Hamming
-    filter then removes false positives."""
+    """SimHash fingerprints + near-dup pairs at Hamming distance ≤ 3.
+
+    Candidates via 4 byte-band matches — pigeonhole-COMPLETE for
+    distance ≤ 3 over 4 bands (the round-2 16-bit-half banding missed
+    (1,2)-split pairs; caught when the all-pairs oracle landed) — then
+    exact Hamming verification. Hash-checked against the all-pairs
+    DuckDB derivation of the same md5-digit fingerprints."""
     docs = load_tables(spark, sf_dir)["documents"]
     fp = simhash(docs).cache()
-    halves = fp.select(
+    bands = fp.select(
         "doc_id",
         "simhash",
         F.posexplode(
-            F.array(
-                F.col("simhash").bitwiseAND(F.lit(0xFFFF)),
-                F.shiftright("simhash", 16).bitwiseAND(F.lit(0xFFFF)),
-            )
-        ).alias("half_idx", "half_val"),
+            F.array(*[
+                F.shiftright("simhash", 8 * k).bitwiseAND(F.lit(0xFF))
+                for k in range(4)
+            ])
+        ).alias("band_idx", "band_val"),
     )
-    a = halves.alias("a")
-    b = halves.alias("b")
+    a = bands.alias("a")
+    b = bands.alias("b")
     cand = (
         a.join(
             b,
-            (F.col("a.half_idx") == F.col("b.half_idx"))
-            & (F.col("a.half_val") == F.col("b.half_val"))
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(

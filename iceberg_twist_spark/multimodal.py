@@ -162,10 +162,26 @@ def extract_byte_features(media_df: DataFrame) -> DataFrame:
     return media_df.select("doc_id", "media").mapInPandas(gen, _FEATURE_SCHEMA)
 
 
-@register("q_mm_byte_features", tags=("multimodal", "udf"))
+_BYTE_FEATURES_ORACLE = """
+WITH b AS (
+    SELECT doc_id, ascii(substr(text, CAST(t.i AS INT), 1)) AS v
+    FROM documents, LATERAL unnest(range(1, CAST(n_chars + 1 AS BIGINT))) AS t(i)
+)
+SELECT doc_id,
+       floor(avg(v) * 10000 + 0.5) / 10000 AS mean_byte,
+       CAST(max(v) AS INT) AS max_byte,
+       CAST(count(DISTINCT v) AS INT) AS n_distinct_bytes
+FROM b GROUP BY doc_id
+"""
+
+
+@register("q_mm_byte_features", oracle=_BYTE_FEATURES_ORACLE, tags=("multimodal", "udf"))
 def q_mm_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: byte-level feature extraction over media blobs
-    (deterministic; unit tests assert exact values on known blobs)."""
+    """Byte-level feature extraction over media blobs, hash-checked:
+    the payload is the document's own ASCII text, so every numpy
+    statistic is re-derivable byte-for-byte in SQL (round-3 upgrade
+    from rows-only — avg over exact integer byte sums is
+    order-proof)."""
     docs = load_tables(spark, sf_dir)["documents"]
     media = build_media_table(docs)
     feats = extract_byte_features(media)
@@ -247,10 +263,22 @@ def resize_decimate(media_df: DataFrame, out_bytes: int = RESIZE_OUT_BYTES) -> D
     return media_df.select("doc_id", "media").mapInPandas(gen, _RESIZE_SCHEMA)
 
 
-@register("q_mm_resize", tags=("multimodal", "udf"))
+_RESIZE_ORACLE = f"""
+SELECT doc_id,
+       upper(string_agg(
+           printf('%02x', ascii(substr(text,
+               CAST((t.i * n_chars) // {RESIZE_OUT_BYTES} + 1 AS INT), 1))),
+           '' ORDER BY t.i)) AS resized_hex
+FROM documents, LATERAL unnest(range(0, {RESIZE_OUT_BYTES})) AS t(i)
+GROUP BY doc_id
+"""
+
+
+@register("q_mm_resize", oracle=_RESIZE_ORACLE, tags=("multimodal", "udf"))
 def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: fixed-budget decimation resize of every media blob
-    (deterministic; unit tests assert exact bytes on known blobs)."""
+    """Fixed-budget decimation resize of every media blob, hash-checked
+    against a positional SQL derivation of the same sample indices
+    (round-3 upgrade from rows-only)."""
     docs = load_tables(spark, sf_dir)["documents"]
     return resize_decimate(build_media_table(docs))
 
@@ -300,10 +328,31 @@ def audio_energy(
     return media_df.select("doc_id", "media").mapInPandas(gen, _ENERGY_SCHEMA)
 
 
-@register("q_mm_audio_energy", tags=("multimodal", "udf"))
+_AUDIO_ENERGY_ORACLE = f"""
+WITH b AS (
+    SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
+           ascii(substr(text, CAST(t.i + 1 AS INT), 1)) AS v
+    FROM documents, LATERAL unnest(range(0, n_chars)) AS t(i)
+), wins AS (
+    -- every byte belongs to window pos//hop and (window exists) the
+    -- one before it: hop {AUDIO_HOP}, win {AUDIO_WIN} = 2·hop
+    SELECT doc_id, pos // {AUDIO_HOP} AS win_no, v FROM b
+    UNION ALL
+    SELECT doc_id, pos // {AUDIO_HOP} - 1 AS win_no, v FROM b
+    WHERE pos // {AUDIO_HOP} >= 1
+)
+SELECT doc_id, CAST(win_no AS BIGINT) AS win_no,
+       floor(sqrt(avg(v * v)) * 10000 + 0.5) / 10000 AS rms
+FROM wins GROUP BY doc_id, win_no
+"""
+
+
+@register("q_mm_audio_energy", oracle=_AUDIO_ENERGY_ORACLE, tags=("multimodal", "udf"))
 def q_mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: short-time RMS energy per overlapping payload window
-    (deterministic; unit tests assert exact values on known blobs)."""
+    """Short-time RMS energy per overlapping payload window,
+    hash-checked: each byte maps to exactly its two covering windows
+    in SQL, and the RMS derives from exact integer v² sums (round-3
+    upgrade from rows-only)."""
     docs = load_tables(spark, sf_dir)["documents"]
     return audio_energy(build_media_table(docs)).select(
         "doc_id", "win_no", r4("rms").alias("rms")
