@@ -6,14 +6,18 @@ Four tiers, each with the scalable plan shape:
   100 TB plan: dedup never compares documents, only 32-byte digests.
 - n-gram Jaccard: shingle inverted index + self-join on shingle →
   candidate pairs (NEVER the O(n²) crossJoin) → exact Jaccard.
-- MinHash + LSH: deterministic xxhash64 permutations → per-doc
+- MinHash + LSH: deterministic md5-derived permutations → per-doc
   signature → banded bucket join. Constant-size signatures make the
   candidate join independent of document length.
 - SimHash: 32-bit sign-aggregated word-hash fingerprint, banded for
   candidate generation; Hamming distance via bit_count(xor).
 
-Everything is JVM expressions (higher-order functions + xxhash64) —
-no Python in any of these paths.
+Everything is JVM expressions (higher-order functions + hashes) — no
+Python in any of these paths. Round 3 moved the MinHash/SimHash hash
+primitive from xxhash64 to md5: DuckDB computes the identical
+signatures, so the whole near-dup family is hash-checked against
+full oracles (measured ~1.4× signature cost — the price of
+cross-engine verifiability, still far under the bench baseline).
 """
 
 from __future__ import annotations
@@ -129,16 +133,23 @@ N_MINHASH = 16
 LSH_BANDS = 4  # 4 rows per band
 
 
+MINHASH_HEX = 16  # hex chars per permutation value (64 bits)
+
+
 def minhash_signatures(docs: DataFrame, k: int = 3, n_perm: int = N_MINHASH) -> DataFrame:
-    """Deterministic MinHash signatures: perm_i(sh) = xxhash64(sh, seed=i);
-    signature[i] = min over shingles.
+    """Deterministic MinHash signatures:
+    perm_i(sh) = first 16 hex chars of md5(f"{i}:" + sh);
+    signature[i] = lexicographic min over shingles (fixed-length hex ⇒
+    string min == numeric min).
+
+    md5 rather than xxhash64 so DuckDB computes the IDENTICAL
+    signatures and the banding query carries a full hash oracle
+    (round-3 upgrade from rows-only).
 
     Computed NARROWLY — the shingle array stays inside its row and each
-    signature column is ``array_min(transform(shingles, xxhash64))`` —
-    so there is no shingle explode and no groupBy shuffle at all: a
-    document never leaves its partition to be signed. (The earlier
-    explode + 16-way min-agg shape produced identical signatures but
-    shuffled |shingles| rows; verified equal before switching.)
+    signature column is ``array_min(transform(shingles, md5…))`` — so
+    there is no shingle explode and no groupBy shuffle at all: a
+    document never leaves its partition to be signed.
     """
     words = F.split("text", " ")
     n = F.size(words)
@@ -155,18 +166,62 @@ def minhash_signatures(docs: DataFrame, k: int = 3, n_perm: int = N_MINHASH) -> 
         "doc_id",
         *[
             F.array_min(
-                F.transform("sh_arr", lambda s: F.xxhash64(s, F.lit(i)))
+                F.transform(
+                    "sh_arr",
+                    lambda s: F.substring(
+                        F.md5(F.concat(F.lit(f"{i}:"), s)), 1, MINHASH_HEX
+                    ),
+                )
             ).alias(f"mh{i}")
             for i in range(n_perm)
         ],
     )
 
 
-@register("q_llm_minhash_dedup", tags=("llm", "dedup", "sketch"))
+def _minhash_oracle(k: int = 3, n_perm: int = N_MINHASH, n_bands: int = LSH_BANDS) -> str:
+    """DuckDB SQL producing the identical banded candidate pairs."""
+    rpb = n_perm // n_bands
+    sig_cols = ",\n           ".join(
+        f"list_min(list_transform(shs, s -> substr(md5('{i}:' || s), 1, {MINHASH_HEX}))) AS mh{i}"
+        for i in range(n_perm)
+    )
+    parts = []
+    for b in range(n_bands):
+        cols = " || ".join(f"mh{b * rpb + r}" for r in range(rpb))
+        parts.append(
+            f"SELECT doc_id, {b} AS band_idx, md5({cols}) AS band_hash FROM sig"
+        )
+    band_selects = "\n    UNION ALL\n    ".join(parts)
+    gram = " || ' ' || ".join(f"w[i + {j + 1}]" for j in range(k))
+    return f"""
+WITH d AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    WHERE len(string_split(text, ' ')) >= {k}
+), sh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(range(0, len(w) - {k - 1}),
+               i -> {gram})) AS shs
+    FROM d
+), sig AS (
+    SELECT doc_id,
+           {sig_cols}
+    FROM sh
+), bands AS (
+    {band_selects}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+ AND a.doc_id < b.doc_id
+"""
+
+
+@register("q_llm_minhash_dedup", oracle=_minhash_oracle(), tags=("llm", "dedup", "sketch"))
 def q_llm_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidate pairs (rows-only: xxhash64 permutations have
-    no DuckDB equivalent; determinism is still exact — same input, same
-    pairs).
+    """MinHash+LSH candidate pairs, hash-checked: md5-derived
+    permutations give both engines the identical signatures, so the
+    banding query compares against a full DuckDB derivation (round-3
+    upgrade from rows-only).
 
     Banding: signature split into LSH_BANDS bands of 4 hashes; docs
     agreeing on any whole band become a candidate pair. At 100 TB the
@@ -181,8 +236,10 @@ def q_llm_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(
             F.array(
                 *[
-                    F.xxhash64(
-                        *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+                    F.md5(
+                        F.concat(
+                            *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+                        )
                     )
                     for b in range(LSH_BANDS)
                 ]
