@@ -160,18 +160,33 @@ def gen_tables(spark: SparkSession, sf: float) -> dict[str, tuple[DataFrame, int
         _r2(F.lit(0.01) + _u(i, 30) * 490.0).alias("value"),
         F.format_string('{"k": %d}', F.floor(_u(i, 31) * 100)).alias("props"),
     )
-    # documents: 10–99 words from the 31-word fixture vocabulary
+    # documents: 10–99 words from the 31-word fixture vocabulary, with
+    # PLANTED near-duplicates — groups of 5 consecutive doc_ids share a
+    # group-seeded base text and each variant substitutes ~1/17 of the
+    # words (3-shingle Jaccard ≈ 0.8 within a group), so the MinHash /
+    # SimHash / Jaccard family has real candidate structure at every
+    # generated SF, like the driver fixture
     vocab = F.array(*[F.lit(w) for w in VOCAB])
-    n_words = (F.floor(_u(i, 32) * 90) + 10).cast("int")
+    grp = F.floor(i / 5)
+    variant = (i % 5).cast("int")
+    n_words = (F.floor(_u(grp, 32) * 90) + 10).cast("int")
+
+    def word(k):
+        base = F.element_at(
+            vocab,
+            (F.pmod(F.xxhash64(grp, k, F.lit(SEED)), F.lit(len(VOCAB))) + 1).cast("int"),
+        )
+        mutated = F.element_at(
+            vocab,
+            (F.pmod(F.xxhash64(i, k, F.lit(SEED + 3)), F.lit(len(VOCAB))) + 1).cast("int"),
+        )
+        mutate = (variant != 0) & (
+            F.pmod(F.xxhash64(k, variant, F.lit(SEED + 2)), F.lit(17)) == 0
+        )
+        return F.when(mutate, mutated).otherwise(base)
+
     text = F.array_join(
-        F.transform(
-            F.sequence(F.lit(1), n_words),
-            lambda k: F.element_at(
-                vocab,
-                (F.pmod(F.xxhash64(i, k, F.lit(SEED)), F.lit(len(VOCAB))) + 1).cast("int"),
-            ),
-        ),
-        " ",
+        F.transform(F.sequence(F.lit(1), n_words), word), " "
     )
     lang = (
         F.when(_u(i, 33) < 0.44, "en")
