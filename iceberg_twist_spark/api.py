@@ -73,7 +73,9 @@ class Engine:
             .groupBy("__h")
             .agg(F.min(key_col).alias(key_col))
         )
-        return df.join(F.broadcast(keeper.select(key_col)), key_col, "left_semi")
+        # keeper grows with the corpus — no forced broadcast (AQE
+        # converts the semi join while the digest set is actually small).
+        return df.join(keeper.select(key_col), key_col, "left_semi")
 
     @staticmethod
     def cosine_topk(
@@ -157,6 +159,145 @@ class Engine:
                 "cluster_id",
                 F.col("__d").isNull().alias("is_kept"),
             )
+        )
+
+    @staticmethod
+    def decontaminate(
+        corpus: DataFrame,
+        benchmark: DataFrame,
+        text_col: str,
+        key_col: str,
+        k: int = 3,
+    ) -> DataFrame:
+        """Benchmark decontamination over any corpus/benchmark pair:
+        per corpus document, how many of its word ``k``-grams appear in
+        the benchmark, and a contamination flag. Same plan as
+        q_llm_decontaminate — the benchmark n-gram set is broadcast
+        (eval sets are MBs even when the corpus is 100 TB) and the
+        corpus streams through a map-side join. Documents shorter than
+        ``k`` words have no gram and are absent from the result."""
+        from iceberg_twist_spark.llm.dedup import shingle_docs
+
+        def grams(df: DataFrame) -> DataFrame:
+            return shingle_docs(
+                df.select(
+                    F.col(key_col).alias("doc_id"), F.col(text_col).alias("text")
+                ),
+                k,
+            ).withColumnRenamed("sh", "gram")
+
+        bench_grams = (
+            grams(benchmark).select("gram").distinct().withColumn("hit", F.lit(1))
+        )
+        return (
+            grams(corpus)
+            .join(F.broadcast(bench_grams), "gram", "left")
+            .groupBy(F.col("doc_id").alias(key_col))
+            .agg(
+                F.count("*").cast("long").alias("n_grams"),
+                F.count("hit").cast("long").alias("n_contam"),
+                (F.count("hit") > 0).alias("is_contaminated"),
+            )
+        )
+
+    @staticmethod
+    def pack_greedy(
+        df: DataFrame,
+        key_col: str,
+        tokens_col: str,
+        group_col: str | None = None,
+        budget: int = 4096,
+    ) -> DataFrame:
+        """Contiguous-fill token packing: rows stream in ``key_col``
+        order (within ``group_col`` if given) and a bin closes when the
+        running token count crosses ``budget`` —
+        ``bin_id = floor((cumsum - 1) / budget)``. One window (= one
+        shuffle on the group key) computes every boundary; no driver
+        loop (same plan as q_llm_pack_greedy). Returns the input keys
+        plus (cum_tokens, bin_id).
+
+        With ``group_col=None`` the cumulative sum is one global window
+        (a single-reducer sort) — fine for bounded inputs, but always
+        pass a group/shard column at corpus scale."""
+        from pyspark.sql import Window
+
+        w = (
+            (Window.partitionBy(group_col) if group_col else Window.partitionBy())
+            .orderBy(key_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cols = [group_col] if group_col else []
+        return df.select(*cols, key_col, tokens_col).withColumn(
+            "cum_tokens", F.sum(tokens_col).over(w)
+        ).withColumn(
+            "bin_id", F.floor((F.col("cum_tokens") - 1) / budget).cast("long")
+        )
+
+    @staticmethod
+    def quality_gate(
+        df: DataFrame,
+        score_col: str,
+        group_col: str,
+        keep_frac: float = 0.5,
+        tiebreak_col: str | None = None,
+    ) -> DataFrame:
+        """Per-group quality-percentile gate: keep the top
+        ``keep_frac`` of each group by ``score_col``
+        (percent_rank ≤ keep_frac; same plan as q_llm_quality_gate).
+        Percentile cutoffs are how pipelines normalize thresholds
+        across languages/domains with different score distributions.
+
+        Pass ``tiebreak_col`` (unique per group) whenever duplicate
+        scores are possible — without it the rank among equal scores
+        is engine-chosen and the gate is nondeterministic."""
+        from pyspark.sql import Window
+
+        from iceberg_twist_spark.common import r4
+
+        order = [F.desc(score_col)] + (
+            [F.asc(tiebreak_col)] if tiebreak_col else []
+        )
+        w = Window.partitionBy(group_col).orderBy(*order)
+        return (
+            df.withColumn("pr", r4(F.percent_rank().over(w)))
+            .filter(F.col("pr") <= keep_frac)
+        )
+
+    @staticmethod
+    def profile(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+        """Long-format profile of any DataFrame: rows, nulls,
+        distincts, min/max per column — no per-column rescans. Same
+        two single-scan aggregates as q_profile_table (fixed-width
+        count buffers hash-aggregate over the multi-distinct Expand;
+        string min/max fold in a group-less aggregate) cross-joined
+        as one-row frames."""
+        names = list(cols) if cols is not None else list(df.columns)
+        cnt_aggs, mm_aggs = [], []
+        for c in names:
+            cnt_aggs += [
+                F.count("*").alias(f"{c}__rows"),
+                (F.count("*") - F.count(c)).alias(f"{c}__null"),
+                F.countDistinct(c).alias(f"{c}__distinct"),
+            ]
+            mm_aggs += [
+                F.min(c).cast("string").alias(f"{c}__min"),
+                F.max(c).cast("string").alias(f"{c}__max"),
+            ]
+        wide = df.agg(*cnt_aggs).crossJoin(df.agg(*mm_aggs))
+        stack_expr = ", ".join(
+            f"'{c}', `{c}__rows`, `{c}__null`, `{c}__distinct`, `{c}__min`, `{c}__max`"
+            for c in names
+        )
+        return wide.selectExpr(
+            f"stack({len(names)}, {stack_expr}) AS "
+            "(col_name, n_rows, n_null, n_distinct, min_val, max_val)"
+        ).select(
+            "col_name",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_null").cast("long").alias("n_null"),
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+            "min_val",
+            "max_val",
         )
 
     @staticmethod

@@ -181,7 +181,9 @@ def q_llm_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = tf.groupBy("word").agg(F.count("*").alias("df"))
     n_docs = docs.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df), "word")
+        # the word→df table is vocabulary-sized (sublinear but unbounded
+        # in corpus size) — no forced broadcast; AQE decides.
+        tf.join(df, "word")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf", r4(F.col("tf") * F.log(F.col("n_docs") * F.lit(1.0) / F.col("df")))

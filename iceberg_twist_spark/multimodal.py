@@ -795,6 +795,11 @@ def decode_wav(media_df: DataFrame) -> DataFrame:
                 data_size = int(np.frombuffer(raw[40:44], "<u4")[0])
                 if audio_format != 1 or bits != 16 or raw[36:40] != b"data":
                     continue
+                # A truncated data chunk (header claims more bytes than the
+                # blob holds, or an odd byte count) must skip like the other
+                # malformed-blob guards, not crash the task on a misaligned
+                # int16 view.
+                data_size = min(data_size, len(raw) - 44) & ~1
                 samples = np.frombuffer(
                     raw[44 : 44 + data_size], dtype="<i2"
                 ).astype(np.float64)

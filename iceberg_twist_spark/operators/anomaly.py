@@ -47,10 +47,11 @@ WHERE s.sigma > 0
 @register("q_ts_zscore", oracle=_ZSCORE_ORACLE, tags=("timeseries", "agg", "filter"))
 def q_ts_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-sensor z-score outliers: readings ≥2σ from that sensor's
-    mean. Per-key moments are one map-side-combined aggregate,
-    broadcast back onto the stream (the big side never shuffles); the
-    cutoff applies to the *rounded* score so the boundary is
-    engine-independent."""
+    mean. Per-key moments are one map-side-combined aggregate joined
+    back onto the stream (AQE broadcasts while the stats side is
+    small; a shuffled join is the correct plan once the key space
+    outgrows it); the cutoff applies to the *rounded* score so the
+    boundary is engine-independent."""
     events = load_tables(spark, sf_dir)["events"]
     stats = events.groupBy("user_id").agg(
         F.avg("value").alias("mu"),
@@ -59,7 +60,9 @@ def q_ts_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     z = r4((F.col("value") - F.col("mu")) / F.col("sigma"))
     return (
-        events.join(F.broadcast(stats), "user_id")
+        # per-key stats grow with the key space — no forced broadcast;
+        # AQE picks broadcast whenever the stats side is actually small.
+        events.join(stats, "user_id")
         .filter(F.col("sigma") > 0)
         .withColumn("z", z)
         .filter(F.abs(F.col("z")) >= Z_CUTOFF)
@@ -165,8 +168,12 @@ stats AS (
     SELECT user_id, n1, n2,
            s1 / (n1 * 100.0) AS m1,
            s2 / (n2 * 100.0) AS m2,
-           (q1 - s1 * s1 / n1) / (n1 - 1) / 10000.0 AS v1,
-           (q2 - s2 * s2 / n2) / (n2 - 1) / 10000.0 AS v2
+           -- square in DOUBLE to mirror Spark's IEEE sequence exactly
+           -- (sum(BIGINT) here is HUGEINT; Spark's is a wrapping int64)
+           (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1)
+               / (n1 - 1) / 10000.0 AS v1,
+           (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n2)
+               / (n2 - 1) / 10000.0 AS v2
     FROM moments WHERE n1 >= 2 AND n2 >= 2
 )
 SELECT user_id,
@@ -214,12 +221,19 @@ def q_ts_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s1, q1, n1 = F.col("s1"), F.col("q1"), F.col("n1")
     s2, q2, n2 = F.col("s2"), F.col("q2"), F.col("n2")
+    # Square in DOUBLE, not int64: a user-half's cent sum overflows
+    # int64 silently in Spark (non-ANSI wraps) once it passes ~3.0e9,
+    # while DuckDB's sum(BIGINT) is HUGEINT and squares exactly. Both
+    # engines now run the identical IEEE double sequence (oracle casts
+    # the same way).
+    s1d, s2d = s1.cast("double"), s2.cast("double")
+    q1d, q2d = q1.cast("double"), q2.cast("double")
     stats = moments.filter((n1 >= 2) & (n2 >= 2)).select(
         "user_id", "n1", "n2",
         (s1 / (n1 * 100.0)).alias("m1"),
         (s2 / (n2 * 100.0)).alias("m2"),
-        ((q1 - s1 * s1 / n1) / (n1 - 1) / 10000.0).alias("v1"),
-        ((q2 - s2 * s2 / n2) / (n2 - 1) / 10000.0).alias("v2"),
+        ((q1d - s1d * s1d / n1) / (n1 - 1) / 10000.0).alias("v1"),
+        ((q2d - s2d * s2d / n2) / (n2 - 1) / 10000.0).alias("v2"),
     )
     se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
     z = r4((F.col("m2") - F.col("m1")) / F.sqrt(se2))

@@ -476,7 +476,8 @@ def q_impute_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg((F.sum(cents) / (F.count("value") * 100.0)).alias("user_mean"))
     )
-    return holes.join(F.broadcast(mu), "user_id").select(
+    # per-user means grow with the user population — no forced broadcast.
+    return holes.join(mu, "user_id").select(
         "event_id", "user_id",
         F.col("value").isNull().alias("was_null"),
         r4(F.coalesce("value", "user_mean")).alias("value_imputed"),

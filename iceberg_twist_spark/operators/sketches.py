@@ -282,8 +282,11 @@ def q_join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.forall(probe_bits, lambda b: F.array_contains("bits", b)))
         .drop("bits")
     )
+    # dim is a fixed *fraction* of an SF-growing table — the bloom bits
+    # (ONE row) broadcast above is the bounded part; the exact semi join
+    # carries no hint so AQE converts it only while dim is truly small.
     exact = pruned.join(
-        F.broadcast(dim.select(F.col("key").alias("l_suppkey"))), "l_suppkey", "left_semi"
+        dim.select(F.col("key").alias("l_suppkey")), "l_suppkey", "left_semi"
     )
     return exact.groupBy("l_returnflag").agg(
         F.count("*").cast("long").alias("n_rows"),

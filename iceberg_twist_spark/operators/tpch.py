@@ -136,15 +136,17 @@ def q_tpch_q02(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     parts = t["part"].filter((F.col("p_size") <= 10) & (F.col("p_type") == "LARGE"))
     cand = (
+        # `parts` and `min_cost` are SF-growing (filtered part / per-part
+        # aggregate) — no forced broadcast; AQE converts at safe sizes.
         ps.join(euro, F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
         .select("p_partkey", "p_name", "s_name", "s_acctbal", "n_name", "unit_cost")
     )
     min_cost = cand.groupBy(F.col("p_partkey").alias("mc_partkey")).agg(
         F.min("unit_cost").alias("min_cost")
     )
     return cand.join(
-        F.broadcast(min_cost),
+        min_cost,
         (F.col("p_partkey") == F.col("mc_partkey")) & (F.col("unit_cost") == F.col("min_cost")),
     ).select("p_partkey", "p_name", "s_name", "s_acctbal", "n_name", "unit_cost")
 
@@ -604,7 +606,10 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= _ts("1997-09-01"))
             & (F.col("l_shipdate") < _ts("1997-10-01"))
         )
-        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        # No broadcast hint: part grows linearly with SF (~200k rows/SF), so a
+        # forced broadcast OOMs at scale. AQE picks broadcast whenever the
+        # filtered build side is actually small.
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
         .agg(r4(100.0 * F.sum(promo) / F.sum(vol)).alias("promo_revenue"))
     )
 
@@ -676,8 +681,10 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_size").isin(1, 4, 7, 10, 15, 20, 25, 30, 35, 40))
     )
     return (
-        ps.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
-        .join(F.broadcast(parts), F.col("p_partkey") == F.col("l_partkey"))
+        # `bad` and `parts` grow with SF (filtered supplier / filtered
+        # part) — no forced broadcast; size-based planning decides.
+        ps.join(bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(parts, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -708,7 +715,9 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         t["lineitem"]
-        .join(F.broadcast(t["part"].filter(F.col("p_brand") == "Brand#3")),
+        # one brand is ~1/|brands| of part — still linear in SF, so no
+        # forced broadcast; AQE converts while the build side is small.
+        .join(t["part"].filter(F.col("p_brand") == "Brand#3"),
               F.col("p_partkey") == F.col("l_partkey"))
         .join(avg_qty, F.col("l_partkey") == F.col("aq_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
@@ -747,7 +756,9 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["customer"]
         .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
-        .join(F.broadcast(big), F.col("o_orderkey") == F.col("big_orderkey"), "left_semi")
+        # `big` is ~0.004% of orders but still linear in SF — no forced
+        # broadcast; AQE chooses broadcast while it is safely small.
+        .join(big, F.col("o_orderkey") == F.col("big_orderkey"), "left_semi")
         .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.sum("l_quantity").alias("sum_qty"))
@@ -786,7 +797,18 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return (
         t["lineitem"]
-        .join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
+        # Part-side disjuncts are pre-extracted so only the three candidate
+        # brands survive the scan (Catalyst's PushExtraPredicateThroughJoin
+        # derives the same, but stating it keeps the pushdown explicit).
+        # No broadcast hint — part grows with SF; AQE decides the strategy.
+        .join(
+            t["part"].filter(
+                ((F.col("p_brand") == "Brand#12") & (F.col("p_size").between(1, 5)))
+                | ((F.col("p_brand") == "Brand#23") & (F.col("p_size").between(1, 10)))
+                | ((F.col("p_brand") == "Brand#15") & (F.col("p_size").between(1, 15)))
+            ),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
         .filter(band("Brand#12", 5, 1, 11) | band("Brand#23", 10, 10, 20)
                 | band("Brand#15", 15, 20, 30))
         .agg(r4(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)).alias("revenue"))
@@ -820,7 +842,9 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     shippers = (
         t["lineitem"]
-        .join(F.broadcast(t["part"].filter(F.col("p_name").like("blue%"))),
+        # 'blue%' parts are a fixed fraction of an SF-growing table — no
+        # forced broadcast (AQE decides).
+        .join(t["part"].filter(F.col("p_name").like("blue%")),
               F.col("l_partkey") == F.col("p_partkey"))
         .filter(
             (F.col("l_shipdate") >= _ts("1996-01-01"))
@@ -835,7 +859,8 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["supplier"]
         .join(F.broadcast(t["nation"].filter(F.col("n_name") == "NATION_3")),
               F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(shippers), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        # `shippers` (grouped-HAVING set) grows with SF — no forced broadcast.
+        .join(shippers, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
         .select("s_suppkey", "s_name", "s_acctbal")
     )
 

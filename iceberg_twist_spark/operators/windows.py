@@ -168,11 +168,23 @@ def _global_rank(
     (df + ``__rank`` column, total row count).
     """
     lo, hi = df.agg(F.min(value_col), F.max(value_col)).first()
-    span = float(hi) - float(lo) or 1.0
-    bucket = F.least(
-        F.lit(n_buckets - 1),
-        F.floor((F.col(value_col) - F.lit(float(lo))) * n_buckets / F.lit(span)),
-    ).cast("int")
+    if lo is None:
+        # All-null value column: one bucket, tiebreak decides the order.
+        bucket = F.lit(0).cast("int")
+    else:
+        span = float(hi) - float(lo) or 1.0
+        # NULLs go to bucket 0 explicitly: within-bucket orderBy is ASC
+        # NULLS FIRST, so they take the lowest ranks deterministically —
+        # matching a global NULLS FIRST total order — instead of being
+        # silently dropped by the inner offsets join on a NULL bucket.
+        bucket = F.when(F.col(value_col).isNull(), F.lit(0)).otherwise(
+            F.least(
+                F.lit(n_buckets - 1),
+                F.floor(
+                    (F.col(value_col) - F.lit(float(lo))) * n_buckets / F.lit(span)
+                ),
+            )
+        ).cast("int")
     b = df.withColumn("__bucket", bucket)
     counts = {r[0]: r[1] for r in b.groupBy("__bucket").count().collect()}
     total = sum(counts.values())

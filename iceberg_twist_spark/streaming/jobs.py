@@ -268,7 +268,9 @@ def _twin_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["events"]
         .select("event_id", _tsx().alias("ts"), "user_id", "value")
-        .join(F.broadcast(customer), "user_id", "left")
+        # customer grows with SF — no forced broadcast (the per-batch
+        # planner / AQE broadcasts while the dim is actually small).
+        .join(customer, "user_id", "left")
         .select("event_id", "ts", "user_id", "nation_key", "acctbal", "value")
     )
 
@@ -365,8 +367,11 @@ def _twin_queue_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k in range(n_chunks):
         wms.append(run - delay_ms if run is not None else None)
         m = chunk_max.get(k)
-        run = m if run is None else max(run, m)
-    final_wm = run - delay_ms
+        # An empty chunk (n_events < n_chunks, or a sparse tail) has no
+        # maximum — the watermark simply does not advance that batch.
+        if m is not None:
+            run = m if run is None else max(run, m)
+    final_wm = run - delay_ms if run is not None else None
 
     def fold(pdf: pd.DataFrame):
         (user,) = pdf["user_id"].unique()
@@ -390,7 +395,7 @@ def _twin_queue_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
             bl += int(r["lost_bytes"])
             exists, timeout = True, int(r["last_ts_ms"]) + TTL_MS
             out.append((user, int(r["n"]), ms_, ml, bs, bl, False))
-        if exists and final_wm > timeout:
+        if exists and final_wm is not None and final_wm > timeout:
             out.append((user, 0, ms_, ml, bs, bl, True))
         return pd.DataFrame(
             out,
@@ -453,16 +458,18 @@ def q_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q_stream_enrich_join", tags=("streaming",), batch_twin=_twin_enrich)
 def q_stream_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A30 enrichment: stream-static join against the customer dim —
-    the static side is broadcast into every micro-batch (the 'GPS fix
-    attached to every IMU broadcast' pattern)."""
+    """A30 enrichment: stream-static join against the customer dim
+    (the 'GPS fix attached to every IMU broadcast' pattern); the
+    planner broadcasts the dim per micro-batch while it fits."""
     s = read_event_stream(spark, sf_dir)
     customer = load_tables(spark, sf_dir)["customer"].select(
         F.col("c_custkey").alias("user_id"),
         F.col("c_nationkey").alias("nation_key"),
         F.col("c_acctbal").alias("acctbal"),
     )
-    enriched = s.join(F.broadcast(customer), "user_id", "left").select(
+    # No broadcast hint: the static dim grows with SF; Spark's
+    # per-micro-batch planner broadcasts it only while it fits.
+    enriched = s.join(customer, "user_id", "left").select(
         "event_id", "ts", "user_id", "nation_key", "acctbal", "value"
     )
     return run_to_memory(enriched)

@@ -135,3 +135,107 @@ def test_perceptual_hash_helper(spark, sf_dir):
     ph = Engine.perceptual_hash(media, "media", "doc_id")
     assert ph.columns == ["doc_id", "h1", "h2"]
     assert ph.count() == docs.count()
+
+
+def test_decontaminate_helper(spark):
+    from iceberg_twist_spark.api import Engine
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "lazy the quick brown dog runs"),   # shares "the quick brown"
+            (2, "completely different words entirely here"),
+            (3, "to o"),                             # < 3 words: no gram
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in Engine.decontaminate(
+        corpus, bench, "text", "doc_id").collect()}
+    assert out[1].is_contaminated and out[1].n_contam == 1
+    assert not out[2].is_contaminated and out[2].n_contam == 0
+    assert 3 not in out  # too short to shingle
+
+
+def test_decontaminate_matches_registered(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from iceberg_twist_spark.api import Engine
+    from iceberg_twist_spark.registry import REGISTRY
+
+    docs = Engine(spark, sf_dir).table("documents")
+    generic = Engine.decontaminate(
+        docs.filter(F.col("doc_id") % 50 != 0),
+        docs.filter(F.col("doc_id") % 50 == 0),
+        "text",
+        "doc_id",
+        k=3,
+    )
+    registered = REGISTRY["q_llm_decontaminate"].builder(spark, sf_dir)
+    a = {tuple(r) for r in generic.collect()}
+    b = {tuple(r) for r in registered.collect()}
+    assert a == b
+
+
+def test_pack_greedy_helper(spark):
+    from iceberg_twist_spark.api import Engine
+
+    df = spark.createDataFrame(
+        [("en", 1, 3), ("en", 2, 3), ("en", 3, 3), ("fr", 4, 9)],
+        "lang string, doc_id long, tokens long",
+    )
+    out = {r.doc_id: r for r in Engine.pack_greedy(
+        df, "doc_id", "tokens", group_col="lang", budget=5).collect()}
+    # en: cumsum 3,6,9 -> bins floor((c-1)/5) = 0,1,1; fr: 9 -> bin 1
+    assert [out[i].bin_id for i in (1, 2, 3, 4)] == [0, 1, 1, 1]
+    assert out[3].cum_tokens == 9
+
+
+def test_pack_greedy_matches_registered(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from iceberg_twist_spark.api import Engine
+    from iceberg_twist_spark.llm.prep import PACK_BUDGET
+    from iceberg_twist_spark.registry import REGISTRY
+
+    docs = Engine(spark, sf_dir).table("documents").select(
+        "lang", "doc_id", F.size(F.split("text", " ")).alias("tokens")
+    )
+    generic = (
+        Engine.pack_greedy(docs, "doc_id", "tokens", group_col="lang",
+                           budget=PACK_BUDGET)
+        .groupBy("lang", "bin_id")
+        .agg(F.count("*").alias("docs"),
+             F.sum("tokens").cast("long").alias("bin_tokens"))
+    )
+    registered = REGISTRY["q_llm_pack_greedy"].builder(spark, sf_dir)
+    assert {tuple(r) for r in generic.collect()} == {
+        tuple(r) for r in registered.collect()
+    }
+
+
+def test_quality_gate_helper(spark):
+    from iceberg_twist_spark.api import Engine
+
+    df = spark.createDataFrame(
+        [("a", 1, 4.0), ("a", 2, 3.0), ("a", 3, 2.0), ("a", 4, 1.0)],
+        "grp string, doc_id long, score double",
+    )
+    kept = Engine.quality_gate(df, "score", "grp", keep_frac=0.5,
+                               tiebreak_col="doc_id")
+    # percent_rank over 4 rows = 0, 1/3, 2/3, 1 -> keep the top two
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 2]
+
+
+def test_profile_matches_registered(spark, sf_dir):
+    from iceberg_twist_spark.api import Engine
+    from iceberg_twist_spark.operators.profiling import _PROFILE_COLS
+    from iceberg_twist_spark.registry import REGISTRY
+
+    li = Engine(spark, sf_dir).table("lineitem")
+    generic = Engine.profile(li, [c for c, _ in _PROFILE_COLS])
+    registered = REGISTRY["q_profile_table"].builder(spark, sf_dir)
+    assert {tuple(r) for r in generic.collect()} == {
+        tuple(r) for r in registered.collect()
+    }

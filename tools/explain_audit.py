@@ -14,7 +14,11 @@ Two layers, both run over every registered query:
    (c) no single-partition Window (a Window whose required child
        distribution is ``Exchange SinglePartition`` — the
        single-reducer global sort) outside the two post-aggregate
-       allowlisted frames.
+       allowlisted frames;
+   (d) no explicit ``F.broadcast`` hint on an SF-growing input — every
+       call site in the package must be classified sub-linear in
+       ``BROADCAST_BOUNDED`` (source-level scan, since an executed
+       plan cannot distinguish a hinted broadcast from an AQE one).
 
 Run: ``python tools/explain_audit.py [sf_dir]``.
 """
@@ -185,18 +189,155 @@ GLOBAL_WINDOW_ALLOWED: dict[str, str] = {
 # nested loop, not an unpartitioned cartesian.)
 CARTESIAN_ALLOWED: dict[str, str] = {}
 
+# ---------------------------------------------------------------------------
+# Invariant (d): no explicit ``F.broadcast`` hint on an input whose row
+# count grows with scale factor. A hint overrides AQE, so a growing
+# build side OOMs the executors long before 100 TB — exactly the class
+# of scale-killer the TPC-H Q14/Q18/Q19 regression showed. Every
+# ``F.broadcast(`` call site in the package must appear here, keyed by
+# (relative path, first identifier of the argument expression), with a
+# reason why the frame is provably sub-linear: a fixed dimension
+# (nation=25 / region=5 rows), a one-row aggregate, a ≤k top-k /
+# centroid / probe set, or a constant-size artifact (bucket offsets,
+# histogram edges, bloom bits). A new unlisted site fails the audit
+# until it is classified; a stale entry (no longer in the source) also
+# fails, so the list cannot rot.
+BROADCAST_BOUNDED: dict[str, dict[str, str]] = {
+    "api.py": {
+        "bench_grams": "benchmark/eval n-gram set (MBs by design — eval "
+        "sets are fixed even when the corpus is 100 TB; documented in "
+        "Engine.decontaminate)"
+    },
+    "llm/prep.py": {"n": "one-row corpus count"},
+    "llm/textstats.py": {
+        "vocab": "top-VOCAB_SIZE words (limit 100)",
+        "total": "one-row token total",
+    },
+    "llm/similarity.py": {
+        "probe": "fixed probe vector set (constant k rows)",
+        "probes": "fixed probe vector set (constant k rows)",
+        "cent": "K centroids (constant)",
+        "probe_sims": "nprobe×K probe-centroid rows (constant)",
+        "pb": "probe bucket signature (constant rows)",
+        "brute": "brute-force top-k baseline (k rows)",
+    },
+    "llm/decontam.py": {
+        "bench_grams": "fixed benchmark n-gram set",
+        "n_docs": "one-row corpus count",
+    },
+    "streaming/jobs.py": {"_final_wm": "one-row watermark scalar"},
+    "operators/sketches.py": {
+        "truth": "per-event-type exact counts (fixed enum cardinality)",
+        "bits": "bloom filter bit set (fixed m bits)",
+        "bloom": "one-row collected bloom sketch",
+    },
+    "operators/windows.py": {
+        "off": "≤ n_buckets (64) cumulative offsets",
+        't["nation"]': "25-row dimension",
+        't["region"]': "5-row dimension",
+    },
+    "operators/joins.py": {
+        't["nation"]': "25-row dimension",
+        't["region"]': "5-row dimension",
+        "bands": "fixed theta-band edge list",
+        "n": "filtered nation (≤25 rows)",
+    },
+    "operators/graph.py": {
+        "nn": "one-row vertex count",
+        "ranks": "|V| rows — documented broadcast-iterate with the "
+        "shuffle-join fallback comment at operators/graph.py "
+        "(flip to a partitioned join when |V| outgrows broadcast)",
+    },
+    "operators/warehouse.py": {"edges": "fixed equi-depth bin edges (N_BINS)"},
+    "operators/geo.py": {
+        "cand": "occupied 5° cells × static station list (≤ thousands, "
+        "planet-bounded regardless of SF)"
+    },
+    "operators/cdc.py": {"mx": "one-row max-version scalar"},
+    "operators/aggregates.py": {'t["region"]': "5-row dimension"},
+    "operators/profiling.py": {"bounds": "per-flag min/max (≤3 rows)"},
+    "operators/tpch.py": {
+        't["nation"]': "25-row dimension",
+        't["region"]': "5-row dimension",
+        "n1": "filtered/aliased nation (≤25 rows)",
+        "n2": "filtered/aliased nation (≤25 rows)",
+        "total": "one-row grand total",
+        "max_rev": "one-row max revenue scalar",
+        "avg_bal": "one-row average balance scalar",
+    },
+}
+
+_BROADCAST_ARG_KEY = re.compile(
+    r"^\s*([A-Za-z_][A-Za-z0-9_]*(?:\[\s*[\"'][^\"']+[\"']\s*\])?)"
+)
+
+
+def broadcast_hint_sites(pkg_root: str) -> list[tuple[str, int, str]]:
+    """Every ``F.broadcast(`` call in the package as
+    (relpath, lineno, arg-key) where arg-key is the leading identifier
+    (with one optional subscript) of the argument expression."""
+    sites = []
+    for dirpath, _dirs, files in os.walk(pkg_root):
+        for fn in sorted(files):
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            rel = os.path.relpath(path, pkg_root)
+            with open(path, encoding="utf-8") as fh:
+                src = fh.read()
+            for m in re.finditer(r"F\.broadcast\(", src):
+                arg = src[m.end() : m.end() + 200]
+                key_m = _BROADCAST_ARG_KEY.match(arg)
+                key = re.sub(r"\s+", "", key_m.group(1)) if key_m else "<?>"
+                lineno = src.count("\n", 0, m.start()) + 1
+                sites.append((rel, lineno, key))
+    return sites
+
+
+def broadcast_hint_violations(pkg_root: str) -> list[str]:
+    """Invariant (d): unlisted F.broadcast sites + stale allowlist rows."""
+    sites = broadcast_hint_sites(pkg_root)
+    errs = []
+    seen: set[tuple[str, str]] = set()
+    for rel, lineno, key in sites:
+        seen.add((rel, key))
+        if key not in BROADCAST_BOUNDED.get(rel, {}):
+            errs.append(
+                f"{rel}:{lineno} F.broadcast({key}…) not classified as "
+                "sub-linear in BROADCAST_BOUNDED"
+            )
+    for rel, keys in BROADCAST_BOUNDED.items():
+        for key in keys:
+            if (rel, key) not in seen:
+                errs.append(f"stale BROADCAST_BOUNDED entry {rel}:{key}")
+    return errs
+
+
 _WINDOW_RE = re.compile(r"\bWindow(GroupLimit)? \[")
 
 
+def _tree_depth(ln: str) -> int:
+    """Indentation depth of a plan-tree line (prefix of ' :+-' before
+    the node name; codegen markers like ``*(3)`` start the name)."""
+    return len(ln) - len(ln.lstrip(" :+-"))
+
+
 def single_partition_windows(plan: str) -> int:
-    """Count Window nodes fed by an Exchange SinglePartition (the
-    nearest Exchange below the Window in the plan text — AQE may
-    interpose AQEShuffleRead/ShuffleQueryStage lines)."""
+    """Count Window nodes fed by an Exchange SinglePartition.
+
+    Walks the Window's own subtree by indentation depth (not a fixed
+    line lookahead) so extra Sort/Project/AQEShuffleRead/
+    ShuffleQueryStage wrappers between the Window and its Exchange
+    cannot hide the single-reducer — the first Exchange encountered
+    before leaving the subtree is the Window's input partitioning."""
     lines = plan.splitlines()
     hits = 0
     for i, ln in enumerate(lines):
         if _WINDOW_RE.search(ln):
-            for j in range(i + 1, min(i + 6, len(lines))):
+            d = _tree_depth(ln)
+            for j in range(i + 1, len(lines)):
+                if _tree_depth(lines[j]) <= d:
+                    break  # left the Window's subtree
                 if "Exchange" in lines[j]:
                     if "Exchange SinglePartition" in lines[j]:
                         hits += 1
@@ -217,6 +358,17 @@ def invariant_violations(name: str, plan: str) -> list[str]:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    pkg_root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "iceberg_twist_spark",
+    )
+    hint_errs = broadcast_hint_violations(pkg_root)
+    for e in hint_errs:
+        print(f"FAIL  broadcast-hint: {e}")
+    print(
+        f"broadcast-hint audit: {len(broadcast_hint_sites(pkg_root))} sites, "
+        f"{len(hint_errs)} violations"
+    )
     _load_all_modules()
     spark = get_spark("explain-audit")
     spark.sparkContext.setLogLevel("ERROR")
@@ -252,7 +404,7 @@ def main() -> int:
     n_sweep = len(REGISTRY)
     print(f"\n{len(AUDITS) - len(named_failures)}/{len(AUDITS)} plan audits passed")
     print(f"{n_sweep - len(sweep_failures)}/{n_sweep} registry-wide invariant checks passed")
-    return 1 if named_failures or sweep_failures else 0
+    return 1 if named_failures or sweep_failures or hint_errs else 0
 
 
 if __name__ == "__main__":
