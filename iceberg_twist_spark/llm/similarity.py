@@ -297,6 +297,109 @@ def q_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bump when the index layout changes so a stale on-disk index from an
+# earlier code version can never satisfy the reuse check.
+_IVF_INDEX_VERSION = 1
+
+
+def _ivf_index_dir(sf_dir: str) -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(
+        tempfile.gettempdir(), f"itws_ivf_index_v{_IVF_INDEX_VERSION}_{key}"
+    )
+
+
+def build_ivf_index(spark: SparkSession, sf_dir: str, path: str | None = None) -> str:
+    """Materialize the IVF layout PERF.md promises: embeddings written
+    once, ``partitionBy("cluster")``, with the norm precomputed — so a
+    probe's nprobe-cluster search prunes at the DIRECTORY level
+    (``PartitionFilters`` in the scan) instead of filtering after a
+    full read. This is the offline index build that amortizes
+    assignment: at 100 TB it runs once per corpus snapshot and every
+    subsequent probe reads ~nprobe/K of the files.
+
+    Idempotent per (sf_dir, layout version): the write lands in a
+    unique temp dir and renames into place, so a concurrent builder
+    loses the race harmlessly and reuses the winner's index.
+    """
+    import os
+    import shutil
+    import uuid
+
+    path = path or _ivf_index_dir(sf_dir)
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    emb = with_norm(
+        spread(load_tables(spark, sf_dir)["embeddings"], "vec_id"), "embedding"
+    )
+    centroids = emb.filter(F.col("vec_id") < IVF_K)
+    clustered = ivf_assign(emb, centroids)
+    staging = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    clustered.write.mode("overwrite").partitionBy("cluster").parquet(staging)
+    try:
+        os.rename(staging, path)
+    except OSError:
+        shutil.rmtree(staging, ignore_errors=True)  # lost the race: reuse
+    return path
+
+
+@register("q_llm_ann_ivf_indexed", oracle=_IVF_ORACLE, tags=("llm", "similarity", "sketch", "source"))
+def q_llm_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-10 over the MATERIALIZED cluster-partitioned index —
+    the scale form of q_llm_ann_ivf (same answer, same oracle).
+
+    q_llm_ann_ivf computes the assignment in-plan every time; here the
+    assignment is an offline index build (``build_ivf_index``) and the
+    query side is: score the K centroids against the probe (K-row
+    frame), collect the ≤ nprobe winning cluster ids (bounded driver
+    scalars, same convention as the windows bucket offsets), and read
+    ONLY those partition directories — the scan's ``PartitionFilters``
+    prunes before any I/O, which is the whole point of the layout.
+    The exact cosine re-rank then runs over ~nprobe/K of the corpus
+    with norms served from the index, and the plan audit asserts the
+    pruning is really in the scan.
+    """
+    idx_path = build_ivf_index(spark, sf_dir)
+    emb = with_norm(load_tables(spark, sf_dir)["embeddings"], "embedding")
+    centroids = emb.filter(F.col("vec_id") < IVF_K)
+
+    probe = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("p"), F.col("nrm").alias("pn")
+    )
+    cent = centroids.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("c"),
+        F.col("nrm").alias("cn"),
+    )
+    probe_cids = [
+        r.cid
+        for r in (
+            probe.crossJoin(F.broadcast(cent))
+            .select(
+                "cid",
+                r4(_dot(F.col("p"), F.col("c")) / (F.col("pn") * F.col("cn"))).alias("csim"),
+            )
+            .orderBy(F.col("csim").desc(), F.col("cid"))
+            .limit(IVF_NPROBE)
+            .collect()
+        )
+    ]
+    # Literal IN-list over the partition column → static partition
+    # pruning: only the nprobe directories are listed, let alone read.
+    idx = spark.read.parquet(idx_path).filter(F.col("cluster").isin(probe_cids))
+    pair_sim = _dot(F.col("embedding"), F.col("p")) / (F.col("nrm") * F.col("pn"))
+    return (
+        idx.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select("vec_id", r4(pair_sim).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
 N_PLANES = 8
 
 

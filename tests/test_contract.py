@@ -55,3 +55,35 @@ def test_approx_family_is_value_checked():
         assert spec.oracle is None  # estimator differs from DuckDB by design
         assert spec.approx_oracle is not None
         assert 0 < spec.approx_rtol <= 0.05
+
+
+def test_ivf_indexed_matches_inplan_ivf(spark, sf_dir):
+    """The materialized cluster-partitioned index must return the exact
+    same top-10 as the in-plan IVF (same assignment, same re-rank), and
+    a second call must reuse the on-disk index rather than rebuild."""
+    import os
+
+    from iceberg_twist_spark.llm.similarity import _ivf_index_dir, build_ivf_index
+    from iceberg_twist_spark.registry import REGISTRY, _load_all_modules
+
+    _load_all_modules()
+    inplan = [tuple(r) for r in REGISTRY["q_llm_ann_ivf"].builder(spark, sf_dir).collect()]
+    indexed = [tuple(r) for r in REGISTRY["q_llm_ann_ivf_indexed"].builder(spark, sf_dir).collect()]
+    assert indexed == inplan
+    path = _ivf_index_dir(sf_dir)
+    mtime = os.path.getmtime(os.path.join(path, "_SUCCESS"))
+    assert build_ivf_index(spark, sf_dir) == path
+    assert os.path.getmtime(os.path.join(path, "_SUCCESS")) == mtime  # reused
+
+
+def test_ivf_index_layout_is_cluster_partitioned(spark, sf_dir):
+    """The index directory layout IS the pruning mechanism — assert the
+    hive-style cluster=N directories exist so PartitionFilters has
+    something to prune."""
+    import os
+
+    from iceberg_twist_spark.llm.similarity import build_ivf_index
+
+    path = build_ivf_index(spark, sf_dir)
+    parts = [d for d in os.listdir(path) if d.startswith("cluster=")]
+    assert len(parts) > 1, f"expected hive partition dirs, got {os.listdir(path)[:5]}"

@@ -36,6 +36,9 @@ from iceberg_twist_spark.session import get_spark
 
 # name -> (must-contain, must-NOT-contain)
 AUDITS: dict[str, tuple[list[str], list[str]]] = {
+    # the materialized IVF index must prune at the directory level —
+    # the nprobe cluster IN-list has to reach the scan's PartitionFilters
+    "q_llm_ann_ivf_indexed": (["PartitionFilters: [cluster"], ["SortMergeJoin"]),
     "q_scan_projection": (["ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint,l_quantity:double>"], []),
     "q_filter_range": (["PushedFilters: [IsNotNull"], []),
     "q_filter_eq": (["PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)"], []),
@@ -169,6 +172,8 @@ BNLJ_ALLOWED: dict[str, str] = {
     "q_llm_knn_join": "probe-set broadcast (|probes| ≪ corpus)",
     "q_llm_hybrid_search": "probe-vector + idf-model broadcast",
     "q_llm_ann_ivf": "centroid-table broadcast (nlist rows)",
+    "q_llm_ann_ivf_indexed": "centroid + 1-row probe broadcast over the "
+    "partition-pruned index scan",
     "q_llm_semdedup": "centroid-table broadcast for the cluster assignment",
     "q_llm_ann_recall": "embeds the ivf/topk probe broadcasts + 1-row probe-bucket broadcast",
     "q_llm_tfidf_topk": "1-row corpus-size scalar broadcast",
