@@ -326,7 +326,9 @@ def _twin_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _twin_queue_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _twin_queue_ttl(
+    spark: SparkSession, sf_dir: str, flush_after: tuple[int, ...] = ()
+) -> DataFrame:
     """Batch re-implementation of the bounded-queue state machine.
 
     Per (user, micro-batch): events counted, the first QUEUE_SIZE in
@@ -337,6 +339,16 @@ def _twin_queue_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_chunks+1 pre-aggregated rows per key — a genuinely independent
     execution path from ``applyInPandasWithState``, which is the point
     of the equivalence check.
+
+    ``flush_after=(k, …)`` models an INTERRUPTED replay (availableNow
+    stop + checkpoint restart after the first ``k`` chunks): at the
+    cut, the engine runs a trailing no-data batch whose advanced
+    watermark fires every due timer — including keys that, in a
+    continuous run, would have been kept alive by data in the very
+    next batch (Spark suppresses a group's timer whenever the trigger
+    has data for it). A real link outage changes the event sequence
+    the same way; the recovery test asserts the restarted run matches
+    this cut-aware twin exactly.
     """
     n_chunks = 4
     ch = chunked_events(spark, sf_dir, n_chunks).withColumn("tsx", _tsx())
@@ -379,24 +391,32 @@ def _twin_queue_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = []
         ms_ = ml = bs = bl = 0
         exists, timeout = False, None
+
+        def expire_if_due(wm):
+            nonlocal ms_, ml, bs, bl, exists, timeout
+            if exists and wm is not None and wm > timeout:
+                out.append((user, 0, ms_, ml, bs, bl, True))
+                ms_ = ml = bs = bl = 0
+                exists, timeout = False, None
+
         for k in range(n_chunks):
-            wm = wms[k]
             if k not in rows:
-                if exists and wm is not None and wm > timeout:
-                    out.append((user, 0, ms_, ml, bs, bl, True))
-                    ms_ = ml = bs = bl = 0
-                    exists, timeout = False, None
-                continue
-            r = rows[k]
-            adm = min(int(r["n"]), QUEUE_SIZE)
-            ms_ += adm
-            ml += int(r["n"]) - adm
-            bs += int(r["adm_bytes"])
-            bl += int(r["lost_bytes"])
-            exists, timeout = True, int(r["last_ts_ms"]) + TTL_MS
-            out.append((user, int(r["n"]), ms_, ml, bs, bl, False))
-        if exists and final_wm is not None and final_wm > timeout:
-            out.append((user, 0, ms_, ml, bs, bl, True))
+                # no data for this key: the engine's timer may fire
+                expire_if_due(wms[k])
+            else:
+                r = rows[k]
+                adm = min(int(r["n"]), QUEUE_SIZE)
+                ms_ += adm
+                ml += int(r["n"]) - adm
+                bs += int(r["adm_bytes"])
+                bl += int(r["lost_bytes"])
+                exists, timeout = True, int(r["last_ts_ms"]) + TTL_MS
+                out.append((user, int(r["n"]), ms_, ml, bs, bl, False))
+            if (k + 1) in flush_after:
+                # interrupted replay: the stop's trailing no-data batch
+                # fires every due timer, data-in-next-chunk or not
+                expire_if_due(wms[k + 1] if k + 1 < n_chunks else final_wm)
+        expire_if_due(final_wm)
         return pd.DataFrame(
             out,
             columns=[

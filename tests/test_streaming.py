@@ -174,3 +174,90 @@ def test_socket_source_feeds_frame_decoder(spark):
         (1_700_000_000 + v, v % 32768, (v * 3) % 32768) for v in range(n_frames)
     )
     assert got == want
+
+
+def test_queue_ttl_recovers_from_checkpoint_mid_replay(spark, sf_dir):
+    """Failure injection: the stateful bounded-queue job is stopped
+    after the first two replay chunks (the satellite link drops,
+    reference analogue serial_streaming.lua:129-176) and a NEW query
+    restarts from the SAME checkpoint once the remaining chunks
+    arrive. The union of the two runs' update-mode output must equal
+    the uninterrupted batch twin — cumulative counters, the event-time
+    watermark, and pending TTL timers all live in the checkpointed
+    state and must survive the restart exactly."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from iceberg_twist_spark.streaming.jobs import (
+        EVENT_SCHEMA,
+        _QOUT,
+        _QSTATE,
+        _queue_fn,
+        _state_partitions,
+        _twin_queue_ttl,
+        stage_replay_dir,
+    )
+
+    full = stage_replay_dir(spark, sf_dir, 4)
+    chunks = sorted(f for f in os.listdir(full) if f.endswith(".parquet"))
+    assert len(chunks) == 4
+    replay = tempfile.mkdtemp(prefix="itws_replay_cut_")
+    ckpt = tempfile.mkdtemp(prefix="itws_ckpt_cut_")
+    # memory sink refuses checkpoint recovery by design; the recovery
+    # path a real deployment uses is a fault-tolerant file sink whose
+    # _spark_metadata commit log is what makes the restart exactly-once
+    out = tempfile.mkdtemp(prefix="itws_out_cut_") + "/sink"
+
+    def arrive(names):
+        for f in names:  # copy2 keeps the staged ascending mtimes
+            shutil.copy2(os.path.join(full, f), os.path.join(replay, f))
+
+    def run_once():
+        s = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(replay)
+            .withWatermark("ts", "10 minutes")
+        )
+        stats = s.groupBy("user_id").applyInPandasWithState(
+            _queue_fn,
+            outputStructType=_QOUT,
+            stateStructType=_QSTATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+        with _state_partitions(spark):
+            q = (
+                stats.writeStream.format("parquet")
+                .outputMode("append")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        # batch read honors the sink's _spark_metadata commit log, so
+        # only exactly-once-committed files are visible
+        return [tuple(r) for r in spark.read.parquet(out).collect()]
+
+    try:
+        arrive(chunks[:2])
+        first = run_once()  # consumes chunks 0-1, commits state, stops
+        arrive(chunks[2:])
+        combined = run_once()  # SAME checkpoint: resumes at chunk 2
+    finally:
+        shutil.rmtree(replay, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(os.path.dirname(out), ignore_errors=True)
+    # the twin must model the cut: the stop's trailing no-data batch
+    # fires timers that a continuous run would have suppressed for keys
+    # with data in the next chunk (flush_after=(2,) = stop after 2 chunks)
+    twin = sorted(
+        tuple(r) for r in _twin_queue_ttl(spark, sf_dir, flush_after=(2,)).collect()
+    )
+    assert sorted(combined) == twin
+    assert sorted(first) != twin  # the restart really contributed
+    assert len(combined) > len(first), "resumed run emitted nothing"
