@@ -64,6 +64,69 @@ _NOOP_SINK = frozenset(
     {"q_join_multiway", "q_win_rank", "q_win_running", "q_win_lag", "q_llm_exact_dedup"}
 )
 
+# ---------------------------------------------------------------------------
+# Shuffle-bytes regression gate. "Minimal shuffle" was previously a
+# plan-shape claim (tools/explain_audit.py); here it becomes a measured
+# number: per query, total shuffle WRITE bytes across that query's
+# stages (read ≈ write locally; write is the volume a plan change
+# silently doubles), plus peak per-stage execution memory, read from
+# the AppStatusStore after the first timed run. Ceilings are calibrated
+# at sf0.1 (the driver's bench SF) with ~2.5× headroom over measured —
+# loose enough for AQE/partition-count jitter, tight enough that an
+# accidental extra Exchange (typically ≥2× on the dominant table) or a
+# lost map-side combine fails the bench. Enforced only at sf0.1, where
+# the numbers mean what the calibration meant; other SFs still report.
+SHUFFLE_CEILING_SF01 = {  # bytes at sf0.1: measured (r4 calibration) → ceiling
+    "q_agg_group": 50_000,            # 828 — pure map-side combine
+    "q_join_multiway": 10_000,        # 0 — all joins broadcast at this SF
+    "q_win_rank": 6_000_000,          # 2.39 MB — one partitioned-window exchange
+    "q_win_running": 6_000_000,       # 2.39 MB
+    "q_win_lag": 5_000_000,           # 1.91 MB
+    "q_topk": 10_000,                 # 0 — TakeOrderedAndProject, no exchange
+    "q_llm_cosine_topk": 1_500_000,   # 533 KB
+    "q_llm_knn_join": 1_500_000,      # 548 KB
+    "q_llm_exact_dedup": 1_000_000,   # 352 KB — digests shuffle, documents don't
+    "q_stream_tumble": 200_000,       # 25 KB
+    "q_tpch_q01": 50_000,             # 828 — map-side combine over 6 groups
+    "q_tpch_q05": 100_000,            # 404 — AQE broadcasts every join here
+    "q_tpch_q09": 100_000,            # 5.8 KB
+    "q_tpch_q18": 4_000_000,          # 1.55 MB — the 150k-group HAVING
+    "q_llm_decontaminate": 3_000_000,  # 1.02 MB
+    "q_graph_pagerank": 120_000_000,  # 54.3 MB — 3 iterations × edge traffic
+    "q_profile_table": 14_000_000,    # 5.63 MB — multi-distinct Expand
+    "q_llm_minhash_dedup": 2_500_000,  # 865 KB — banded signatures, not docs
+    "q_scd2_build": 5_000_000,        # 1.81 MB — one shuffle on the key
+    "q_join_interval_overlap": 200_000,  # 25 KB
+    "q_seq_pattern": 12_000_000,      # 4.75 MB
+    "q_llm_ann_lsh": 1_500_000,       # 541 KB — bucket-bounded candidates
+}
+
+
+def _stage_metrics(spark, seen: set) -> tuple[int, int, int]:
+    """(shuffle_read, shuffle_write, peak_exec_mem) summed over stages
+    not yet in ``seen`` (which is updated). AppStatusStore is populated
+    even with the UI disabled; the listener queue is asynchronous, so
+    callers should only read this at a quiescent point (after an
+    action completes)."""
+    store = spark.sparkContext._jsc.sc().statusStore()
+    jvm, gw = spark._jvm, spark.sparkContext._gateway
+    stages = store.stageList(
+        jvm.java.util.ArrayList(), False, False,
+        gw.new_array(jvm.double, 0), jvm.java.util.ArrayList(),
+    )
+    it = stages.iterator()
+    r = w = p = 0
+    while it.hasNext():
+        s = it.next()
+        key = (s.stageId(), s.attemptId())
+        if key in seen:
+            continue
+        seen.add(key)
+        r += s.shuffleReadBytes()
+        w += s.shuffleWriteBytes()
+        p = max(p, s.peakExecutionMemory())
+    return int(r), int(w), int(p)
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -84,6 +147,10 @@ def main() -> int:
     # disagree by >10% (sub-second queries mostly), so the suite stays
     # ~2× one pass.
     timings: dict[str, float] = {}
+    shuffle: dict[str, dict[str, int]] = {}
+    violations: dict[str, str] = {}
+    seen_stages: set = set()
+    _stage_metrics(spark, seen_stages)  # absorb warm-up stages
     for name in HEADLINE:
         per_run: list[float] = []
         n = "?"
@@ -96,14 +163,27 @@ def main() -> int:
             else:
                 n = len(df.collect())
             per_run.append(time.perf_counter() - t0)
+            if attempt == 0:
+                # shuffle volume is deterministic per plan — measure the
+                # first run only, at the quiescent post-action point
+                r, w, p = _stage_metrics(spark, seen_stages)
+                shuffle[name] = {"read": r, "write": w, "peak_mem": p}
             if attempt >= 1:
                 best, second = sorted(per_run)[:2]
                 if second - best <= 0.10 * best:
                     break
+        # later attempts' stages must not leak into the next query
+        _stage_metrics(spark, seen_stages)
         timings[name] = round(min(per_run), 3)
+        ceil = SHUFFLE_CEILING_SF01.get(name)
+        if sf == 0.1 and ceil is not None and shuffle[name]["write"] > ceil:
+            violations[name] = (
+                f"shuffle write {shuffle[name]['write']} > ceiling {ceil}"
+            )
         print(
             f"# {name}: {timings[name]:.3f}s best-of-{len(per_run)} "
-            f"(runs={[round(t, 3) for t in per_run]}, {n} rows)",
+            f"(runs={[round(t, 3) for t in per_run]}, {n} rows, "
+            f"shufW={shuffle[name]['write']})",
             file=sys.stderr,
         )
 
@@ -119,9 +199,16 @@ def main() -> int:
                 # 2 warm runs, plus a 3rd only when the first two
                 # disagree by >10% — label the policy, not one case
                 "timing": "adaptive-best-of-2-3-warm",
+                # per-query shuffle read/write bytes + peak per-stage
+                # execution memory (first run, AppStatusStore)
+                "shuffle": shuffle,
+                "shuffle_violations": violations,
             }
         )
     )
+    if violations:
+        print(f"# SHUFFLE GATE FAILED: {violations}", file=sys.stderr)
+        return 1
     return 0
 
 

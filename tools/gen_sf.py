@@ -24,8 +24,17 @@ Design:
   fixtures are 1-task scans, the round-2 `spread()` lesson);
   tools/check.py globs directories transparently.
 
-Usage: python tools/gen_sf.py OUT_DIR [SF]
+Usage: python tools/gen_sf.py OUT_DIR [SF] [--skew zipf]
 e.g.   python tools/gen_sf.py /root/repo/.localdata/sf1 1.0
+       python tools/gen_sf.py /root/repo/.localdata/sf1skew 1.0 --skew zipf
+
+``--skew zipf`` replaces the uniform foreign keys with a power-law
+draw (hottest key ≈ 7-9%% of ALL rows — orders.o_custkey,
+lineitem.l_orderkey/l_partkey/l_suppkey, events.user_id) and routes
+~30%% of documents into ONE near-duplicate group (one dominant
+MinHash/SimHash band bucket). This is the twin that makes AQE
+skew-join splitting and the salted-join/banded-dedup claims testable:
+uniform fixtures never fire them (round-3 VERDICT item 3).
 """
 
 from __future__ import annotations
@@ -65,6 +74,17 @@ def _u(col: Column, salt: int) -> Column:
     )
 
 
+def _key(col: Column, salt: int, n: int, skew: str | None) -> Column:
+    """Foreign-key draw over [0, n): uniform by default; ``zipf`` is a
+    power-law (u^4 · n) whose hottest key takes (1/n)^(1/4) of the rows
+    — e.g. ~9% of 1M events on one user_id at n=15k, a ~1350× hot spot.
+    Deterministic in (row id, salt) like every other column."""
+    u = _u(col, salt)
+    if skew == "zipf":
+        u = u * u * u * u
+    return F.floor(u * n)
+
+
 def _pick(col: Column, salt: int, values: list[str]) -> Column:
     arr = F.array(*[F.lit(v) for v in values])
     return F.element_at(arr, (F.floor(_u(col, salt) * len(values)) + 1).cast("int"))
@@ -80,7 +100,9 @@ def _days(base: str, span: int, col: Column, salt: int) -> Column:
     )
 
 
-def gen_tables(spark: SparkSession, sf: float) -> dict[str, tuple[DataFrame, int]]:
+def gen_tables(
+    spark: SparkSession, sf: float, skew: str | None = None
+) -> dict[str, tuple[DataFrame, int]]:
     """Build every table as (DataFrame, n_output_files)."""
     n_supp = max(10, int(10_000 * sf))
     n_cust = max(150, int(150_000 * sf))
@@ -127,16 +149,16 @@ def gen_tables(spark: SparkSession, sf: float) -> dict[str, tuple[DataFrame, int
     )
     orders = spark.range(n_ord).select(
         i.alias("o_orderkey"),
-        F.floor(_u(i, 11) * n_cust).alias("o_custkey"),
+        _key(i, 11, n_cust, skew).alias("o_custkey"),
         _pick(i, 12, ORDERSTATUS).alias("o_orderstatus"),
         _r2(F.lit(1000.0) + _u(i, 13) * 499_000.0).alias("o_totalprice"),
         _days("1995-01-01", 2404, i, 14).alias("o_orderdate"),
         _pick(i, 15, PRIORITIES).alias("o_orderpriority"),
     )
     lineitem = spark.range(n_li).select(
-        F.floor(_u(i, 16) * n_ord).alias("l_orderkey"),
-        F.floor(_u(i, 17) * n_part).alias("l_partkey"),
-        F.floor(_u(i, 18) * n_supp).alias("l_suppkey"),
+        _key(i, 16, n_ord, skew).alias("l_orderkey"),
+        _key(i, 17, n_part, skew).alias("l_partkey"),
+        _key(i, 18, n_supp, skew).alias("l_suppkey"),
         (F.floor(_u(i, 19) * 7) + 1).cast("int").alias("l_linenumber"),
         (F.floor(_u(i, 20) * 50) + 1).cast("double").alias("l_quantity"),
         _r2(F.lit(900.0) + _u(i, 21) * 104_100.0).alias("l_extendedprice"),
@@ -155,7 +177,7 @@ def gen_tables(spark: SparkSession, sf: float) -> dict[str, tuple[DataFrame, int
         F.timestamp_micros(
             F.lit(base_us) + i * step_us + F.floor(_u(i, 27) * (step_us * 0.9)).cast("long")
         ).alias("ts"),
-        F.floor(_u(i, 28) * n_users).alias("user_id"),
+        _key(i, 28, n_users, skew).alias("user_id"),
         _pick(i, 29, EVENT_TYPES).alias("event_type"),
         _r2(F.lit(0.01) + _u(i, 30) * 490.0).alias("value"),
         F.format_string('{"k": %d}', F.floor(_u(i, 31) * 100)).alias("props"),
@@ -168,6 +190,10 @@ def gen_tables(spark: SparkSession, sf: float) -> dict[str, tuple[DataFrame, int
     # generated SF, like the driver fixture
     vocab = F.array(*[F.lit(w) for w in VOCAB])
     grp = F.floor(i / 5)
+    if skew == "zipf":
+        # one dominant near-dup cluster: ~30% of documents share group 0's
+        # base text -> ONE hot MinHash/SimHash band bucket
+        grp = F.when(_u(i, 40) < 0.30, F.lit(0)).otherwise(grp)
     variant = (i % 5).cast("int")
     n_words = (F.floor(_u(grp, 32) * 90) + 10).cast("int")
 
@@ -235,18 +261,25 @@ def gen_tables(spark: SparkSession, sf: float) -> dict[str, tuple[DataFrame, int
 
 
 def main() -> int:
-    out = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.localdata/sf1"
-    sf = float(sys.argv[2]) if len(sys.argv) > 2 else 1.0
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    skew = None
+    if "--skew" in sys.argv:
+        skew = sys.argv[sys.argv.index("--skew") + 1]
+        args = [a for a in args if a != skew]
+        if skew != "zipf":
+            raise SystemExit(f"unknown --skew mode {skew!r} (have: zipf)")
+    out = args[0] if args else "/root/repo/.localdata/sf1"
+    sf = float(args[1]) if len(args) > 1 else 1.0
     from iceberg_twist_spark.session import get_spark
 
     spark = get_spark("gen-sf")
     spark.sparkContext.setLogLevel("ERROR")
     os.makedirs(out, exist_ok=True)
-    for name, (df, n_files) in gen_tables(spark, sf).items():
+    for name, (df, n_files) in gen_tables(spark, sf, skew).items():
         path = os.path.join(out, f"{name}.parquet")
         df.repartition(n_files).write.mode("overwrite").parquet(path)
         print(f"wrote {path} ({n_files} files)")
-    print(f"done: sf={sf} at {out}")
+    print(f"done: sf={sf} skew={skew} at {out}")
     return 0
 
 
