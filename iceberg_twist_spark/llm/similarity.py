@@ -577,6 +577,101 @@ def q_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Sub-bucket cap: q_llm_semdedup's Σ|cluster|² candidate bound is
+# conditional on balanced clusters — a degenerate corpus (one dominant
+# cluster, e.g. the zipf twin's 56%-one-label embeddings) degrades
+# toward all-pairs. The capped variant makes the bound UNCONDITIONAL:
+# a cluster of size m splits into ceil(m/CAP) sub-buckets
+# (vec_id mod — near-uniform for dense ids, no hash needed, identical
+# in both engines) and comparisons never leave a (cluster, sub-bucket)
+# cell, so candidate mass ≤ n·CAP regardless of the corpus. The price
+# is recall: cross-sub-bucket twins inside a mega-cluster are missed —
+# the standard cap/re-shard trade every production SemDeDup makes.
+SEMDEDUP_CAP = 256
+
+_SEMDEDUP_CAPPED_ORACLE = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS c FROM embeddings WHERE vec_id < {IVF_K}
+), csims AS (
+  SELECT e.vec_id, cent.cid,
+         {_DUCK_R4COS.format(a='e.embedding', b='cent.c')} AS csim
+  FROM embeddings e CROSS JOIN cent
+), clusters AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+    FROM csims
+  ) WHERE rn = 1
+), sizes AS (
+  SELECT cid, CAST(ceil(count(*) * 1.0 / {SEMDEDUP_CAP}) AS BIGINT) AS nsub
+  FROM clusters GROUP BY cid
+), subbed AS (
+  SELECT c.vec_id, c.cid, c.vec_id % s.nsub AS sub
+  FROM clusters c JOIN sizes s ON c.cid = s.cid
+), dropped AS (
+  SELECT DISTINCT ca.vec_id
+  FROM subbed ca
+  JOIN subbed cb ON ca.cid = cb.cid AND ca.sub = cb.sub AND cb.vec_id < ca.vec_id
+  JOIN embeddings a ON a.vec_id = ca.vec_id
+  JOIN embeddings b ON b.vec_id = cb.vec_id
+  WHERE {_DUCK_R4COS.format(a='a.embedding', b='b.embedding')} >= {SEMDEDUP_TAU}
+)
+SELECT c.vec_id, CAST(c.cid AS BIGINT) AS cluster_id,
+       CAST(c.sub AS BIGINT) AS sub_bucket,
+       d.vec_id IS NULL AS is_kept
+FROM subbed c LEFT JOIN dropped d ON c.vec_id = d.vec_id
+"""
+
+
+@register("q_llm_semdedup_capped", oracle=_SEMDEDUP_CAPPED_ORACLE, tags=("llm", "dedup", "similarity"))
+def q_llm_semdedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with an UNCONDITIONAL candidate bound: clusters larger
+    than SEMDEDUP_CAP split into ceil(|c|/CAP) sub-buckets
+    (vec_id mod — deterministic, near-uniform on dense ids) and the
+    near-twin comparison joins on (cluster, sub_bucket), so candidate
+    mass is ≤ n·CAP even on a degenerate one-cluster corpus — closing
+    q_llm_semdedup's balanced-clusters assumption. The cluster-size
+    frame is ≤ K rows; at 100 TB (cluster, sub_bucket) is the
+    partition key the comparison job reads shard-by-shard."""
+    emb = with_norm(spread(load_tables(spark, sf_dir)["embeddings"], "vec_id"), "embedding")
+    clustered = ivf_assign(emb, emb.filter(F.col("vec_id") < IVF_K))
+    sizes = clustered.groupBy("cluster").agg(
+        F.ceil(F.count("*") * F.lit(1.0) / SEMDEDUP_CAP).cast("long").alias("nsub")
+    )
+    subbed = clustered.join(sizes, "cluster").withColumn(
+        "sub", F.pmod(F.col("vec_id"), F.col("nsub")).cast("long")
+    )
+    a = subbed.select(
+        F.col("vec_id").alias("va"), F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"), "cluster", "sub",
+    )
+    b = subbed.select(
+        F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"), "cluster", "sub",
+    )
+    sim = r4(_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")))
+    dropped = (
+        a.join(b, ["cluster", "sub"])
+        .filter(F.col("vb") < F.col("va"))
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= SEMDEDUP_TAU)
+        .select(F.col("va").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        subbed.select(
+            "vec_id",
+            F.col("cluster").cast("long").alias("cluster_id"),
+            F.col("sub").alias("sub_bucket"),
+        )
+        .join(dropped.withColumn("__d", F.lit(1)), "vec_id", "left")
+        .select(
+            "vec_id", "cluster_id", "sub_bucket",
+            F.col("__d").isNull().alias("is_kept"),
+        )
+    )
+
+
 # --------------------------------------------------------- ANN recall
 # IVF and LSH are deterministic, but determinism says nothing about
 # QUALITY — the number a user tuning nprobe / n_planes actually needs

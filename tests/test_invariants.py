@@ -227,3 +227,26 @@ def test_ann_recall_bounds(spark, sf_dir):
     }
     assert rows["ivf"] >= 0.9, rows
     assert rows["lsh_multiprobe"] >= 0.5, rows
+
+
+def test_global_rank_keeps_nulls_and_all_null(spark):
+    """_global_rank must not drop NULL values (they bucket to 0 and
+    rank first, matching a global NULLS FIRST order) and must survive
+    an all-null value column via the tiebreak order."""
+    from iceberg_twist_spark.operators.windows import _global_rank
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 1.0), (4, None), (5, 3.0)],
+        "k long, v double",
+    )
+    ranked, total = _global_rank(df, "v", "k")
+    rows = {r.k: r.__rank for r in ranked.collect()}
+    assert total == 5 and len(rows) == 5          # nothing dropped
+    assert sorted((rows[2], rows[4])) == [1, 2]    # nulls first...
+    assert (rows[2], rows[4]) == (1, 2)            # ...in tiebreak order
+    assert (rows[3], rows[5], rows[1]) == (3, 4, 5)
+
+    allnull = spark.createDataFrame([(1, None), (2, None)], "k long, v double")
+    ranked2, total2 = _global_rank(allnull, "v", "k")
+    assert total2 == 2
+    assert {r.k: r.__rank for r in ranked2.collect()} == {1: 1, 2: 2}

@@ -230,7 +230,10 @@ def gen_tables(
     ).select("doc_id", "text", "lang", "source", "n_chars")
     # embeddings: unit-normalized (label-center + noise) so same-label
     # vectors correlate — gives the similarity family real structure
-    label = F.floor(_u(i, 35) * 10).cast("int")
+    # zipf: ~56% of vectors share label 0 -> one dominant IVF/semantic
+    # cluster, the degenerate corpus that stresses semdedup's
+    # sum(|cluster|^2) candidate bound
+    label = _key(i, 35, 10, skew).cast("int")
     dims = F.sequence(F.lit(0), F.lit(63))
     raw = F.transform(
         dims,
