@@ -63,6 +63,79 @@ def _canon(rows, colnames):
     return out
 
 
+# ---------------------------------------------------------------------------
+# Vectorized compare for LARGE results (sf1/sf3 twins return multi-
+# million-row frames; the exact _canon path — Py4J row collect + python
+# tuple sort — took 15+ min and 23 GB per query there). Both sides are
+# normalized to strings by the SAME per-dtype rules (so cross-frame
+# dtype drift — Spark DATE arrives as object(date), DuckDB's as
+# datetime64 — lands on identical text), hashed per row, and compared
+# as sorted hash multisets. Semantics match _canon: columns ordered by
+# name, floats rounded to 6dp, NaN≡None, arrays elementwise. Small
+# results keep the exact path (richer diffs, zero behavior change).
+
+FAST_COMPARE_ROWS = 200_000
+
+
+def _norm_cell_str(v):
+    import datetime
+
+    import numpy as np
+
+    v = _norm_cell(v.tolist() if isinstance(v, np.ndarray) else v)
+    if v is None:
+        return None
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, datetime.date):
+        return v.strftime("%Y-%m-%d") + " 00:00:00.000000"
+    if isinstance(v, float):
+        return repr(v)
+    return str(v)
+
+
+def _norm_pdf(pdf):
+    import pandas as pd
+
+    out = {}
+    for c in sorted(pdf.columns):
+        s = pdf[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            ns = s.dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+            ns = ns.where(s.notna(), None)
+        elif pd.api.types.is_float_dtype(s):
+            r = s.round(6)
+            ns = r.map(lambda v: None if pd.isna(v) else repr(float(v)))
+        elif pd.api.types.is_integer_dtype(s) or pd.api.types.is_bool_dtype(s):
+            ns = s.map(lambda v: str(v))
+        else:
+            ns = s.map(_norm_cell_str)
+        out[c] = ns.astype(object)
+    return pd.DataFrame(out)
+
+
+def _compare_fast(spec, sdf, d_pdf, elapsed: float) -> tuple[bool, str, float]:
+    import numpy as np
+    import pandas as pd
+
+    s_pdf = sdf.toPandas()  # Arrow batches, not Py4J rows
+    s_cols, d_cols = list(s_pdf.columns), list(d_pdf.columns)
+    if sorted(s_cols) != sorted(d_cols):
+        return False, f"columns differ: spark={sorted(s_cols)} duck={sorted(d_cols)}", elapsed
+    if len(s_pdf) != len(d_pdf):
+        return False, f"row count: spark={len(s_pdf)} duck={len(d_pdf)}", elapsed
+    hs = pd.util.hash_pandas_object(_norm_pdf(s_pdf), index=False).to_numpy()
+    hd = pd.util.hash_pandas_object(_norm_pdf(d_pdf), index=False).to_numpy()
+    if not np.array_equal(np.sort(hs), np.sort(hd)):
+        n_diff = int((np.sort(hs) != np.sort(hd)).sum())
+        return (
+            False,
+            f"values differ (hash multiset, ~{n_diff} rows differ of {len(s_pdf)})",
+            elapsed,
+        )
+    return True, f"match ({len(s_pdf)} rows, hashed)", elapsed
+
+
 def _compare_approx(
     spec, s_rows, s_cols, con, elapsed: float
 ) -> tuple[bool, str, float]:
@@ -113,10 +186,23 @@ def _compare_approx(
     return True, f"approx-match rtol={rtol} ({len(s_rows)} rows)", elapsed
 
 
+# ITWS_FAST_COMPARE=1 switches hash-checked queries to the vectorized
+# multiset-hash compare (for the sf1/sf3/skew twins, where exact
+# _canon is prohibitive). Default (unset) keeps the driver-parity
+# exact path bit-for-bit. tools/selftest_fast_compare.py proves the
+# two paths agree (and both catch injected mismatches) at sf0.01.
+_FAST = os.environ.get("ITWS_FAST_COMPARE") == "1"
+
+
 def compare(name: str, spark, con, sf_dir: str) -> tuple[bool, str, float]:
     spec = REGISTRY[name]
     t0 = time.time()
     sdf = spec.builder(spark, sf_dir)
+    if _FAST and spec.oracle is not None:
+        d_pdf = con.execute(spec.oracle).df()
+        t0 = time.time()  # time the Spark side only, like the exact path
+        ok, msg, _ = _compare_fast(spec, sdf, d_pdf, 0.0)
+        return ok, msg, time.time() - t0
     s_rows = sdf.collect()
     s_cols = sdf.columns
     elapsed = time.time() - t0
