@@ -77,6 +77,17 @@ def _canon(rows, colnames):
 FAST_COMPARE_ROWS = 200_000
 
 
+def _float_str(v: float) -> str:
+    """Integral floats print as ints: DuckDB's .df() returns HUGEINT
+    sums as float64 while Spark keeps int64 — '3549.0' vs '3549' is a
+    dtype artifact, not a value difference. (This is where the fast
+    path is deliberately one notch looser than exact _canon, which
+    sees python ints from fetchall and never hits the case.)"""
+    if v == int(v) and abs(v) < 2**53:
+        return str(int(v))
+    return repr(v)
+
+
 def _norm_cell_str(v):
     import datetime
 
@@ -90,7 +101,7 @@ def _norm_cell_str(v):
     if isinstance(v, datetime.date):
         return v.strftime("%Y-%m-%d") + " 00:00:00.000000"
     if isinstance(v, float):
-        return repr(v)
+        return _float_str(v)
     return str(v)
 
 
@@ -105,7 +116,7 @@ def _norm_pdf(pdf):
             ns = ns.where(s.notna(), None)
         elif pd.api.types.is_float_dtype(s):
             r = s.round(6)
-            ns = r.map(lambda v: None if pd.isna(v) else repr(float(v)))
+            ns = r.map(lambda v: None if pd.isna(v) else _float_str(float(v)))
         elif pd.api.types.is_integer_dtype(s) or pd.api.types.is_bool_dtype(s):
             ns = s.map(lambda v: str(v))
         else:

@@ -42,6 +42,10 @@ PROBE = [
     "q_impute_mean",
     "q_llm_text_stats",
     "q_win_lag",
+    # regression: DuckDB .df() returns HUGEINT sums as float64 while
+    # Spark keeps int64 — caught by the first sf3 sweep
+    "q_llm_pack_greedy",
+    "q_llm_split_assign",
 ]
 
 
