@@ -301,6 +301,70 @@ class Engine:
         )
 
     @staticmethod
+    def build_ann_index(
+        df: DataFrame,
+        vec_col: str,
+        key_col: str,
+        path: str,
+        n_clusters: int = 16,
+    ) -> str:
+        """Materialize a cluster-partitioned ANN index for ``df``:
+        vectors assigned to deterministic IVF centroids (smallest
+        ``n_clusters`` keys), written once with precomputed norms,
+        ``partitionBy("cluster")`` — so ``ann_search`` prunes unread
+        directories via PartitionFilters (same layout as
+        q_llm_ann_ivf_indexed). Run it offline per corpus snapshot;
+        at 100 TB every subsequent probe reads ~nprobe/n_clusters of
+        the files."""
+        from iceberg_twist_spark.llm.similarity import ivf_assign, with_norm
+
+        emb = with_norm(
+            df.select(F.col(key_col).alias("vec_id"), F.col(vec_col).alias("embedding")),
+            "embedding",
+        )
+        centroids = emb.orderBy("vec_id").limit(n_clusters)
+        clustered = ivf_assign(emb, centroids)
+        clustered.write.mode("overwrite").partitionBy("cluster").parquet(path)
+        # centroids ride along so ann_search needs only the index path
+        centroids.write.mode("overwrite").parquet(path.rstrip("/") + "_centroids")
+        return path
+
+    @staticmethod
+    def ann_search(
+        spark: SparkSession,
+        path: str,
+        probe: list[float],
+        k: int = 10,
+        nprobe: int = 4,
+    ) -> DataFrame:
+        """Top-k cosine neighbors of a literal probe vector against a
+        ``build_ann_index`` layout: score the stored centroids, keep
+        the ``nprobe`` best cluster ids (bounded driver scalars), and
+        scan ONLY those partition directories — the literal IN-list
+        reaches the scan's PartitionFilters. Returns (vec_id,
+        cos_sim) ordered best-first."""
+        from iceberg_twist_spark.common import r4
+        from iceberg_twist_spark.llm.similarity import _dot, _norm
+
+        p = F.array(*[F.lit(float(x)) for x in probe])
+        cent = spark.read.parquet(path.rstrip("/") + "_centroids")
+        csim = r4(_dot(F.col("embedding"), p) / (F.col("nrm") * _norm(p)))
+        cids = [
+            r.cid
+            for r in cent.select(F.col("vec_id").alias("cid"), csim.alias("csim"))
+            .orderBy(F.col("csim").desc(), F.col("cid"))
+            .limit(nprobe)
+            .collect()
+        ]
+        idx = spark.read.parquet(path).filter(F.col("cluster").isin(cids))
+        sim = r4(_dot(F.col("embedding"), p) / (F.col("nrm") * _norm(p)))
+        return (
+            idx.select(F.col("vec_id"), sim.alias("cos_sim"))
+            .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+            .limit(k)
+        )
+
+    @staticmethod
     def perceptual_hash(df: DataFrame, media_col: str, key_col: str) -> DataFrame:
         """aHash fingerprint of P6-PPM media blobs: (key, h1, h2) — two
         32-bit halves; near-dup pairs come from Hamming distance via

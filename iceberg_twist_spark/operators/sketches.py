@@ -242,7 +242,7 @@ WITH dim AS (
 )
 SELECT l_returnflag,
        CAST(count(*) AS BIGINT) AS n_rows,
-       floor(sum(l_extendedprice) * 10000 + 0.5) / 10000 AS revenue
+       floor((sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0) * 10000 + 0.5) / 10000 AS revenue
 FROM lineitem JOIN dim ON l_suppkey = dim.s_suppkey
 GROUP BY l_returnflag
 """
@@ -290,5 +290,8 @@ def q_join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return exact.groupBy("l_returnflag").agg(
         F.count("*").cast("long").alias("n_rows"),
-        (F.floor(F.sum("l_extendedprice") * 10000 + F.lit(0.5)) / 10000).alias("revenue"),
+        # data-proportional money sum: exact integer-cent accumulation
+        # (the raw double sum's ulp is ~0.08 of the r4 grain already at
+        # sf3 — boundary flips are a coin toss, not a tail risk)
+        (F.floor((F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")) / 100.0) * 10000 + F.lit(0.5)) / 10000).alias("revenue"),
     )

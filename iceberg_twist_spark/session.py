@@ -42,6 +42,13 @@ def get_spark(
         )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # big-twin sweeps (sf3: full-scan queries return 18M rows ≈
+        # 1.5 GB of Arrow batches) exceed the 1g default; the driver
+        # heap above is sized to hold this
+        .config(
+            "spark.driver.maxResultSize",
+            os.environ.get("SPARK_GRAFT_MAX_RESULT", "4g"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
     )

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from iceberg_twist_spark.catalog import load_tables
+from iceberg_twist_spark.common import duck_exact_sum, duck_r4, exact_sum, r4
 from iceberg_twist_spark.registry import register
 
 _SINK_CACHE: dict[tuple[str, str], str] = {}
@@ -78,9 +79,9 @@ def q_source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).json(path)
 
 
-_PART_ORACLE = """
+_PART_ORACLE = f"""
 SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
-       floor((sum(o_totalprice)) * 10000 + 0.5) / 10000 AS sum_price
+       {duck_r4(duck_exact_sum('o_totalprice'))} AS sum_price
 FROM orders
 WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
 GROUP BY o_orderpriority
@@ -109,9 +110,10 @@ def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("cnt"),
-            (F.floor(F.sum("o_totalprice") * 10000 + F.lit(0.5)) / 10000).alias(
-                "sum_price"
-            ),
+            # data-proportional money sum: exact integer-cent
+            # accumulation (r3 lesson) — the raw double sum's ulp
+            # crosses the r4 grain at sf3 group totals (~2.3e11)
+            r4(exact_sum("o_totalprice")).alias("sum_price"),
         )
     )
 

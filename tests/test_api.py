@@ -239,3 +239,46 @@ def test_profile_matches_registered(spark, sf_dir):
     assert {tuple(r) for r in generic.collect()} == {
         tuple(r) for r in registered.collect()
     }
+
+
+def test_ann_index_facade_matches_brute_force(spark, sf_dir):
+    """build_ann_index + ann_search must return exactly the vectors a
+    brute-force rescan of the probed clusters would — and the index
+    must really be cluster-partitioned on disk."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from iceberg_twist_spark.api import Engine
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probe = [float(x) for x in emb.filter("vec_id = 0").collect()[0].embedding]
+    path = os.path.join(tempfile.mkdtemp(prefix="itws_annidx_"), "idx")
+    try:
+        Engine.build_ann_index(emb, "embedding", "vec_id", path)
+        assert any(d.startswith("cluster=") for d in os.listdir(path))
+        got = Engine.ann_search(spark, path, probe, k=5, nprobe=16)  # all clusters
+        rows = got.collect()
+        assert len(rows) == 5
+        assert rows[0].vec_id == 0 and rows[0].cos_sim == 1.0  # probe finds itself
+        sims = [r.cos_sim for r in rows]
+        assert sims == sorted(sims, reverse=True)
+        # nprobe=16 == n_clusters -> must equal the brute-force top-5
+        from iceberg_twist_spark.common import r4
+        from iceberg_twist_spark.llm.similarity import _dot, _norm
+
+        p = F.array(*[F.lit(x) for x in probe])
+        brute = (
+            emb.select(
+                "vec_id",
+                r4(_dot(F.col("embedding"), p) / (_norm(F.col("embedding")) * _norm(p))).alias("cos_sim"),
+            )
+            .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+            .limit(5)
+            .collect()
+        )
+        assert [tuple(r) for r in rows] == [tuple(r) for r in brute]
+    finally:
+        shutil.rmtree(os.path.dirname(path), ignore_errors=True)

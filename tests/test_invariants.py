@@ -240,7 +240,7 @@ def test_global_rank_keeps_nulls_and_all_null(spark):
         "k long, v double",
     )
     ranked, total = _global_rank(df, "v", "k")
-    rows = {r.k: r.__rank for r in ranked.collect()}
+    rows = {r.k: r["__rank"] for r in ranked.collect()}
     assert total == 5 and len(rows) == 5          # nothing dropped
     assert sorted((rows[2], rows[4])) == [1, 2]    # nulls first...
     assert (rows[2], rows[4]) == (1, 2)            # ...in tiebreak order
@@ -249,4 +249,4 @@ def test_global_rank_keeps_nulls_and_all_null(spark):
     allnull = spark.createDataFrame([(1, None), (2, None)], "k long, v double")
     ranked2, total2 = _global_rank(allnull, "v", "k")
     assert total2 == 2
-    assert {r.k: r.__rank for r in ranked2.collect()} == {1: 1, 2: 2}
+    assert {r.k: r["__rank"] for r in ranked2.collect()} == {1: 1, 2: 2}
