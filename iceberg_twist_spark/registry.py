@@ -136,6 +136,7 @@ def _load_all_modules() -> None:
     import iceberg_twist_spark.udfs  # noqa: F401
     import iceberg_twist_spark.multimodal  # noqa: F401
     import iceberg_twist_spark.sources.connectors  # noqa: F401
+    import iceberg_twist_spark.sources.layouts  # noqa: F401
     import iceberg_twist_spark.sources.snapshots  # noqa: F401
     import iceberg_twist_spark.pipeline  # noqa: F401
 

@@ -1,0 +1,183 @@
+"""Physical-layout techniques: bucketed co-located joins and dynamic
+partition pruning (DPP).
+
+These are the two write-side layouts a 100 TB deployment leans on
+hardest, expressed as registered, oracle-checked queries so the plan
+shapes are regression-gated like any result:
+
+- **Bucketed join** (`q_join_bucketed`): both fact tables are written
+  once with ``bucketBy(N, join_key)`` + ``sortBy``; every subsequent
+  join on that key is a SortMergeJoin with NO Exchange on either side
+  — the single biggest repeated-cost eliminator for a fact⋈fact join
+  that runs daily against the same layout. At 100 TB the bucket count
+  scales with the cluster (e.g. 4096), not with data volume; the
+  write is the only shuffle the key ever pays.
+- **Dynamic partition pruning** (`q_scan_dpp`): the fact table is
+  written ``partitionBy(route_key)`` (the A15 routed-telemetry layout,
+  `iceberg-twist/transparent_serial_proxy.lua:191,204-215`); a filter
+  on a joined dimension — NOT on the partition column itself — prunes
+  fact directories at runtime via the broadcast-reused DPP subquery.
+  This is the scan-elimination path for "only the routes matching a
+  dimension predicate": at 100 TB it's the difference between reading
+  2 of 5 route directories and reading everything.
+
+Both sinks are cached per (layout, sf_dir) and registered in the
+session catalog with explicit external paths under a temp dir — the
+read-only testdata is never written.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_twist_spark.catalog import load_tables
+from iceberg_twist_spark.common import duck_exact_sum, duck_r4, exact_sum, r4
+from iceberg_twist_spark.registry import register
+
+# Bucket count is a CLUSTER parameter, not a data parameter: local
+# fixtures use 8; a 1000-executor cluster would write e.g. 4096 and
+# the query code would not change.
+_N_BUCKETS = 8
+
+_SINK_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _sink_dir(kind: str, sf_dir: str) -> tuple[str, bool]:
+    """(path, already_written) for a cached per-process sink dir."""
+    key = (kind, sf_dir)
+    if key in _SINK_CACHE and os.path.isdir(_SINK_CACHE[key]):
+        return _SINK_CACHE[key], True
+    path = tempfile.mkdtemp(prefix=f"itws_{kind}_")
+    _SINK_CACHE[key] = path
+    return path, False
+
+
+def _table_name(base: str, sf_dir: str) -> str:
+    """Catalog-unique name per sf_dir (one session may touch several)."""
+    return f"{base}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+
+
+def _ensure_bucketed(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write lineitem/orders once as co-bucketed external tables."""
+    li = _table_name("itws_li_bkt", sf_dir)
+    od = _table_name("itws_od_bkt", sf_dir)
+    if spark.catalog.tableExists(li) and spark.catalog.tableExists(od):
+        return li, od
+    t = load_tables(spark, sf_dir)
+    path, _ = _sink_dir("bkt", sf_dir)
+    (
+        t["lineitem"]
+        .select("l_orderkey", "l_extendedprice")
+        .write.bucketBy(_N_BUCKETS, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", os.path.join(path, "lineitem"))
+        .mode("overwrite")
+        .saveAsTable(li)
+    )
+    (
+        t["orders"]
+        .select("o_orderkey", "o_orderpriority")
+        .write.bucketBy(_N_BUCKETS, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", os.path.join(path, "orders"))
+        .mode("overwrite")
+        .saveAsTable(od)
+    )
+    return li, od
+
+
+_BUCKETED_ORACLE = f"""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       {duck_r4(duck_exact_sum('l_extendedprice'))} AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+@register("q_join_bucketed", oracle=_BUCKETED_ORACLE, tags=("layout", "join", "sink"))
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free fact⋈fact join over a co-bucketed layout.
+
+    Both tables were written ``bucketBy(8, join_key)``; the forced
+    SortMergeJoin (``hint("merge")`` — AQE would otherwise broadcast
+    at fixture scale and hide the demonstration) reads the buckets
+    co-located, so the join itself has NO Exchange on either input
+    (the audit pins this). The only shuffle in the plan is the final
+    5-group aggregate. This is the daily-fact-join layout at 100 TB:
+    the bucket write is paid once, every downstream join on the key
+    is exchange-free."""
+    li, od = _ensure_bucketed(spark, sf_dir)
+    joined = (
+        spark.table(li)
+        .hint("merge")
+        .join(spark.table(od), F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_items"),
+        r4(exact_sum("l_extendedprice")).alias("revenue"),
+    )
+
+
+# The urgency attribute lives ONLY on the dimension, so a filter on it
+# cannot be statically pushed into the fact scan — pruning the fact's
+# partition directories requires the runtime DPP subquery.
+_PRIORITIES = [
+    ("1-URGENT", 1),
+    ("2-HIGH", 2),
+    ("3-MEDIUM", 3),
+    ("4-NOT SPECIFIED", 4),
+    ("5-LOW", 5),
+]
+
+_DPP_ORACLE = f"""
+WITH dim(prio, urgency) AS (
+  VALUES {", ".join(f"('{p}', {u})" for p, u in _PRIORITIES)}
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS cnt,
+       {duck_r4(duck_exact_sum('o_totalprice'))} AS sum_price
+FROM orders JOIN dim ON o_orderpriority = dim.prio
+WHERE dim.urgency <= 2
+GROUP BY o_orderpriority
+"""
+
+
+@register("q_scan_dpp", oracle=_DPP_ORACLE, tags=("layout", "scan", "join"))
+def q_scan_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: a dimension predicate prunes fact
+    directories at runtime.
+
+    orders is written ``partitionBy(o_orderpriority)`` (A15 routing);
+    the dimension carries an ``urgency`` attribute the fact does not
+    have, filtered ``urgency <= 2``. Catalyst inserts a
+    ``dynamicpruningexpression`` into the fact scan's PartitionFilters
+    (audited), reusing the dimension's broadcast — so only the 2 of 5
+    matching directories are ever read. At 100 TB this is the routed-
+    telemetry read path: partition on route, prune via whatever
+    dimension predicate the query actually has."""
+    path, written = _sink_dir("dpp", sf_dir)
+    if not written:
+        orders = load_tables(spark, sf_dir)["orders"]
+        (
+            orders.select("o_orderkey", "o_totalprice", "o_orderpriority")
+            .write.mode("overwrite")
+            .partitionBy("o_orderpriority")
+            .parquet(path)
+        )
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(_PRIORITIES, "prio string, urgency int")
+    return (
+        fact.join(dim, fact["o_orderpriority"] == dim["prio"])
+        .filter(F.col("urgency") <= 2)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            r4(exact_sum("o_totalprice")).alias("sum_price"),
+        )
+    )

@@ -149,6 +149,24 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
         ["LeftSemi", "BroadcastHashJoin"],
         ["SortMergeJoin", "ShuffledHashJoin"],
     ),
+    # co-bucketed fact⋈fact join: both scans read buckets, the SMJ has
+    # NO exchange on either join key — the only shuffle allowed is the
+    # final 5-group aggregate on o_orderpriority
+    "q_join_bucketed": (
+        ["SelectedBucketsCount", "SortMergeJoin"],
+        [
+            "hashpartitioning(l_orderkey",
+            "hashpartitioning(o_orderkey",
+            "CartesianProduct",
+        ],
+    ),
+    # dynamic partition pruning: the dimension's urgency filter must
+    # reach the fact scan as a runtime dynamicpruning subquery (the
+    # fact has no static predicate on the partition column)
+    "q_scan_dpp": (
+        ["dynamicpruning", "BroadcastHashJoin"],
+        ["SortMergeJoin", "CartesianProduct"],
+    ),
 }
 
 # Registry-wide invariant allowlists. Every entry carries the reason it
@@ -175,6 +193,7 @@ BNLJ_ALLOWED: dict[str, str] = {
     "q_llm_ann_ivf_indexed": "centroid + 1-row probe broadcast over the "
     "partition-pruned index scan",
     "q_llm_semdedup": "centroid-table broadcast for the cluster assignment",
+    "q_llm_semdedup_capped": "same centroid-table broadcast as q_llm_semdedup",
     "q_llm_ann_recall": "embeds the ivf/topk probe broadcasts + 1-row probe-bucket broadcast",
     "q_llm_tfidf_topk": "1-row corpus-size scalar broadcast",
     "q_llm_unigram_logprob": "1-row vocab-total scalar broadcast",
