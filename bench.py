@@ -55,6 +55,11 @@ HEADLINE = (
     "q_join_interval_overlap",
     "q_seq_pattern",
     "q_llm_ann_lsh",
+    # round-4 additions: write-once layouts — the co-bucketed join's
+    # shuffle is the 5-group agg ONLY (3.3 KB at sf0.1 for a
+    # 600k⋈150k join), DPP reads 2 of 5 fact directories
+    "q_join_bucketed",
+    "q_scan_dpp",
 )
 
 # Queries whose result set is large: execute via the noop sink so the
@@ -99,6 +104,10 @@ SHUFFLE_CEILING_SF01 = {  # bytes at sf0.1: measured (r4 calibration) → ceilin
     "q_join_interval_overlap": 200_000,  # 25 KB
     "q_seq_pattern": 12_000_000,      # 4.75 MB
     "q_llm_ann_lsh": 1_500_000,       # 541 KB — bucket-bounded candidates
+    "q_join_bucketed": 10_000,        # 3.3 KB — ONLY the 5-group agg; the
+                                      # join itself is exchange-free by layout
+    "q_scan_dpp": 5_000,              # 162 B — 2-of-5 directories read,
+                                      # 2-group agg is the only shuffle
 }
 
 

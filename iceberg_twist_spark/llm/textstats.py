@@ -386,3 +386,45 @@ def q_llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(-F.avg(logp)).alias("ppl_proxy"),
         )
     )
+
+
+_COLLAPSE_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+), c AS (
+  SELECT doc_id, l,
+         list_filter(l, (x, i) -> i = 1 OR l[i - 1] <> x) AS kept
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(l) AS BIGINT) AS n_tokens,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       md5(array_to_string(kept, ' ')) AS clean_md5
+FROM c
+"""
+
+
+@register("q_llm_collapse_runs", oracle=_COLLAPSE_ORACLE, tags=("llm", "text"))
+def q_llm_collapse_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse consecutive repeated tokens per document — the standard
+    OCR/ASR/boilerplate cleanup ("batch batch batch" → "batch") as a
+    pure projection: an indexed higher-order ``filter`` keeps token i
+    iff it differs from token i-1, so there is NO explode, NO window,
+    NO shuffle — each document is cleaned where it sits, the exact
+    shape that scales to a 100 TB corpus (output keyed by the md5 of
+    the cleaned text so the oracle hashes the full result). spread()
+    is round-robin here — no downstream op is keyed, so the scan
+    chunking needs no hash."""
+    docs = spread(load_tables(spark, sf_dir)["documents"])
+    toks = docs.withColumn("l", F.split("text", " "))
+    # Spark lambda index is 0-based; element_at is 1-based, so
+    # element_at(l, i) IS the previous token for i >= 1.
+    kept = F.filter(
+        "l", lambda x, i: (i == F.lit(0)) | (F.element_at(F.col("l"), i) != x)
+    )
+    return toks.select(
+        "doc_id",
+        F.size("l").cast("long").alias("n_tokens"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.md5(F.array_join(kept, " ")).alias("clean_md5"),
+    )

@@ -120,3 +120,67 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)  # cut lineage: plan stays one-step deep
         )
     return ranks.select("node", r4("rank", _R8).alias("pr_rank"))
+
+
+# ------------------------------------------------- common neighbors
+# Item-item co-occurrence (the collaborative-filtering / link-
+# prediction primitive): supplier pairs ranked by how many parts they
+# both supply. Candidate mass is Σ per-part deg² — the degree cap
+# excludes ubiquitous hub parts (the standard CF trick), making the
+# bound Σ min(deg, CAP)² ≤ CAP·|edges| regardless of hub skew, the
+# same unconditional-bound move as the capped SemDeDup.
+CO_CAP = 32
+CO_MIN_SHARED = 2
+CO_TOPK = 100
+
+_COMMON_ORACLE = f"""
+WITH e AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+), deg AS (
+  SELECT l_partkey FROM e GROUP BY l_partkey HAVING count(*) <= {CO_CAP}
+), kept AS (
+  SELECT e.l_partkey, e.l_suppkey FROM e JOIN deg USING (l_partkey)
+)
+SELECT a.l_suppkey AS s1, b.l_suppkey AS s2,
+       CAST(count(*) AS BIGINT) AS shared_parts
+FROM kept a JOIN kept b
+  ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+GROUP BY s1, s2
+HAVING count(*) >= {CO_MIN_SHARED}
+ORDER BY shared_parts DESC, s1, s2
+LIMIT {CO_TOPK}
+"""
+
+
+@register("q_graph_common_neighbors", oracle=_COMMON_ORACLE, tags=("graph", "join", "agg"))
+def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k supplier pairs by shared-part count (common-neighbor /
+    item-item CF score) over the part↔supplier graph.
+
+    Hub parts above CO_CAP suppliers are excluded BEFORE the pair
+    self-join, so candidate mass is ≤ CAP·|edges| even on a skewed
+    catalog; the self-join is an equi join on part (shuffle on part
+    id, AQE splits residual skew), the pair count a two-phase hash
+    aggregate, and the final top-k a TakeOrderedAndProject — no
+    global sort. (s1 < s2) canonicalizes pairs; the (count, s1, s2)
+    order is total, so the LIMIT is deterministic."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    edges = li.select("l_partkey", "l_suppkey").distinct()
+    deg_ok = (
+        edges.groupBy("l_partkey")
+        .agg(F.count("*").alias("deg"))
+        .filter(F.col("deg") <= CO_CAP)
+        .select("l_partkey")
+    )
+    kept = edges.join(deg_ok, "l_partkey")
+    a = kept.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("s1"))
+    b = kept.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("s2"))
+    return (
+        a.join(b, "pk")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count("*").cast("long").alias("shared_parts"))
+        .filter(F.col("shared_parts") >= CO_MIN_SHARED)
+        .orderBy(F.col("shared_parts").desc(), "s1", "s2")
+        .limit(CO_TOPK)
+    )

@@ -167,6 +167,16 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
         ["dynamicpruning", "BroadcastHashJoin"],
         ["SortMergeJoin", "CartesianProduct"],
     ),
+    # run-collapse is a pure projection: indexed HOF filter, no
+    # explode (Generate), no Window, no hash shuffle — the only
+    # allowed Exchange is spread()'s round-robin scan chunking
+    "q_llm_collapse_runs": ([], ["Generate", "Window", "Exchange hashpartitioning"]),
+    # common-neighbor top-k: equi self-join + hash agg + per-partition
+    # heap — never a global sort or a nested loop
+    "q_graph_common_neighbors": (
+        ["TakeOrderedAndProject", "HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "Exchange rangepartitioning"],
+    ),
 }
 
 # Registry-wide invariant allowlists. Every entry carries the reason it
