@@ -365,6 +365,18 @@ class Engine:
         )
 
     @staticmethod
+    def collapse_runs(df: DataFrame, text_col: str, sep: str = " ") -> DataFrame:
+        """Collapse consecutive repeated tokens in ``text_col`` in place
+        (OCR/ASR/boilerplate cleanup). A pure indexed-HOF projection —
+        no explode, no window, zero shuffle; same plan as
+        q_llm_collapse_runs but returning the cleaned text column."""
+        toks = F.split(F.col(text_col), sep)
+        kept = F.filter(
+            toks, lambda x, i: (i == F.lit(0)) | (F.element_at(toks, i) != x)
+        )
+        return df.withColumn(text_col, F.array_join(kept, sep))
+
+    @staticmethod
     def perceptual_hash(df: DataFrame, media_col: str, key_col: str) -> DataFrame:
         """aHash fingerprint of P6-PPM media blobs: (key, h1, h2) — two
         32-bit halves; near-dup pairs come from Hamming distance via

@@ -282,3 +282,25 @@ def test_ann_index_facade_matches_brute_force(spark, sf_dir):
         assert [tuple(r) for r in rows] == [tuple(r) for r in brute]
     finally:
         shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+
+
+def test_collapse_runs_facade(spark):
+    """Facade run-collapse must equal a Python reference and leave
+    non-text columns untouched."""
+    from iceberg_twist_spark.api import Engine
+
+    rows = [
+        (1, "a a b b b c"),
+        (2, "x"),
+        (3, "y y"),
+        (4, "a b a b"),  # non-consecutive repeats stay
+    ]
+    df = spark.createDataFrame(rows, "k long, text string")
+    got = {r.k: r.text for r in Engine.collapse_runs(df, "text").collect()}
+    def ref(s):
+        out = []
+        for w in s.split(" "):
+            if not out or out[-1] != w:
+                out.append(w)
+        return " ".join(out)
+    assert got == {k: ref(t) for k, t in rows}

@@ -49,6 +49,15 @@ SKEW_FAMILY = [
     "q_agg_group",
     "q_stream_queue_ttl",
     "q_stream_session",
+    # r4 layout/co-occurrence additions: the bucketed join's hot
+    # l_orderkey lands in one bucket (buckets don't split — the test
+    # is that correctness holds and the agg stays two-phase), and the
+    # common-neighbor degree cap is exactly the hub-part guard the
+    # zipf twin stresses
+    "q_join_bucketed",
+    "q_scan_dpp",
+    "q_graph_common_neighbors",
+    "q_llm_collapse_runs",
 ]
 
 # Cluster-RESOLUTION queries verify on a smaller skewed twin: their
