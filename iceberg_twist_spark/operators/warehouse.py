@@ -347,3 +347,76 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_WSAMPLE_K)
         .drop("_p")
     )
+
+
+# ----------------------------------------------- incremental MV merge
+# Incremental view maintenance: a materialized per-group aggregate is
+# refreshed by combining its saved partial state with the partial
+# state of just the NEW rows — never rescanning the base. Works for
+# any algebraic aggregate (count/sum/min/max merge directly; avg is
+# re-derived from merged (sum, count)). The oracle recomputes from the
+# full table, so the query proves merged-incremental ≡ full-recompute.
+# At 100 TB this is the difference between an O(|delta|) nightly
+# refresh and an O(|base|) rescan.
+_MV_SPLIT_FRAC = 0.8  # base = first 80% of orderkeys, delta = rest
+
+_MV_ORACLE = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS cnt,
+       floor(((sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0)) * 10000 + 0.5) / 10000 AS sum_price,
+       floor(((sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0) / count(*)) * 10000 + 0.5) / 10000 AS avg_price,
+       floor((min(o_totalprice)) * 10000 + 0.5) / 10000 AS min_price,
+       floor((max(o_totalprice)) * 10000 + 0.5) / 10000 AS max_price
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("q_mv_incremental", oracle=_MV_ORACLE, tags=("warehouse", "agg"))
+def q_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view refresh ≡ full recompute.
+
+    The orders table is split into a 'materialized base' (first 80% of
+    orderkeys — the state a nightly job saved) and a 'delta' (the new
+    arrivals). Each side aggregates to per-group PARTIAL state
+    (count, integer-cent sum, min, max); the refresh merges the two
+    3-or-6-row states — sum the counts and cent-sums, min/max the
+    extrema, re-derive avg — and the result must hash-match the
+    full-table recompute oracle. Partial states are |groups| rows, so
+    the merge is O(groups) however large base and delta are."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    split = orders.agg(
+        F.expr(f"percentile_approx(o_orderkey, {_MV_SPLIT_FRAC}, 10000)").alias("s")
+    )
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum(cents).alias("cents"),
+            F.min("o_totalprice").alias("mn"),
+            F.max("o_totalprice").alias("mx"),
+        )
+
+    with_split = orders.crossJoin(F.broadcast(split))  # 1-row scalar
+    base = partial(with_split.filter(F.col("o_orderkey") <= F.col("s")))
+    delta = partial(with_split.filter(F.col("o_orderkey") > F.col("s")))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("cnt").cast("long").alias("cnt"),
+            F.sum("cents").alias("cents"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+        )
+    )
+    sum_price = F.col("cents") / 100.0
+    return merged.select(
+        "o_orderpriority",
+        "cnt",
+        r4(sum_price).alias("sum_price"),
+        r4(sum_price / F.col("cnt")).alias("avg_price"),
+        r4(F.col("mn")).alias("min_price"),
+        r4(F.col("mx")).alias("max_price"),
+    )

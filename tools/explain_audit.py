@@ -177,6 +177,12 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
         ["TakeOrderedAndProject", "HashAggregate"],
         ["CartesianProduct", "BroadcastNestedLoopJoin", "Exchange rangepartitioning"],
     ),
+    # incremental MV refresh: partial-state aggregates merged by a
+    # second hash aggregate — the merge never joins base to delta
+    "q_mv_incremental": (
+        ["HashAggregate", "Union"],
+        ["SortMergeJoin", "CartesianProduct"],
+    ),
 }
 
 # Registry-wide invariant allowlists. Every entry carries the reason it
@@ -209,6 +215,7 @@ BNLJ_ALLOWED: dict[str, str] = {
     "q_llm_unigram_logprob": "1-row vocab-total scalar broadcast",
     "q_llm_neg_sample": "1-row corpus-count scalar broadcast",
     "q_ml_kmeans_step": "k-row centroid broadcast",
+    "q_mv_incremental": "1-row MV split-point scalar broadcast",
 }
 
 # Single-partition Window (Exchange SinglePartition feeding a Window):
@@ -282,7 +289,10 @@ BROADCAST_BOUNDED: dict[str, dict[str, str]] = {
         "shuffle-join fallback comment at operators/graph.py "
         "(flip to a partitioned join when |V| outgrows broadcast)",
     },
-    "operators/warehouse.py": {"edges": "fixed equi-depth bin edges (N_BINS)"},
+    "operators/warehouse.py": {
+        "edges": "fixed equi-depth bin edges (N_BINS)",
+        "split": "one-row MV split-point scalar",
+    },
     "operators/geo.py": {
         "cand": "occupied 5° cells × static station list (≤ thousands, "
         "planet-bounded regardless of SF)"
