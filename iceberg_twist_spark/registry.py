@@ -137,6 +137,7 @@ def _load_all_modules() -> None:
     import iceberg_twist_spark.multimodal  # noqa: F401
     import iceberg_twist_spark.sources.connectors  # noqa: F401
     import iceberg_twist_spark.sources.layouts  # noqa: F401
+    import iceberg_twist_spark.sources.serial_source  # noqa: F401
     import iceberg_twist_spark.sources.snapshots  # noqa: F401
     import iceberg_twist_spark.pipeline  # noqa: F401
 

@@ -183,6 +183,13 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
         ["HashAggregate", "Union"],
         ["SortMergeJoin", "CartesianProduct"],
     ),
+    # the Python DataSource connector reads through a native V2
+    # BatchScan (Arrow-batched), and the rollup stays a two-phase
+    # hash aggregate
+    "q_source_pyds": (
+        ["BatchScan itws_serial", "HashAggregate"],
+        ["CartesianProduct", "SortAggregate"],
+    ),
 }
 
 # Registry-wide invariant allowlists. Every entry carries the reason it
