@@ -168,11 +168,29 @@ def split_frames_map_in_pandas(df: DataFrame, payload_col: str, delim: bytes = b
     return df.select(payload_col).mapInPandas(gen, out_schema)
 
 
-@register("q_frames_mapinpandas", tags=("udf", "telemetry"))
+_FRAMES_MIP_ORACLE = """
+WITH t AS (SELECT string_split(text, ' ') AS l FROM documents)
+SELECT CAST(x.i AS INT) AS frame_no,
+       x.w AS frame_str,
+       CAST(length(x.w) AS INT) AS frame_len
+FROM (SELECT unnest(list_transform(l, (w, i) -> {'w': w, 'i': i - 1})) AS x FROM t)
+"""
+
+
+@register("q_frames_mapinpandas", oracle=_FRAMES_MIP_ORACLE, tags=("udf", "telemetry"))
 def q_frames_mapinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: the mapInPandas splitter over binary-cast document text."""
+    """The Arrow-batched mapInPandas splitter over binary-cast document
+    text, hash-checked (r4 upgrade from rows-only): the emitted
+    multiset of (frame_no, frame text, frame_len) must equal DuckDB's
+    arithmetic split of the same documents — so the Python byte-split
+    path is value-verified, not just executed."""
     docs = load_tables(spark, sf_dir)["documents"]
     payload = docs.select(
         F.encode(F.regexp_replace("text", " ", ":"), "utf-8").alias("payload")
     )
-    return split_frames_map_in_pandas(payload, "payload")
+    frames = split_frames_map_in_pandas(payload, "payload")
+    return frames.select(
+        "frame_no",
+        F.decode(F.col("frame"), "utf-8").alias("frame_str"),
+        "frame_len",
+    )

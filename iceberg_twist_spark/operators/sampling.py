@@ -197,22 +197,39 @@ def q_sample_group_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ------------------------------------------- native API (rows-only)
-@register("q_sample_bernoulli", tags=("sample",))
-def q_sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Native ``df.sample`` Bernoulli draw (seeded) — rows-only check.
+# --------------------------------------- native API (ε-band checked)
+_BERNOULLI_EXACT = """
+SELECT l_returnflag,
+       count(*) * 0.1 AS sampled_rows,
+       floor((avg(l_quantity)) * 10000 + 0.5) / 10000 AS avg_qty
+FROM lineitem GROUP BY l_returnflag
+"""
 
-    Kept to cover the built-in API surface; per-partition RNG means
-    the row set depends on the physical layout, so there is no
-    cross-engine oracle. The seeded TABLESAMPLE SQL form plans to the
-    same SampleExec node.
-    """
+
+@register(
+    "q_sample_bernoulli",
+    tags=("sample",),
+    approx_oracle=_BERNOULLI_EXACT,
+    approx_rtol=0.25,
+    approx_keys=("l_returnflag",),
+)
+def q_sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``df.sample`` Bernoulli draw (seeded), per-flag estimates.
+
+    Per-partition RNG means the drawn ROW SET depends on physical
+    layout, so there is no exact cross-engine oracle — but the
+    ESTIMATORS are checked: per-flag sample count must sit within the
+    ε-band of fraction×exact and the sampled mean within the band of
+    the true mean (rtol 0.25 ≈ 3-4σ at the sf0.001 per-flag sample
+    sizes; tighter at every larger SF). The seeded TABLESAMPLE SQL
+    form plans to the same SampleExec node."""
     t = load_tables(spark, sf_dir)
     return (
         t["lineitem"]
         .sample(fraction=0.1, seed=42)
+        .groupBy("l_returnflag")
         .agg(
-            F.count("*").alias("sampled_rows"),
+            F.count("*").cast("double").alias("sampled_rows"),
             r4(F.avg("l_quantity")).alias("avg_qty"),
         )
     )
