@@ -482,3 +482,91 @@ def q_impute_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").isNull().alias("was_null"),
         r4(F.coalesce("value", "user_mean")).alias("value_imputed"),
     )
+
+
+# ----------------------------------------------------- DQ constraints
+# Declarative data-quality audit (the Deequ-style expectation suite):
+# each constraint is one aggregate or anti-join over the table under
+# test, unioned into a (constraint, n_violations, n_checked) report.
+# All shapes are scale-safe: null/range/uniqueness checks are
+# two-phase aggregates; referential integrity is a LEFT ANTI join on
+# the key (shuffle on the key only — at 100 TB this is the same plan
+# as any fact⋈dim semi join, and AQE handles the skewed-orphan case).
+_DQ_ORACLE = """
+SELECT * FROM (
+  SELECT 'lineitem.l_quantity_in_1_50' AS constraint,
+         CAST(count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50) AS BIGINT) AS n_violations,
+         CAST(count(*) AS BIGINT) AS n_checked
+  FROM lineitem
+  UNION ALL
+  SELECT 'lineitem.l_extendedprice_nonneg',
+         CAST(count(*) FILTER (WHERE l_extendedprice < 0 OR l_extendedprice IS NULL) AS BIGINT),
+         CAST(count(*) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'orders.o_orderkey_unique',
+         CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
+         CAST(count(*) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'lineitem.l_orderkey_fk_orders',
+         CAST((SELECT count(*) FROM lineitem l LEFT JOIN orders o
+               ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL) AS BIGINT),
+         CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+  UNION ALL
+  SELECT 'orders.o_custkey_fk_customer',
+         CAST((SELECT count(*) FROM orders o LEFT JOIN customer c
+               ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL) AS BIGINT),
+         CAST((SELECT count(*) FROM orders) AS BIGINT)
+)
+"""
+
+
+@register("q_dq_checks", oracle=_DQ_ORACLE, tags=("profile", "agg", "join"))
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite: range, non-negative/non-null,
+    key uniqueness, and two referential-integrity constraints, as one
+    (constraint, n_violations, n_checked) report. Range/null/unique
+    are single-pass aggregates; FK orphans are LEFT ANTI joins that
+    shuffle only the key — the audit a nightly pipeline runs before
+    publishing a partition."""
+    t = load_tables(spark, sf_dir)
+    li, od, cu = t["lineitem"], t["orders"], t["customer"]
+
+    def one(name, viol, checked):
+        return viol.crossJoin(checked).select(
+            F.lit(name).alias("constraint"),
+            F.col("v").cast("long").alias("n_violations"),
+            F.col("n").cast("long").alias("n_checked"),
+        )
+
+    qty = li.agg(
+        F.sum(
+            ((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).cast("long")
+        ).alias("v")
+    )
+    li_n = li.agg(F.count("*").alias("n"))
+    price = li.agg(
+        F.sum(
+            (F.col("l_extendedprice").isNull() | (F.col("l_extendedprice") < 0)).cast("long")
+        ).alias("v")
+    )
+    uniq = od.agg(
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("v")
+    )
+    od_n = od.agg(F.count("*").alias("n"))
+    fk_li = (
+        li.join(od.select("o_orderkey"), li["l_orderkey"] == F.col("o_orderkey"), "left_anti")
+        .agg(F.count("*").alias("v"))
+    )
+    fk_od = (
+        od.join(cu.select("c_custkey"), od["o_custkey"] == F.col("c_custkey"), "left_anti")
+        .agg(F.count("*").alias("v"))
+    )
+    return (
+        one("lineitem.l_quantity_in_1_50", qty, li_n)
+        .unionByName(one("lineitem.l_extendedprice_nonneg", price, li_n))
+        .unionByName(one("orders.o_orderkey_unique", uniq, od_n))
+        .unionByName(one("lineitem.l_orderkey_fk_orders", fk_li, li_n))
+        .unionByName(one("orders.o_custkey_fk_customer", fk_od, od_n))
+    )

@@ -190,6 +190,12 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
         ["BatchScan itws_serial", "HashAggregate"],
         ["CartesianProduct", "SortAggregate"],
     ),
+    # DQ referential-integrity checks are anti joins on the key; the
+    # only nested loops are the allowlisted 1-row report stitches
+    "q_dq_checks": (
+        ["LeftAnti", "Union", "HashAggregate"],
+        ["CartesianProduct"],
+    ),
 }
 
 # Registry-wide invariant allowlists. Every entry carries the reason it
@@ -206,6 +212,7 @@ BNLJ_ALLOWED: dict[str, str] = {
     "q_cdc_upsert": "1-row max(o_orderkey) insert-offset broadcast",
     "q_join_bloom_prune": "1-row bloom bit-set broadcast onto fact scan",
     "q_profile_table": "1-row agg × 1-row agg column stitch",
+    "q_dq_checks": "1-row violation-count × 1-row total stitch per constraint",
     "q_tpch_q11": "1-row group-value threshold broadcast (spec'd HAVING)",
     "q_tpch_q22": "1-row avg(acctbal) scalar broadcast (spec'd subquery)",
     "q_llm_cosine_topk": "k-row probe-vector broadcast",
