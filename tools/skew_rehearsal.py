@@ -58,6 +58,12 @@ SKEW_FAMILY = [
     "q_scan_dpp",
     "q_graph_common_neighbors",
     "q_llm_collapse_runs",
+    "q_dq_checks",  # FK-orphan anti join under hot-key skew
+    "q_mv_incremental",
+    "q_source_pyds",
+    "q_stream_pyds",
+    "q_sample_bernoulli",
+    "q_frames_mapinpandas",
 ]
 
 # Cluster-RESOLUTION queries verify on a smaller skewed twin: their
