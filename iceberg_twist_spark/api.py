@@ -365,6 +365,30 @@ class Engine:
         )
 
     @staticmethod
+    def write_bucketed(
+        df: DataFrame,
+        key: str,
+        path: str,
+        table_name: str,
+        n_buckets: int = 8,
+    ) -> str:
+        """Write ``df`` once as a co-locatable bucketed external table
+        (``bucketBy(n, key) + sortBy(key)``): every later join on
+        ``key`` between tables bucketed with the same count is a
+        SortMergeJoin with ZERO exchange on the key (the
+        q_join_bucketed layout). Bucket count is a cluster parameter —
+        pick ~2-4× executor count, never a function of data volume.
+        Returns ``table_name`` for ``spark.table``."""
+        (
+            df.write.bucketBy(n_buckets, key)
+            .sortBy(key)
+            .option("path", path)
+            .mode("overwrite")
+            .saveAsTable(table_name)
+        )
+        return table_name
+
+    @staticmethod
     def collapse_runs(df: DataFrame, text_col: str, sep: str = " ") -> DataFrame:
         """Collapse consecutive repeated tokens in ``text_col`` in place
         (OCR/ASR/boilerplate cleanup). A pure indexed-HOF projection —

@@ -304,3 +304,45 @@ def test_collapse_runs_facade(spark):
                 out.append(w)
         return " ".join(out)
     assert got == {k: ref(t) for k, t in rows}
+
+
+def test_write_bucketed_join_has_no_key_exchange(spark, sf_dir):
+    """Two facade-bucketed tables must join with zero Exchange on the
+    join keys (only the downstream agg may shuffle)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from iceberg_twist_spark.api import Engine
+
+    base = tempfile.mkdtemp(prefix="itws_bktapi_")
+    sfx = uuid.uuid4().hex[:8]
+    li_t, od_t = f"t_li_{sfx}", f"t_od_{sfx}"
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_quantity"
+        )
+        od = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_orderstatus"
+        )
+        Engine.write_bucketed(li, "l_orderkey", os.path.join(base, "li"), li_t)
+        Engine.write_bucketed(od, "o_orderkey", os.path.join(base, "od"), od_t)
+        j = (
+            spark.table(li_t)
+            .hint("merge")
+            .join(spark.table(od_t), F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderstatus")
+            .agg(F.sum("l_quantity").alias("qty"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "hashpartitioning(l_orderkey" not in plan
+        assert "hashpartitioning(o_orderkey" not in plan
+        assert j.count() > 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {li_t}")
+        spark.sql(f"DROP TABLE IF EXISTS {od_t}")
+        shutil.rmtree(base, ignore_errors=True)
