@@ -88,19 +88,36 @@ def q_scan_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select("doc_id", "frame", F.length("frame").alias("frame_len"))
 
 
-@register("q_source_binaryfile", tags=("scan", "source"))
-def q_source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whole-file binary source (A3): each parquet file as an opaque blob.
+_TABLE_FILES = [
+    "customer.parquet", "documents.parquet", "embeddings.parquet",
+    "events.parquet", "lineitem.parquet", "nation.parquet",
+    "orders.parquet", "part.parquet", "region.parquet",
+    "supplier.parquet",
+]
 
-    Mirrors `iceberg-twist/main.py:43-47` (whole-file ``read()`` into
-    bytes). Rows-only check — file modification times are environmental.
-    """
-    return (
-        spark.read.format("binaryFile")
-        .load(f"{sf_dir}/*.parquet")
-        .select(
-            F.element_at(F.split("path", "/"), -1).alias("file_name"),
-            "length",
-            F.length("content").alias("content_len"),
-        )
+_BINARYFILE_ORACLE = (
+    "SELECT unnest(["
+    + ", ".join(f"'{f}'" for f in _TABLE_FILES)
+    + "]) AS file_name, TRUE AS magic_ok"
+)
+
+
+@register("q_source_binaryfile", oracle=_BINARYFILE_ORACLE, tags=("scan", "source"))
+def q_source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-file binary source (A3): each parquet file as an opaque
+    blob, now checked (r4 upgrade from rows-only): the listing must be
+    exactly the fixture's ten tables and every blob must carry the
+    PAR1 parquet magic at both ends — validated from the CONTENT
+    bytes, like the reference validates frame markers
+    (`iceberg-twist/main.py:43-47`). File sizes/mtimes stay
+    environmental and out of the hash."""
+    magic = F.encode(F.lit("PAR1"), "utf-8")
+    blobs = spark.read.format("binaryFile").load(f"{sf_dir}/*.parquet")
+    return blobs.select(
+        F.element_at(F.split("path", "/"), -1).alias("file_name"),
+        (
+            (F.substring("content", 1, 4) == magic)
+            & (F.substring(F.col("content"), -4, 4) == magic)
+            & (F.length("content") == F.col("length"))
+        ).alias("magic_ok"),
     )
