@@ -2,9 +2,16 @@
 
 Runs the headline queries from BASELINE.md §2 at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+``local[$SPARK_GRAFT_CPUS]``. The LAST stdout line is the driver
+contract — compact, <1.5 kB so the driver's ~2 kB tail capture always
+contains it whole::
 
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+     "sf": ..., "timing": "..."}
+
+The measured per-query shuffle-bytes map (and any ceiling violations)
+is emitted as its own earlier stdout line (``headline_shuffle_bytes``)
+— diagnostics must never grow the contract line.
 
 Each query is timed to completed collect (action-inclusive, plan +
 execute). A short warm-up action first so JVM/codegen startup isn't
@@ -196,29 +203,59 @@ def main() -> int:
             file=sys.stderr,
         )
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                # 2 warm runs, plus a 3rd only when the first two
-                # disagree by >10% — label the policy, not one case
-                "timing": "adaptive-best-of-2-3-warm",
-                # per-query shuffle read/write bytes + peak per-stage
-                # execution memory (first run, AppStatusStore)
-                "shuffle": shuffle,
-                "shuffle_violations": violations,
-            }
-        )
-    )
+    for line in emit_lines(timings, shuffle, violations, sf):
+        print(line)
     if violations:
         print(f"# SHUFFLE GATE FAILED: {violations}", file=sys.stderr)
         return 1
     return 0
+
+
+def emit_lines(
+    timings: dict[str, float],
+    shuffle: dict[str, dict[str, int]],
+    violations: dict[str, str],
+    sf: float,
+) -> list[str]:
+    """Stdout framing for the driver contract.
+
+    The driver tail-captures stdout (~2 kB) and parses the LAST line as
+    the round's bench record. Round 4 embedded the full per-query
+    shuffle map in that line, grew it past the capture window, and the
+    official record came back ``"parsed": null`` — so the shuffle
+    measurements (a diagnostic, not the driver contract) go on their
+    OWN earlier line, and the final line stays the compact contract
+    shape only. tests/test_bench_contract.py pins both the final-line
+    size (<1.5 kB) and that slicing the last 2 kB of stdout still
+    yields a parsable record.
+    """
+    diag_line = json.dumps(
+        {
+            "metric": "headline_shuffle_bytes",
+            # per-query shuffle read/write bytes + peak per-stage
+            # execution memory (first run, AppStatusStore)
+            "shuffle": shuffle,
+            "shuffle_violations": violations,
+            "sf": sf,
+        }
+    )
+    final_line = json.dumps(
+        {
+            "metric": "headline_suite_wall",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            # 2 warm runs, plus a 3rd only when the first two
+            # disagree by >10% — label the policy, not one case
+            "timing": "adaptive-best-of-2-3-warm",
+        }
+    )
+    assert len(final_line) < 1500, (
+        f"final bench line {len(final_line)} B would overflow the "
+        "driver's tail capture — trim the headline set or the shape"
+    )
+    return [diag_line, final_line]
 
 
 if __name__ == "__main__":

@@ -393,8 +393,15 @@ class Engine:
         """Collapse consecutive repeated tokens in ``text_col`` in place
         (OCR/ASR/boilerplate cleanup). A pure indexed-HOF projection —
         no explode, no window, zero shuffle; same plan as
-        q_llm_collapse_runs but returning the cleaned text column."""
-        toks = F.split(F.col(text_col), sep)
+        q_llm_collapse_runs but returning the cleaned text column.
+
+        ``sep`` is treated as a LITERAL separator: F.split takes a Java
+        regex while array_join takes plain text, so the split side is
+        regex-quoted — a '.', '|', or '+' separator splits on the
+        separator, not per-character."""
+        import re
+
+        toks = F.split(F.col(text_col), re.escape(sep))
         kept = F.filter(
             toks, lambda x, i: (i == F.lit(0)) | (F.element_at(toks, i) != x)
         )

@@ -18,9 +18,10 @@ the same loop runs with labels hash-partitioned by node and AQE
 handling skewed hub nodes.
 
 The registered query is oracle-checked despite being iterative: the
-DuckDB side computes the same components with a recursive CTE
-(transitive closure is affordable because only near-dup docs — a tiny
-fraction of the corpus — enter the graph).
+DuckDB side unrolls the SAME min-label + pointer-jumping rounds as
+fixed CTE stages (see _cc_label_sql) — linear in E per round, log-depth
+— so the oracle survives the sf1 zipf mega-component that killed the
+earlier transitive-closure formulation at 29 GB.
 """
 
 from __future__ import annotations
@@ -95,21 +96,55 @@ def connected_components(
     return labels
 
 
-_CLUSTERS_ORACLE = f"""
-WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),
-edges AS (
-    SELECT doc_a AS a, doc_b AS b FROM pairs
+# Oracle-side connected components. Was a recursive-CTE transitive
+# closure — QUADRATIC in component size: on the sf1 zipf twin's
+# ~12M-edge mega-component DuckDB blew past 29 GB and was killed
+# (PERF.md, r4 skew rehearsal), so the cluster family could only be
+# skew-verified at sf0.1. Now it mirrors the ENGINE's algorithm:
+# min-label propagation + pointer jumping, unrolled to a fixed round
+# count. Each round is one edge join + one min-aggregate + one
+# label→label-of-label jump — O(E + V) memory and work per round, and
+# the jump doubles the effective propagation distance per round, so
+# _ORACLE_CC_ROUNDS rounds cover any component of diameter
+# ≤ 2^_ORACLE_CC_ROUNDS (12 → 4096; near-dup blobs are diameter ≤ ~5).
+# MATERIALIZED pins each round to evaluate once (every CTE is
+# referenced 2-3 times downstream — inlining would double work per
+# reference and go exponential over 12 rounds). Single statement, so
+# it remains a valid driver oracle_sql() entry.
+_ORACLE_CC_ROUNDS = 12
+
+
+def _cc_label_sql(pairs_sql: str, rounds: int = _ORACLE_CC_ROUNDS) -> str:
+    """Unrolled min-label propagation over the pair graph; yields CTE
+    text ending in ``labels(doc_id, cluster_id)``."""
+    sql = f"""pairs AS MATERIALIZED ({pairs_sql}),
+sym AS MATERIALIZED (
+    SELECT doc_a AS node, doc_b AS nbr FROM pairs
     UNION
     SELECT doc_b, doc_a FROM pairs
 ),
-reach AS (
-    SELECT a, b FROM edges
-    UNION
-    SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a AND r.a <> e.b
+r0 AS MATERIALIZED (SELECT DISTINCT node, node AS label FROM sym)"""
+    prev = "r0"
+    for i in range(1, rounds + 1):
+        sql += f""",
+p{i} AS MATERIALIZED (
+    SELECT x.node, min(x.label) AS label FROM (
+        SELECT node, label FROM {prev}
+        UNION ALL
+        SELECT s.nbr AS node, l.label FROM sym s JOIN {prev} l USING (node)
+    ) x GROUP BY x.node
 ),
-labels AS (
-    SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
-)
+r{i} AS MATERIALIZED (
+    SELECT p.node, m.label FROM p{i} p JOIN p{i} m ON p.label = m.node
+)"""
+        prev = f"r{i}"
+    sql += f""",
+labels AS MATERIALIZED (SELECT node AS doc_id, label AS cluster_id FROM {prev})"""
+    return sql
+
+
+_CLUSTERS_ORACLE = f"""
+WITH {_cc_label_sql(_JACCARD_ORACLE)}
 SELECT l.doc_id, l.cluster_id, s.cluster_size
 FROM labels l
 JOIN (SELECT cluster_id, count(*) AS cluster_size

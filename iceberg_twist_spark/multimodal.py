@@ -878,3 +878,341 @@ def q_mm_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4("mean_g").alias("mean_g"),
         r4("mean_b").alias("mean_b"),
     )
+
+
+# ------------------------------------------------------------ PNG (r5)
+# Tier 3, compressed-container edition: PNG is DEFLATE inside CRC'd
+# chunks, and CPython ships zlib — so a real compressed image format is
+# decodable here with no third-party libs, shrinking the PIL gap to
+# JPEG/FLAC. Two independent construction paths feed ONE decoder:
+#
+# - build_png_table: the PNG is assembled ENTIRELY with JVM
+#   expressions — stored (BTYPE=00) DEFLATE block, Adler-32 as a HOF
+#   aggregate over the scanline bytes, chunk CRCs via F.crc32. The
+#   Python decoder then inflates with zlib (which independently
+#   re-verifies that JVM Adler-32) and re-checks every chunk CRC with
+#   zlib.crc32 against the JVM-computed values — a genuine
+#   cross-implementation check, same spirit as the serial connector's
+#   crc recompute (sources/serial_source.py).
+# - encode_png (q_mm_png_filters): a vectorized numpy encoder that
+#   exercises ALL FIVE scanline filters (row r uses filter r % 5) and
+#   real zlib compression; the decoder reverses the filters with an
+#   independent sequential reconstruction.
+#
+# Both paths carry the SAME md5-derived pixel stream as the PPM
+# fixture, so _PPM_ORACLE's byte-level arithmetic is the shared oracle:
+# three containers (PPM, stored-PNG, filtered-PNG), one ground truth.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_SCHEMA = _PPM_SCHEMA
+
+
+def _be4(col: Column) -> Column:
+    """int column -> 4-byte big-endian binary."""
+    return F.unhex(F.lpad(F.hex(col), 8, "0"))
+
+
+def _le2(col: Column) -> Column:
+    """int column (< 2^16) -> 2-byte little-endian binary."""
+    h = F.lpad(F.hex(col), 4, "0")
+    return F.unhex(F.concat(F.substring(h, 3, 2), F.substring(h, 1, 2)))
+
+
+def build_png_table(docs: DataFrame) -> DataFrame:
+    """Real PNG files (8-bit RGB, stored-DEFLATE) built with pure JVM
+    expressions: signature + IHDR + one IDAT (zlib header, one stored
+    block, Adler-32) + IEND, pixel bytes cycled from md5(doc_id) hex
+    exactly like build_ppm_table. Scanlines use filter 0, so the
+    filtered stream is NUL + 3w pixel chars per row — constructible as
+    a string (every byte < 0x80, utf-8 encode is byte-identity)."""
+    d = (
+        docs.select(
+            "doc_id",
+            (F.lit(8) + F.col("doc_id") % 8).cast("int").alias("w"),
+            (F.lit(8) + F.col("n_chars") % 8).cast("int").alias("h"),
+            F.md5(F.col("doc_id").cast("string")).alias("hx"),
+        )
+        .withColumn("n_px", F.col("w") * F.col("h") * 3)
+        .withColumn(
+            "pixels",
+            F.expr("substr(repeat(hx, cast(ceil(n_px / 32.0) as int)), 1, n_px)"),
+        )
+        # filter-0 scanlines: one NUL filter byte + the row's 3w chars
+        .withColumn(
+            "raw_str",
+            F.expr(
+                "aggregate(sequence(0, h - 1), '', "
+                "(acc, r) -> acc || chr(0) || substr(pixels, r * 3 * w + 1, 3 * w))"
+            ),
+        )
+        .withColumn("raw_len", F.col("h") * (F.lit(3) * F.col("w") + F.lit(1)))
+        # Adler-32 over the filtered stream: s1/s2 running sums mod
+        # 65521; s2 folds the POST-update s1 (acc.s2 + acc.s1 + byte)
+        .withColumn(
+            "adler",
+            F.expr(
+                "aggregate(sequence(1, raw_len), "
+                "named_struct('s1', 1L, 's2', 0L), "
+                "(acc, i) -> named_struct("
+                "  's1', (acc.s1 + ascii(substr(raw_str, i, 1))) % 65521, "
+                "  's2', (acc.s2 + acc.s1 + ascii(substr(raw_str, i, 1))) % 65521), "
+                "acc -> acc.s2 * 65536 + acc.s1)"
+            ),
+        )
+    )
+    ihdr_data = F.concat(
+        _be4(F.col("w")), _be4(F.col("h")), F.unhex(F.lit("0802000000"))
+    )
+    ihdr_typ = F.encode(F.lit("IHDR"), "utf-8")
+    ihdr = F.concat(
+        F.unhex(F.lit("0000000d")),
+        ihdr_typ,
+        ihdr_data,
+        _be4(F.crc32(F.concat(ihdr_typ, ihdr_data))),
+    )
+    idat_data = F.concat(
+        F.unhex(F.lit("7801")),  # zlib header: deflate, 32k window
+        F.unhex(F.lit("01")),  # final stored block
+        _le2(F.col("raw_len")),
+        _le2(F.lit(65535) - F.col("raw_len")),  # NLEN = ones' complement
+        F.encode("raw_str", "utf-8"),
+        _be4(F.col("adler")),
+    )
+    idat_typ = F.encode(F.lit("IDAT"), "utf-8")
+    idat = F.concat(
+        _be4(F.col("raw_len") + F.lit(11)),
+        idat_typ,
+        idat_data,
+        _be4(F.crc32(F.concat(idat_typ, idat_data))),
+    )
+    iend = F.unhex(F.lit("0000000049454e44ae426082"))
+    return d.select(
+        "doc_id",
+        F.concat(F.lit(_PNG_SIG), ihdr, idat, iend).alias("media"),
+    )
+
+
+def _paeth_vec(a, b, c):
+    """Vectorized Paeth predictor (RFC 2083 §6.6) over int arrays."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 array as a real PNG, scanline r using
+    filter r % 5 — every filter type (None/Sub/Up/Average/Paeth) is
+    exercised — then zlib-compressed. Vectorized: filter predictions
+    come straight from the ORIGINAL pixel bytes (the spec's reference
+    data for encoding), no per-pixel Python."""
+    import struct
+    import zlib
+
+    h, w, bpp = pixels.shape
+    px = pixels.astype(np.int32)
+    flat = px.reshape(h, w * bpp)
+    zeros = np.zeros((1, w * bpp), dtype=np.int32)
+    up = np.vstack([zeros, flat[:-1]])  # b: pixel above
+    left = np.zeros_like(flat)  # a: pixel bpp bytes left
+    left[:, bpp:] = flat[:, :-bpp]
+    upleft = np.zeros_like(flat)  # c: above-left
+    upleft[:, bpp:] = up[:, :-bpp]
+    preds = {
+        0: np.zeros_like(flat),
+        1: left,
+        2: up,
+        3: (left + up) // 2,
+        4: _paeth_vec(left, up, upleft),
+    }
+    out = bytearray()
+    for r in range(h):
+        ft = r % 5
+        out.append(ft)
+        out += bytes(((flat[r] - preds[ft][r]) & 0xFF).astype(np.uint8))
+    raw = zlib.compress(bytes(out), 6)
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    ihdr = chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+    return _PNG_SIG + ihdr + chunk(b"IDAT", raw) + chunk(b"IEND", b"")
+
+
+def png_unfilter(stream: bytes, w: int, h: int, bpp: int = 3) -> np.ndarray:
+    """Reverse PNG scanline filtering -> (h, w, bpp) uint8. Filters
+    0/2 reconstruct vectorized; 1/3/4 depend on the just-reconstructed
+    left pixel, so they walk the scanline sequentially — deliberately a
+    DIFFERENT formulation from encode_png's vectorized
+    predict-from-original, so an encoder spec error can't silently
+    cancel against the decoder."""
+    stride = w * bpp
+    out = np.zeros((h, stride), dtype=np.int32)
+    pos = 0
+    for r in range(h):
+        ft = stream[pos]
+        pos += 1
+        x = np.frombuffer(stream[pos : pos + stride], dtype=np.uint8).astype(np.int32)
+        pos += stride
+        prev = out[r - 1] if r else np.zeros(stride, dtype=np.int32)
+        if ft == 0:
+            out[r] = x
+        elif ft == 2:
+            out[r] = (x + prev) & 0xFF
+        elif ft in (1, 3, 4):
+            cur = out[r]
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (x[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad filter type {ft}")
+    return out.astype(np.uint8).reshape(h, w, bpp)
+
+
+def decode_png_blob(raw: bytes):
+    """Parse + verify + decode one PNG: returns (w, h, pixels) or None.
+    Every chunk CRC is re-verified with zlib.crc32 and the IDAT Adler-32
+    is verified by zlib.decompress — for JVM-built blobs these check
+    F.crc32 and the HOF Adler against an independent implementation."""
+    import struct
+    import zlib
+
+    if raw[:8] != _PNG_SIG:
+        return None
+    try:
+        pos, idat, hdr = 8, b"", None
+        while pos + 12 <= len(raw):
+            (ln,) = struct.unpack(">I", raw[pos : pos + 4])
+            typ = raw[pos + 4 : pos + 8]
+            if pos + 12 + ln > len(raw):
+                return None  # truncated / corrupted length field
+            data = raw[pos + 8 : pos + 8 + ln]
+            (crc,) = struct.unpack(">I", raw[pos + 8 + ln : pos + 12 + ln])
+            if zlib.crc32(typ + data) != crc:
+                return None
+            if typ == b"IHDR":
+                hdr = struct.unpack(">IIBBBBB", data)
+            elif typ == b"IDAT":
+                idat += data
+            elif typ == b"IEND":
+                break
+            pos += 12 + ln
+        if hdr is None:
+            return None
+        w, h, bd, ct, comp, filt, inter = hdr
+        if bd != 8 or ct != 2 or comp or filt or inter:
+            return None
+        stream = zlib.decompress(idat)  # raises on a bad Adler-32
+        if len(stream) != h * (w * 3 + 1):
+            return None
+        return w, h, png_unfilter(stream, w, h, 3)
+    except (struct.error, zlib.error, ValueError):
+        return None  # corrupted bytes must yield None, never a crash
+
+
+def decode_png_stats(media_df: DataFrame) -> DataFrame:
+    """Arrow-batched mapInPandas: decode each PNG blob, emit
+    (doc_id, width, height, per-channel means) — same shape as the
+    PPM decoder so the oracles are shared."""
+
+    def gen(batches):
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "width", "height", "mean_r", "mean_g", "mean_b")}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                dec = decode_png_blob(bytes(blob))
+                if dec is None:
+                    continue  # invalid PNG — skip, don't crash the task
+                w, h, img = dec
+                means = img.astype(np.float64).mean(axis=(0, 1))
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["mean_r"].append(float(means[0]))
+                rows["mean_g"].append(float(means[1]))
+                rows["mean_b"].append(float(means[2]))
+            yield pd.DataFrame(rows)
+
+    return media_df.select("doc_id", "media").mapInPandas(gen, _PNG_SCHEMA)
+
+
+@register("q_mm_png_decode", oracle=_PPM_ORACLE, tags=("multimodal", "udf"))
+def q_mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-container codec check, construction side JVM: every
+    document becomes a REAL PNG assembled by SQL expressions (stored
+    DEFLATE, HOF Adler-32, F.crc32 chunk CRCs), decoded by the
+    independent Python zlib/numpy path, hash-checked against the same
+    byte-level oracle as the PPM twin. The decode re-verifies the
+    JVM's CRC-32 and Adler-32 with zlib's implementations — the
+    cross-engine validation A35 does for frame markers
+    (`iceberg-twist/main.py:43-47`, `iceberg-twist/notes.org:8`)."""
+    from iceberg_twist_spark.common import spread
+
+    docs = spread(load_tables(spark, sf_dir)["documents"], "doc_id")
+    decoded = decode_png_stats(build_png_table(docs))
+    return decoded.select(
+        "doc_id", "width", "height",
+        r4("mean_r").alias("mean_r"),
+        r4("mean_g").alias("mean_g"),
+        r4("mean_b").alias("mean_b"),
+    )
+
+
+def build_png_filtered_table(docs: DataFrame) -> DataFrame:
+    """Python-encoded PNGs over the SAME md5 pixel stream: scanline
+    filters cycle through all five types and the stream is genuinely
+    zlib-compressed. hashlib.md5 hex == Spark md5 == DuckDB md5, so
+    the oracle arithmetic is unchanged."""
+
+    def gen(batches):
+        import hashlib
+
+        for pdf in batches:
+            out = {"doc_id": [], "media": []}
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                w = 8 + int(doc_id) % 8
+                h = 8 + int(n_chars) % 8
+                n_px = w * h * 3
+                hx = hashlib.md5(str(int(doc_id)).encode()).hexdigest()
+                stream = (hx * -(-n_px // 32))[:n_px].encode("ascii")
+                px = np.frombuffer(stream, dtype=np.uint8).reshape(h, w, 3)
+                out["doc_id"].append(int(doc_id))
+                out["media"].append(encode_png(px))
+            yield pd.DataFrame(out)
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("media", T.BinaryType())]
+    )
+    return docs.select("doc_id", "n_chars").mapInPandas(gen, schema)
+
+
+@register("q_mm_png_filters", oracle=_PPM_ORACLE, tags=("multimodal", "udf"))
+def q_mm_png_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-container codec check, filter-coverage side: the
+    numpy encoder writes every scanline filter type (r % 5) with real
+    zlib compression; the sequential-reconstruction decoder reverses
+    them. Same oracle as q_mm_png_decode/q_mm_ppm_decode — three
+    containers, one byte-level ground truth."""
+    from iceberg_twist_spark.common import spread
+
+    docs = spread(load_tables(spark, sf_dir)["documents"], "doc_id")
+    decoded = decode_png_stats(build_png_filtered_table(docs))
+    return decoded.select(
+        "doc_id", "width", "height",
+        r4("mean_r").alias("mean_r"),
+        r4("mean_g").alias("mean_g"),
+        r4("mean_b").alias("mean_b"),
+    )

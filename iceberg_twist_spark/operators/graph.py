@@ -98,13 +98,15 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", (F.lit(1.0) / F.col("n")).alias("rank")
     )
     for _ in range(N_ITER):
-        # ranks is |V| rows vs |E| edges — broadcast it so the edge
-        # list never shuffles for the join (|V| ≪ |E| by construction
-        # in co-occurrence graphs; for a web-scale graph where ranks
-        # outgrow broadcast, drop the hint and this becomes a shuffle
-        # join on the same plan)
+        # ranks is |V| rows and GROWS with scale factor, so no
+        # broadcast hint: AQE measures the checkpointed frame at
+        # runtime and still picks a broadcast join whenever |V| is
+        # actually small (verified in the plan audit at fixture scale),
+        # but at web-scale |V| it degrades gracefully to a shuffle join
+        # on node id instead of OOMing every executor — the same
+        # hint-overrides-AQE class removed from TPC-H Q14/Q18/Q19 in r3.
         contribs = (
-            edges_deg.join(F.broadcast(ranks.withColumnRenamed("node", "src")), "src")
+            edges_deg.join(ranks.withColumnRenamed("node", "src"), "src")
             .select("dst", (F.col("rank") / F.col("deg")).alias("contrib"))
         )
         ranks = (

@@ -110,14 +110,31 @@ def q_source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     PAR1 parquet magic at both ends — validated from the CONTENT
     bytes, like the reference validates frame markers
     (`iceberg-twist/main.py:43-47`). File sizes/mtimes stay
-    environmental and out of the hash."""
+    environmental and out of the hash.
+
+    Layout-independent (r5, ADVICE): the driver fixture writes each
+    table as ONE ``<table>.parquet`` file, but every generated twin
+    (tools/gen_sf.py) writes a ``<table>.parquet/`` DIRECTORY of
+    ``part-*.snappy.parquet`` files. Paths normalize to the table
+    entry's name (the path element ending in ``.parquet``), and
+    ``magic_ok`` aggregates over the entry's content files with
+    ``bool_and`` — so the result is the same ten rows on both layouts
+    and the static oracle holds on the sf1/sf3/zipf twins too.
+    ``pathGlobFilter`` keeps ``_SUCCESS`` markers out of the scan."""
     magic = F.encode(F.lit("PAR1"), "utf-8")
-    blobs = spark.read.format("binaryFile").load(f"{sf_dir}/*.parquet")
-    return blobs.select(
-        F.element_at(F.split("path", "/"), -1).alias("file_name"),
-        (
-            (F.substring("content", 1, 4) == magic)
-            & (F.substring(F.col("content"), -4, 4) == magic)
-            & (F.length("content") == F.col("length"))
-        ).alias("magic_ok"),
+    blobs = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(f"{sf_dir}/*.parquet")
+    )
+    entry = F.regexp_extract("path", r"([^/]+\.parquet)(/[^/]+)?$", 1)
+    per_file_ok = (
+        (F.substring("content", 1, 4) == magic)
+        & (F.substring(F.col("content"), -4, 4) == magic)
+        & (F.length("content") == F.col("length"))
+    )
+    return (
+        blobs.select(entry.alias("file_name"), per_file_ok.alias("ok"))
+        .groupBy("file_name")
+        .agg(F.bool_and("ok").alias("magic_ok"))
     )

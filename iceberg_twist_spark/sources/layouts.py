@@ -48,13 +48,21 @@ _SINK_CACHE: dict[tuple[str, str], str] = {}
 
 
 def _sink_dir(kind: str, sf_dir: str) -> tuple[str, bool]:
-    """(path, already_written) for a cached per-process sink dir."""
+    """(path, already_written) for a cached per-process sink dir.
+
+    ``already_written`` is gated on Spark's ``_SUCCESS`` commit marker,
+    not mere directory existence (mkdtemp creates the dir before any
+    write): if a previous write failed or was interrupted, the next
+    call sees written=False and rewrites instead of silently reading a
+    partial sink. (The bucketed sink gates on catalog tableExists
+    instead and ignores this flag; saveAsTable registers the table only
+    after its write commits.)"""
     key = (kind, sf_dir)
-    if key in _SINK_CACHE and os.path.isdir(_SINK_CACHE[key]):
-        return _SINK_CACHE[key], True
-    path = tempfile.mkdtemp(prefix=f"itws_{kind}_")
-    _SINK_CACHE[key] = path
-    return path, False
+    path = _SINK_CACHE.get(key)
+    if path is None or not os.path.isdir(path):
+        path = tempfile.mkdtemp(prefix=f"itws_{kind}_")
+        _SINK_CACHE[key] = path
+    return path, os.path.exists(os.path.join(path, "_SUCCESS"))
 
 
 def _table_name(base: str, sf_dir: str) -> str:

@@ -158,11 +158,19 @@ class SerialTelemetryDataSource(DataSource):
 
 
 def register_serial_source(spark: SparkSession) -> None:
-    """Idempotently register the connector with the session."""
+    """Idempotently register the connector with the session.
+
+    Only the duplicate-registration case is swallowed — a genuine
+    failure (missing pyspark.sql.datasource API, schema error) must
+    propagate here, not resurface later as a confusing
+    'format itws_serial not found' at read time."""
     try:
         spark.dataSource.register(SerialTelemetryDataSource)
-    except Exception:  # noqa: BLE001 — already registered
-        pass
+    except Exception as exc:  # noqa: BLE001
+        msg = str(exc).lower()
+        if "already" in msg and "regist" in msg:
+            return
+        raise
 
 
 _N_FRAMES = 50_000

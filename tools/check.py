@@ -197,10 +197,12 @@ def _compare_approx(
     return True, f"approx-match rtol={rtol} ({len(s_rows)} rows)", elapsed
 
 
-# ITWS_FAST_COMPARE=1 switches hash-checked queries to the vectorized
-# multiset-hash compare (for the sf1/sf3/skew twins, where exact
-# _canon is prohibitive). Default (unset) keeps the driver-parity
-# exact path bit-for-bit. tools/selftest_fast_compare.py proves the
+# ITWS_FAST_COMPARE=1 switches hash-checked queries whose ORACLE
+# result exceeds FAST_COMPARE_ROWS to the vectorized multiset-hash
+# compare (for the sf1/sf3/skew twins, where exact _canon is
+# prohibitive); smaller results keep the strict exact path even with
+# the flag set. Default (unset) keeps the driver-parity exact path
+# bit-for-bit everywhere. tools/selftest_fast_compare.py proves the
 # two paths agree (and both catch injected mismatches) at sf0.01.
 _FAST = os.environ.get("ITWS_FAST_COMPARE") == "1"
 
@@ -211,9 +213,15 @@ def compare(name: str, spark, con, sf_dir: str) -> tuple[bool, str, float]:
     sdf = spec.builder(spark, sf_dir)
     if _FAST and spec.oracle is not None:
         d_pdf = con.execute(spec.oracle).df()
-        t0 = time.time()  # time the Spark side only, like the exact path
-        ok, msg, _ = _compare_fast(spec, sdf, d_pdf, 0.0)
-        return ok, msg, time.time() - t0
+        # the fast path is deliberately one notch looser (integral
+        # floats as int text, 64-bit hash multiset) — engage it only
+        # above FAST_COMPARE_ROWS, where the exact path is prohibitive;
+        # small results fall through to the strict driver-parity
+        # comparator (which re-runs the cheap oracle)
+        if len(d_pdf) > FAST_COMPARE_ROWS:
+            t0 = time.time()  # time the Spark side only, like the exact path
+            ok, msg, _ = _compare_fast(spec, sdf, d_pdf, 0.0)
+            return ok, msg, time.time() - t0
     s_rows = sdf.collect()
     s_cols = sdf.columns
     elapsed = time.time() - t0

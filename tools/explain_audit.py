@@ -299,9 +299,6 @@ BROADCAST_BOUNDED: dict[str, dict[str, str]] = {
     },
     "operators/graph.py": {
         "nn": "one-row vertex count",
-        "ranks": "|V| rows — documented broadcast-iterate with the "
-        "shuffle-join fallback comment at operators/graph.py "
-        "(flip to a partitioned join when |V| outgrows broadcast)",
     },
     "operators/warehouse.py": {
         "edges": "fixed equi-depth bin edges (N_BINS)",
