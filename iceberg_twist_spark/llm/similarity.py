@@ -156,13 +156,39 @@ WHERE {_DUCK_COS.format(a='a.embedding', b='b.embedding')} >= 0.3
 """
 
 
+# q_llm_cosine_pairs is the O(n²) VERIFICATION BASELINE for the LSH /
+# IVF ANN paths — it must never be pointed at a production-sized
+# corpus by accident. The guard refuses above this row count (≈10⁹
+# comparisons, minutes locally; anything larger is a mistake) with a
+# pointer to the bucketed paths. Raise via the env override only for
+# deliberate oracle rehearsals.
+COSINE_PAIRS_MAX_ROWS = 100_000
+
+
+def _guard_exact_pairs(n_rows: int) -> None:
+    import os
+
+    cap = int(os.environ.get("ITWS_COSINE_PAIRS_MAX", COSINE_PAIRS_MAX_ROWS))
+    if n_rows > cap:
+        raise ValueError(
+            f"q_llm_cosine_pairs is the exact all-pairs O(n²) baseline and "
+            f"refuses {n_rows} vectors (cap {cap}). For corpus-scale "
+            f"near-dup pairs use q_llm_ann_lsh / q_llm_ann_ivf (bucketed "
+            f"candidates) or q_llm_semdedup_capped; to run the baseline "
+            f"deliberately set ITWS_COSINE_PAIRS_MAX."
+        )
+
+
 @register("q_llm_cosine_pairs", oracle=_PAIRS_ORACLE, tags=("llm", "dedup", "similarity"))
 def q_llm_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos ≥ 0.3), exact all-pairs.
 
     Correctness baseline only — at corpus scale use lsh_bucket() below
-    to restrict comparisons to shared buckets."""
+    to restrict comparisons to shared buckets. Guarded: refuses more
+    than COSINE_PAIRS_MAX_ROWS vectors (the count is one cheap scan
+    next to the n² join it prevents)."""
     emb = with_norm(spread(load_tables(spark, sf_dir)["embeddings"], "vec_id"), "embedding")
+    _guard_exact_pairs(emb.count())
     a = emb.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
         F.col("nrm").alias("na"),

@@ -649,20 +649,12 @@ def q_stream_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_stream_stream_join", tags=("streaming", "join"), batch_twin=_twin_stream_join)
-def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream-stream inner join: per user, join each ``purchase``
-    event to ``click`` events from the preceding hour — the canonical
-    attribution join, and the one streaming shape not covered by the
-    stream-static enrichment (A30). Both sides are watermarked so
-    Spark can bound the join state buffer (clicks retained only while
-    a matching purchase can still arrive); the interval condition is
-    what lets the state manager expire rows, exactly the mechanism
-    that keeps this runnable forever at production volume.
-    """
+def build_stream_join(click_src: DataFrame, purchase_src: DataFrame) -> DataFrame:
+    """The attribution-join plan over two (possibly streaming) event
+    sources — factored out so the checkpoint-recovery test can drive
+    the SAME plan over an interrupted replay directory."""
     clicks = (
-        read_event_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "click")
+        click_src.filter(F.col("event_type") == "click")
         .select(
             F.col("user_id").alias("c_user"),
             F.col("event_id").alias("click_id"),
@@ -671,8 +663,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("click_ts", "30 minutes")
     )
     purchases = (
-        read_event_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
+        purchase_src.filter(F.col("event_type") == "purchase")
         .select(
             F.col("user_id").alias("p_user"),
             F.col("event_id").alias("purchase_id"),
@@ -681,7 +672,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withWatermark("purchase_ts", "30 minutes")
     )
-    joined = purchases.join(
+    return purchases.join(
         clicks,
         (F.col("p_user") == F.col("c_user"))
         & (F.col("click_ts") <= F.col("purchase_ts"))
@@ -693,22 +684,34 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("purchase_ts").cast("string").alias("purchase_ts"),
         F.col("click_ts").cast("string").alias("click_ts"),
     )
+
+
+@register("q_stream_stream_join", tags=("streaming", "join"), batch_twin=_twin_stream_join)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: per user, join each ``purchase``
+    event to ``click`` events from the preceding hour — the canonical
+    attribution join, and the one streaming shape not covered by the
+    stream-static enrichment (A30). Both sides are watermarked so
+    Spark can bound the join state buffer (clicks retained only while
+    a matching purchase can still arrive); the interval condition is
+    what lets the state manager expire rows, exactly the mechanism
+    that keeps this runnable forever at production volume.
+    """
+    joined = build_stream_join(
+        read_event_stream(spark, sf_dir), read_event_stream(spark, sf_dir)
+    )
     return run_to_memory(joined)
 
 
-@register("q_stream_upsert_sink", tags=("streaming", "cdc"), batch_twin=_twin_upsert)
-def q_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """foreachBatch CDC sink: every micro-batch merges latest-wins
-    per-sensor state (last value, event count, last event time) into
-    an accumulating store — the merge-on-stream pattern that writes a
-    streaming upsert into a lakehouse table. Each batch merges via
-    union + per-key latest-wins aggregate (``max_by`` on the version
-    tag — no window sort needed); with the Iceberg jar present the
-    store write becomes ``MERGE INTO`` against a real table, unchanged
-    otherwise.
-    """
-    store_dir = tempfile.mkdtemp(prefix="itws_upsert_")
-    store_schema = "user_id long, last_value double, n_events long, last_ts timestamp"
+UPSERT_STORE_SCHEMA = (
+    "user_id long, last_value double, n_events long, last_ts timestamp"
+)
+
+
+def make_upsert_merger(store_dir: str):
+    """foreachBatch merger for the CDC upsert store — factored out so
+    the checkpoint-recovery test can point the SAME merge logic at its
+    own store across an interrupted replay."""
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
@@ -723,9 +726,9 @@ def q_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         try:
-            current = sp.read.schema(store_schema).parquet(store_dir)
+            current = sp.read.schema(UPSERT_STORE_SCHEMA).parquet(store_dir)
         except Exception:  # first batch: empty store
-            current = sp.createDataFrame([], store_schema)
+            current = sp.createDataFrame([], UPSERT_STORE_SCHEMA)
         merged = (
             current.withColumn("v", F.lit(1))
             .unionByName(incoming.withColumn("v", F.lit(2)))
@@ -744,6 +747,23 @@ def q_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(store_dir, ignore_errors=True)
         os.rename(store_dir + "_next", store_dir)
 
+    return merge_batch
+
+
+@register("q_stream_upsert_sink", tags=("streaming", "cdc"), batch_twin=_twin_upsert)
+def q_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch CDC sink: every micro-batch merges latest-wins
+    per-sensor state (last value, event count, last event time) into
+    an accumulating store — the merge-on-stream pattern that writes a
+    streaming upsert into a lakehouse table. Each batch merges via
+    union + per-key latest-wins aggregate (``max_by`` on the version
+    tag — no window sort needed); with the Iceberg jar present the
+    store write becomes ``MERGE INTO`` against a real table, unchanged
+    otherwise.
+    """
+    store_dir = tempfile.mkdtemp(prefix="itws_upsert_")
+    merge_batch = make_upsert_merger(store_dir)
+    store_schema = UPSERT_STORE_SCHEMA
     s = read_event_stream(spark, sf_dir)
     name = f"itws_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix="itws_ckpt_")

@@ -346,3 +346,22 @@ def test_write_bucketed_join_has_no_key_exchange(spark, sf_dir):
         spark.sql(f"DROP TABLE IF EXISTS {li_t}")
         spark.sql(f"DROP TABLE IF EXISTS {od_t}")
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_cosine_pairs_guard_refuses_large_corpus(monkeypatch):
+    """The exact all-pairs baseline must refuse production-sized inputs
+    with a pointer to the bucketed ANN paths (VERDICT r4 #9)."""
+    import pytest
+
+    from iceberg_twist_spark.llm.similarity import (
+        COSINE_PAIRS_MAX_ROWS,
+        _guard_exact_pairs,
+    )
+
+    _guard_exact_pairs(COSINE_PAIRS_MAX_ROWS)  # at the cap: allowed
+    with pytest.raises(ValueError, match="q_llm_ann_lsh"):
+        _guard_exact_pairs(COSINE_PAIRS_MAX_ROWS + 1)
+    monkeypatch.setenv("ITWS_COSINE_PAIRS_MAX", "10")
+    with pytest.raises(ValueError, match="refuses 11"):
+        _guard_exact_pairs(11)
+    _guard_exact_pairs(10)

@@ -261,3 +261,142 @@ def test_queue_ttl_recovers_from_checkpoint_mid_replay(spark, sf_dir):
     assert sorted(combined) == twin
     assert sorted(first) != twin  # the restart really contributed
     assert len(combined) > len(first), "resumed run emitted nothing"
+
+
+def test_stream_join_recovers_from_checkpoint_mid_replay(spark, sf_dir):
+    """Failure injection for the attribution join: stop after two
+    replay chunks, restart from the SAME checkpoint when the rest
+    arrive. The join buffers (unmatched clicks/purchases still inside
+    the interval) and the watermark live in checkpointed state; the
+    union of both runs' file-sink output must equal the uninterrupted
+    batch interval join — cross-cut matches (a chunk-2 purchase hitting
+    a chunk-1 click) only exist if the buffered state survived."""
+    import shutil
+    import tempfile
+
+    from iceberg_twist_spark.streaming.jobs import (
+        EVENT_SCHEMA,
+        _state_partitions,
+        _twin_stream_join,
+        build_stream_join,
+        stage_replay_dir,
+    )
+
+    full = stage_replay_dir(spark, sf_dir, 4)
+    chunks = sorted(f for f in os.listdir(full) if f.endswith(".parquet"))
+    assert len(chunks) == 4
+    replay = tempfile.mkdtemp(prefix="itws_replay_sj_")
+    ckpt = tempfile.mkdtemp(prefix="itws_ckpt_sj_")
+    out = tempfile.mkdtemp(prefix="itws_out_sj_") + "/sink"
+
+    def arrive(names):
+        for f in names:
+            shutil.copy2(os.path.join(full, f), os.path.join(replay, f))
+
+    def src():
+        return (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(replay)
+        )
+
+    def run_once():
+        joined = build_stream_join(src(), src())
+        with _state_partitions(spark):
+            q = (
+                joined.writeStream.format("parquet")
+                .outputMode("append")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        return [tuple(r) for r in spark.read.parquet(out).collect()]
+
+    try:
+        arrive(chunks[:2])
+        first = run_once()
+        arrive(chunks[2:])
+        combined = run_once()  # SAME checkpoint: resumes at chunk 2
+    finally:
+        shutil.rmtree(replay, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(os.path.dirname(out), ignore_errors=True)
+    twin = sorted(tuple(r) for r in _twin_stream_join(spark, sf_dir).collect())
+    assert sorted(combined) == twin
+    assert len(first) < len(combined), "restart contributed nothing"
+    # the restart must produce matches ACROSS the cut (purchase after,
+    # click before) — the part only surviving join state can deliver
+    first_purchases = {t[1] for t in first}
+    resumed = [t for t in combined if t[1] not in first_purchases]
+    assert resumed, "no post-cut purchases joined"
+
+
+def test_upsert_sink_recovers_from_checkpoint_mid_replay(spark, sf_dir):
+    """Failure injection for the foreachBatch CDC sink: the replay is
+    cut after two chunks and restarted from the same checkpoint. The
+    commit log must skip the already-merged batches (or n_events would
+    double-count) and the resumed merges must land — the final store
+    equals the uninterrupted latest-wins twin exactly."""
+    import shutil
+    import tempfile
+
+    from iceberg_twist_spark.streaming.jobs import (
+        EVENT_SCHEMA,
+        UPSERT_STORE_SCHEMA,
+        _state_partitions,
+        _twin_upsert,
+        make_upsert_merger,
+        stage_replay_dir,
+    )
+
+    full = stage_replay_dir(spark, sf_dir, 4)
+    chunks = sorted(f for f in os.listdir(full) if f.endswith(".parquet"))
+    replay = tempfile.mkdtemp(prefix="itws_replay_up_")
+    ckpt = tempfile.mkdtemp(prefix="itws_ckpt_up_")
+    store = tempfile.mkdtemp(prefix="itws_store_up_")
+    merger = make_upsert_merger(store)
+
+    def arrive(names):
+        for f in names:
+            shutil.copy2(os.path.join(full, f), os.path.join(replay, f))
+
+    def run_once():
+        s = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(replay)
+        )
+        with _state_partitions(spark):
+            q = (
+                s.writeStream.foreachBatch(merger)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        return [
+            tuple(r)
+            for r in spark.read.schema(UPSERT_STORE_SCHEMA).parquet(store).collect()
+        ]
+
+    try:
+        arrive(chunks[:2])
+        first = run_once()
+        mid_counts = {t[0]: t[2] for t in first}
+        arrive(chunks[2:])
+        combined = run_once()
+        # idempotence: a third start with nothing new must not re-merge
+        again = run_once()
+    finally:
+        shutil.rmtree(replay, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(store, ignore_errors=True)
+    twin = sorted(tuple(r) for r in _twin_upsert(spark, sf_dir).collect())
+    assert sorted(combined) == twin
+    assert sorted(again) == twin, "restart with no new data re-merged batches"
+    full_counts = {t[0]: t[2] for t in combined}
+    assert any(
+        full_counts[u] > c for u, c in mid_counts.items()
+    ), "resumed run merged nothing new"
