@@ -86,8 +86,8 @@ _NOOP_SINK = frozenset(
 # at sf0.1 (the driver's bench SF) with ~2.5× headroom over measured —
 # loose enough for AQE/partition-count jitter, tight enough that an
 # accidental extra Exchange (typically ≥2× on the dominant table) or a
-# lost map-side combine fails the bench. Enforced only at sf0.1, where
-# the numbers mean what the calibration meant; other SFs still report.
+# lost map-side combine fails the bench. Enforced at the SFs with a
+# calibration table (sf0.1 here, sf1 below); other SFs still report.
 SHUFFLE_CEILING_SF01 = {  # bytes at sf0.1: measured (r4 calibration) → ceiling
     "q_agg_group": 50_000,            # 828 — pure map-side combine
     "q_join_multiway": 10_000,        # 0 — all joins broadcast at this SF
@@ -116,6 +116,46 @@ SHUFFLE_CEILING_SF01 = {  # bytes at sf0.1: measured (r4 calibration) → ceilin
     "q_scan_dpp": 5_000,              # 162 B — 2-of-5 directories read,
                                       # 2-group agg is the only shuffle
 }
+
+# sf1 ceilings (r5): measured on the generated sf1 twin
+# (.localdata/sf1, BENCH_sf1 section in PERF.md), same ~2.5× headroom.
+# Gating at a second scale point closes the r4 blind spot: at sf0.1
+# several queries shuffle hundreds of bytes, where a regression that
+# MULTIPLIES a small absolute number hides under the ceiling; at sf1
+# the same plans move MBs–GBs and a lost map-side combine or an extra
+# Exchange lands far outside 2.5×. Notable sf1-only plan shifts, all
+# expected: TPC-H Q5/Q18 stop broadcasting the SF-growing sides (AQE
+# decides at runtime — 119 MB / 82 MB shuffles), and PageRank's ranks
+# iterate as shuffle joins (1.03 GB = 3 iterations × |E| traffic).
+SHUFFLE_CEILING_SF1 = {  # bytes at sf1: measured (r5) → ceiling
+    "q_agg_group": 60_000,            # 19.9 KB — map-side combine holds
+    "q_join_multiway": 100_000,       # 0 — AQE still broadcasts every join
+    "q_win_rank": 65_000_000,         # 25.9 MB
+    "q_win_running": 65_000_000,      # 25.9 MB
+    "q_win_lag": 55_000_000,          # 20.3 MB
+    "q_topk": 100_000,                # 0 — TakeOrderedAndProject
+    "q_llm_cosine_topk": 4_500_000,   # 1.68 MB
+    "q_llm_knn_join": 4_500_000,      # 1.70 MB
+    "q_llm_exact_dedup": 3_000_000,   # 1.07 MB — digests only
+    "q_stream_tumble": 250_000,       # 93.6 KB
+    "q_tpch_q01": 60_000,             # 19.9 KB
+    "q_tpch_q05": 300_000_000,        # 119 MB — shuffled star join at sf1
+    "q_tpch_q09": 400_000,            # 137.6 KB
+    "q_tpch_q18": 210_000_000,        # 81.7 MB — the 1.5M-group HAVING
+    "q_llm_decontaminate": 8_000_000,  # 3.07 MB
+    "q_graph_pagerank": 2_600_000_000,  # 1.03 GB — 3 × edge traffic
+    "q_profile_table": 150_000_000,   # 56.4 MB — Expand multiplier
+    "q_llm_minhash_dedup": 8_000_000,  # 2.94 MB — banded signatures
+    "q_scd2_build": 50_000_000,       # 19.7 MB — one entity-key exchange
+    "q_join_interval_overlap": 600_000,  # 218 KB
+    "q_seq_pattern": 125_000_000,     # 50.0 MB
+    "q_llm_ann_lsh": 4_500_000,       # 1.71 MB — bucket-bounded
+    "q_join_bucketed": 10_000,        # 3.3 KB — layout-invariant
+    "q_scan_dpp": 5_000,              # 164 B
+}
+
+# ceilings enforced per SF; other SFs report but don't gate
+SHUFFLE_CEILINGS = {0.1: SHUFFLE_CEILING_SF01, 1.0: SHUFFLE_CEILING_SF1}
 
 
 def _stage_metrics(spark, seen: set) -> tuple[int, int, int]:
@@ -191,8 +231,8 @@ def main() -> int:
         # later attempts' stages must not leak into the next query
         _stage_metrics(spark, seen_stages)
         timings[name] = round(min(per_run), 3)
-        ceil = SHUFFLE_CEILING_SF01.get(name)
-        if sf == 0.1 and ceil is not None and shuffle[name]["write"] > ceil:
+        ceil = SHUFFLE_CEILINGS.get(sf, {}).get(name)
+        if ceil is not None and shuffle[name]["write"] > ceil:
             violations[name] = (
                 f"shuffle write {shuffle[name]['write']} > ceiling {ceil}"
             )

@@ -428,3 +428,59 @@ def q_llm_collapse_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(kept).cast("long").alias("n_kept"),
         F.md5(F.array_join(kept, " ")).alias("clean_md5"),
     )
+
+
+# ---------------------------------------------------- BPE pair counts
+# One merge round of byte-pair-encoding tokenizer training: count
+# adjacent token-pair frequencies over the tokenized corpus and return
+# the top candidates — the inner-loop primitive a distributed BPE
+# trainer runs per merge. Scale shape: tokens explode into pairs
+# PARTIALLY (map-side combine collapses each partition's pair counts
+# before any shuffle — the distinct-pair space, not the corpus, crosses
+# the wire), and the final top-k is a per-partition heap
+# (TakeOrderedAndProject), never a global sort. (count DESC, pair) is a
+# total order, so the cutoff is deterministic on any engine.
+BPE_TOPK = 100
+
+_BPE_ORACLE = f"""
+WITH toks AS (
+  SELECT regexp_extract_all(lower(text), '{_TOKEN_PATTERN}') AS t
+  FROM documents
+), pairs AS (
+  SELECT t[CAST(u.i AS INT)] || ' ' || t[CAST(u.i + 1 AS INT)] AS pair
+  FROM toks, LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)
+)
+SELECT pair, CAST(count(*) AS BIGINT) AS n
+FROM pairs GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT {BPE_TOPK}
+"""
+
+
+@register("q_llm_bpe_pairs", oracle=_BPE_ORACLE, tags=("llm", "text", "agg"))
+def q_llm_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K adjacent token-pair frequencies (the BPE merge-candidate
+    count) over the BPE-ish-tokenized corpus."""
+    from iceberg_twist_spark.common import spread
+
+    docs = spread(load_tables(spark, sf_dir)["documents"], "doc_id")
+    toks = docs.select(
+        F.regexp_extract_all(F.lower("text"), F.lit(_TOKEN_PATTERN), 0).alias("t")
+    )
+    pairs = toks.select(
+        F.explode(
+            F.when(
+                F.size("t") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), "
+                    "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(BPE_TOPK)
+    )

@@ -31,6 +31,13 @@ from iceberg_twist_spark.registry import register
 DAMPING = 0.85
 N_ITER = 3
 _R8 = 100_000_000  # ranks are ~1/|V|; round to 8 decimals, not 4
+# Broadcast the per-iteration ranks frame only when the measured node
+# count proves it small: 1M (node-id string, double) rows ≈ 30 MB —
+# comfortably inside executor memory on any real cluster. Above this,
+# the iteration joins by shuffle on node id. The fixtures sit well
+# under the cap through sf3 (630k nodes); sf10 (2.1M) exercises the
+# shuffle path.
+PAGERANK_BROADCAST_NODES = 1_000_000
 
 
 def _oracle() -> str:
@@ -76,52 +83,72 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     differences across engines are ~1e-14, far inside the rounding.
     """
     li = load_tables(spark, sf_dir)["lineitem"]
+    # Parity-encoded LONG node ids (part → 2k, supplier → 2k+1)
+    # instead of 'p{k}'/'s{k}' strings: every shuffle, join key, and
+    # broadcast in the loop moves 8-byte ints, and the string form is
+    # reconstructed only in the final projection (r5: ~35% off the
+    # whole query at sf0.1).
     pairs = li.select(
-        F.concat(F.lit("p"), F.col("l_partkey")).alias("p"),
-        F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+        (F.col("l_partkey").cast("long") * 2).alias("p"),
+        (F.col("l_suppkey").cast("long") * 2 + 1).alias("s"),
     ).distinct()
-    edges = (
-        pairs.select(F.col("p").alias("src"), F.col("s").alias("dst"))
-        .unionByName(pairs.select(F.col("s").alias("src"), F.col("p").alias("dst")))
-        .distinct()
+    # NO distinct after the union: `pairs` is already distinct and the
+    # two halves are disjoint by src parity (even=p / odd=s), so the
+    # union cannot produce duplicates — the r4 shape paid a full extra
+    # shuffle to dedup a set that was duplicate-free by construction.
+    edges = pairs.select(F.col("p").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("p").alias("dst"))
     )
-    # fold degree onto the edge list ONCE, as a count window over the
-    # same src partitioning the distinct just produced — one
-    # materialization job instead of the former two serial checkpoints
-    # (edges, then deg-join), ~40% off the pre-loop setup at sf0.1
+    # fold degree onto the edge list ONCE, as a count window over src —
+    # one materialization job instead of the former two serial
+    # checkpoints (edges, then deg-join)
     edges_deg = edges.withColumn(
         "deg", F.count("*").over(Window.partitionBy("src"))
     ).localCheckpoint(eager=True)
     nodes = edges_deg.select(F.col("src").alias("node")).distinct()
-    nn = nodes.agg(F.count("*").cast("double").alias("n"))
-    ranks = nodes.crossJoin(F.broadcast(nn)).select(
-        "node", (F.lit(1.0) / F.col("n")).alias("rank")
-    )
+    # |V| measured ONCE against the checkpointed edges — an O(1) driver
+    # scalar that (a) replaces the former in-plan one-row `nn`
+    # aggregate + crossJoin on both sides of the loop, and (b) gates
+    # the broadcast decision below on actual data, not a blind hint.
+    n_nodes = max(nodes.count(), 1)
+    # both divisions replicate the oracle's SQL expressions bit-for-bit
+    # (IEEE double division of identical operands)
+    inv_n = 1.0 / n_nodes
+    teleport = 0.15 / n_nodes
+    ranks = nodes.select("node", F.lit(inv_n).alias("rank"))
     for _ in range(N_ITER):
-        # ranks is |V| rows and GROWS with scale factor, so no
-        # broadcast hint: AQE measures the checkpointed frame at
-        # runtime and still picks a broadcast join whenever |V| is
-        # actually small (verified in the plan audit at fixture scale),
-        # but at web-scale |V| it degrades gracefully to a shuffle join
-        # on node id instead of OOMing every executor — the same
-        # hint-overrides-AQE class removed from TPC-H Q14/Q18/Q19 in r3.
+        ranks_src = ranks.withColumnRenamed("node", "src")
+        if n_nodes <= PAGERANK_BROADCAST_NODES:
+            # broadcast-iterate: the checkpointed edge list never
+            # moves — each iteration ships only the ranks frame, which
+            # the measured count PROVES is ≤ the cap (unlike the r4
+            # blind hint, whose size was an assumption). Above the cap
+            # (web-scale |V|, where a broadcast OOMs executors) this
+            # degrades to the shuffle join on node id — the exact
+            # fallback the r4 verdict asked to make data-driven.
+            ranks_src = F.broadcast(ranks_src)
         contribs = (
-            edges_deg.join(ranks.withColumnRenamed("node", "src"), "src")
+            edges_deg.join(ranks_src, "src")
             .select("dst", (F.col("rank") / F.col("deg")).alias("contrib"))
         )
         ranks = (
             contribs.groupBy("dst")
             .agg(F.sum("contrib").alias("in_mass"))
-            .crossJoin(F.broadcast(nn))
             .select(
                 F.col("dst").alias("node"),
-                (F.lit(0.15) / F.col("n") + F.lit(DAMPING) * F.col("in_mass")).alias(
+                (F.lit(teleport) + F.lit(DAMPING) * F.col("in_mass")).alias(
                     "rank"
                 ),
             )
             .localCheckpoint(eager=True)  # cut lineage: plan stays one-step deep
         )
-    return ranks.select("node", r4("rank", _R8).alias("pr_rank"))
+    # rebuild the oracle's string ids from the parity encoding — a
+    # final |V|-row projection, outside every shuffle
+    node_str = F.concat(
+        F.when(F.col("node") % 2 == 0, F.lit("p")).otherwise(F.lit("s")),
+        F.shiftright("node", 1).cast("string"),
+    )
+    return ranks.select(node_str.alias("node"), r4("rank", _R8).alias("pr_rank"))
 
 
 # ------------------------------------------------- common neighbors

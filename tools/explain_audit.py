@@ -123,6 +123,13 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
     # vocab induction: top-100 words via per-partition heaps, not a
     # global window sort over every distinct corpus word
     "q_llm_vocab_oov": (["TakeOrderedAndProject"], ["Window"]),
+    # BPE merge candidates: two-phase pair count (map-side combine —
+    # distinct pairs cross the wire, not the exploded corpus) + heap
+    # top-K; no window sort, no join
+    "q_llm_bpe_pairs": (
+        ["TakeOrderedAndProject", "HashAggregate"],
+        ["Window", "CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
     # pagerank: the returned plan is a scan of the final checkpointed
     # iteration (lineage deliberately cut) — assert only that nothing
     # degenerated into a nested loop downstream of the checkpoint
@@ -298,7 +305,10 @@ BROADCAST_BOUNDED: dict[str, dict[str, str]] = {
         "n": "filtered nation (≤25 rows)",
     },
     "operators/graph.py": {
-        "nn": "one-row vertex count",
+        "ranks_src": "count-gated: broadcast only when the measured "
+        "pre-loop node count ≤ PAGERANK_BROADCAST_NODES (1M rows ≈ "
+        "30 MB); above the cap the iteration uses the shuffle join — "
+        "bounded by construction, not by assumption",
     },
     "operators/warehouse.py": {
         "edges": "fixed equi-depth bin edges (N_BINS)",

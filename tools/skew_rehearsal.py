@@ -66,13 +66,14 @@ SKEW_FAMILY = [
     "q_frames_mapinpandas",
 ]
 
-# Cluster-RESOLUTION queries verify on a smaller skewed twin: their
-# DuckDB recursive-CTE oracle materializes the transitive closure of
-# the mega-component, which is quadratic-in-cluster on the ORACLE side
-# (the Spark pointer-jumping side is fine — measured r4: the sf1 twin's
-# ~12M-edge component ran the CTE past 29 GB before being killed).
-# The engine-side scale hazard this guards is the same; only the
-# verification oracle needs the smaller instance.
+# Cluster-RESOLUTION queries: verified at the FULL sf1 twin since r5.
+# (r4 had to pin these to the sf0.1 twin: the old recursive-CTE oracle
+# materialized the mega-component's transitive closure — quadratic —
+# and was killed past 29 GB. The oracle now mirrors the engine's
+# min-label + pointer-jumping rounds as unrolled MATERIALIZED CTEs
+# (llm/clusters.py _cc_label_sql), linear per round, and completes the
+# sf1 zipf mega-component in ~140 s; measured r5: 3/3 hash-match,
+# dup_clusters 15,706 clustered docs / max cluster 4,878.)
 SKEW_FAMILY_CLUSTERS = [
     "q_llm_dup_clusters",
     "q_llm_dedup_survivor",
@@ -163,12 +164,10 @@ def prove_skew_split(twin: str) -> bool:
 def main() -> int:
     twin = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, ".localdata", "sf1skew")
     sf = float(sys.argv[2]) if len(sys.argv) > 2 else 1.0
-    small = os.path.join(REPO, ".localdata", "sf01skew")
     ensure_twin(twin, sf)
-    ensure_twin(small, 0.1)
     split_ok = prove_skew_split(twin)
     checks_ok = run_checks(twin, SKEW_FAMILY)
-    cluster_ok = run_checks(small, SKEW_FAMILY_CLUSTERS)
+    cluster_ok = run_checks(twin, SKEW_FAMILY_CLUSTERS)
     print(f"# RESULT: checks={'PASS' if checks_ok else 'FAIL'} "
           f"clusters={'PASS' if cluster_ok else 'FAIL'} "
           f"skew-split={'ENGAGED' if split_ok else 'NOT ENGAGED'}")
