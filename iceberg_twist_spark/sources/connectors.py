@@ -37,13 +37,17 @@ _SINK_CACHE: dict[tuple[str, str], str] = {}
 
 
 def _sink_dir(kind: str, sf_dir: str) -> tuple[str, bool]:
-    """(path, already_written) for a cached per-process sink dir."""
+    """(path, already_written) for a cached per-process sink dir.
+
+    ``already_written`` gates on the ``_SUCCESS`` commit marker, not
+    directory existence — an interrupted write must be redone, never
+    silently read back partial (same fix as sources/layouts.py, r5)."""
     key = (kind, sf_dir)
-    if key in _SINK_CACHE and os.path.isdir(_SINK_CACHE[key]):
-        return _SINK_CACHE[key], True
-    path = tempfile.mkdtemp(prefix=f"itws_{kind}_")
-    _SINK_CACHE[key] = path
-    return path, False
+    path = _SINK_CACHE.get(key)
+    if path is None or not os.path.isdir(path):
+        path = tempfile.mkdtemp(prefix=f"itws_{kind}_")
+        _SINK_CACHE[key] = path
+    return path, os.path.exists(os.path.join(path, "_SUCCESS"))
 
 
 _NATION_ORACLE = "SELECT n_nationkey, n_name, n_regionkey FROM nation"
@@ -188,6 +192,10 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .write.mode("overwrite")
             .parquet(path + "/v=2")
         )
+        # both generations committed — root marker makes the pair
+        # atomic for _sink_dir's reuse gate (the per-generation
+        # _SUCCESS files live in the subdirs)
+        open(os.path.join(path, "_SUCCESS"), "w").close()
     merged = spark.read.option("mergeSchema", "true").parquet(
         path + "/v=1", path + "/v=2"
     )
@@ -227,4 +235,93 @@ def q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("l_returnflag").agg(
         F.count("*").cast("long").alias("n"),
         (F.floor(F.sum("l_quantity") * 10000 + F.lit(0.5)) / 10000).alias("sum_qty"),
+    )
+
+
+# ------------------------------------------------------- gzip corpus
+# Real compressed-text ingestion: 100 TB text corpora arrive as .gz
+# members (WARC/WET-style shards), and Spark reads them through the
+# built-in Hadoop codec with ZERO custom code — the check here is that
+# the whole path (executor-written gzip members → spark.read.text
+# decompression → line parse) reproduces the source table bit-exactly
+# (md5 of every document's text). Scale notes: gzip is an UNSPLITTABLE
+# codec — one member = one read task, which is exactly why corpora
+# ship as many ~100 MB-1 GB members; the fixture stages one member per
+# shard to model that. Staging is executor-side (groupBy(shard) +
+# applyInPandas, one gzip member per shard group) — no driver-side
+# data materialization; on a real cluster the same writer lands on
+# shared storage.
+
+_GZ_SHARDS = 8
+
+_GZIP_ORACLE = f"""
+SELECT doc_id,
+       CAST(doc_id % {_GZ_SHARDS} AS INT) AS shard,
+       md5(text) AS text_md5,
+       CAST(length(text) AS BIGINT) AS n_chars_read
+FROM documents
+"""
+
+
+def _stage_gzip_corpus(spark: SparkSession, sf_dir: str) -> str:
+    """Write documents as one TSV .gz member per shard (cached)."""
+    import pandas as pd
+
+    path, written = _sink_dir("gz", sf_dir)
+    if written:
+        return path
+
+    def write_shard(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import gzip
+
+        pdf = pdf.sort_values("doc_id")
+        shard = int(pdf["shard"].iloc[0])
+        # mtime=0 keeps member bytes deterministic run-to-run
+        payload = "".join(
+            f"{int(i)}\t{t}\n" for i, t in zip(pdf["doc_id"], pdf["text"])
+        ).encode("utf-8")
+        tmp = os.path.join(path, f".shard_{shard:02d}.tmp")
+        with open(tmp, "wb") as f:
+            with gzip.GzipFile(fileobj=f, mode="wb", mtime=0) as g:
+                g.write(payload)
+        os.replace(tmp, os.path.join(path, f"shard_{shard:02d}.tsv.gz"))
+        return pd.DataFrame({"shard": [shard], "n": [len(pdf)]})
+
+    docs = load_tables(spark, sf_dir)["documents"].select(
+        "doc_id", "text", (F.col("doc_id") % _GZ_SHARDS).cast("int").alias("shard")
+    )
+    written_counts = docs.groupBy("shard").applyInPandas(
+        write_shard, "shard int, n long"
+    )
+    total = written_counts.agg(F.sum("n")).collect()[0][0]
+    if total is None or total == 0:
+        raise RuntimeError(f"gzip staging wrote no rows for {sf_dir}")
+    open(os.path.join(path, "_SUCCESS"), "w").close()
+    return path
+
+
+@register("q_source_gzip_text", oracle=_GZIP_ORACLE, tags=("source", "llm", "text"))
+def q_source_gzip_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gzip text-corpus ingestion through Spark's native codec path:
+    read the staged .gz members with ``spark.read.text`` (Hadoop
+    decompresses transparently), parse the TSV lines, and hash-check
+    every document's decompressed text against the source table — the
+    delimited-line read (A37, `iceberg-twist/notes.org:94`) over the
+    compressed container 100 TB corpora actually ship in.
+
+    ``split(limit=2)`` keeps any tab inside the document text with the
+    text; documents are single-line by fixture construction (the same
+    assumption the TSV shard format itself encodes)."""
+    path = _stage_gzip_corpus(spark, sf_dir)
+    lines = spark.read.text(os.path.join(path, "*.tsv.gz"))
+    kv = F.split(F.col("value"), "\t", 2)
+    parsed = lines.select(
+        F.element_at(kv, 1).cast("long").alias("doc_id"),
+        F.element_at(kv, 2).alias("text"),
+    )
+    return parsed.select(
+        "doc_id",
+        (F.col("doc_id") % _GZ_SHARDS).cast("int").alias("shard"),
+        F.md5("text").alias("text_md5"),
+        F.length("text").cast("long").alias("n_chars_read"),
     )

@@ -87,3 +87,32 @@ def test_ivf_index_layout_is_cluster_partitioned(spark, sf_dir):
     path = build_ivf_index(spark, sf_dir)
     parts = [d for d in os.listdir(path) if d.startswith("cluster=")]
     assert len(parts) > 1, f"expected hive partition dirs, got {os.listdir(path)[:5]}"
+
+
+def test_registry_rotation_covers_driver_blindspot():
+    """queries()/oracle_sql() iterate from ROTATION_START (wrapping),
+    so a driver that truncates its correctness record to the first ~50
+    entries in insertion order reaches ids earlier rounds never
+    covered. Both dicts stay complete and consistently ordered."""
+    from iceberg_twist_spark.registry import (
+        REGISTRY,
+        ROTATION_START,
+        _load_all_modules,
+        all_oracles,
+        all_queries,
+    )
+
+    _load_all_modules()
+    qs, os_ = all_queries(), all_oracles()
+    names = list(qs)
+    assert set(names) == set(REGISTRY)
+    assert len(names) == len(set(names))
+    assert names[0] >= ROTATION_START
+    # wrapped order: a strictly ascending run, then one drop, then
+    # another strictly ascending run
+    drops = sum(1 for a, b in zip(names, names[1:]) if b < a)
+    assert drops <= 1
+    assert set(os_) <= set(qs)
+    # oracle iteration order must follow the same rotation
+    o_names = list(os_)
+    assert o_names == [n for n in names if n in os_]
