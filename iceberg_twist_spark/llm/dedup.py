@@ -388,3 +388,115 @@ def q_llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select(
         "doc_a", "doc_b", hamming.cast("long").alias("hamming")
     ).filter(F.col("hamming") <= 3)
+
+
+# ----------------------------------------------------- line-level dedup
+# Cross-corpus block-level ("line-level") deduplication — the C4 /
+# CCNet / RefinedWeb boilerplate-removal stage: a block of text that
+# recurs across MANY documents (nav bars, cookie banners, license
+# footers) is removed from EVERY document, while within-document
+# structure is preserved. The fixture's documents are single-line word
+# streams, so "line" is modeled as a fixed-width word block — the
+# block width is the operator's granularity knob, exactly like the
+# line split is in CCNet (4 words here so the fixture's random text
+# produces a realistic ~2-3% boilerplate rate for the check to bite
+# on; a crawl pipeline would use actual lines).
+#
+# Scale shape (the reason this is NOT "explode and groupBy text"):
+# the document-frequency pass shuffles (md5(block), doc_id) pairs —
+# 32-B digests, never block text; the rewrite pass shuffles the corpus
+# ONCE keyed by doc_id (unavoidable: the output IS a rewritten
+# corpus, linear write amplification); the boilerplate table joins by
+# digest. Boilerplate keys are the canonical skew case (one banner in
+# 30% of a crawl) — AQE skew-join handles the hot digest, and the
+# rewrite groupBy keys on doc_id, which stays uniform.
+
+LINE_BLOCK_WORDS = 4
+LINE_BOILERPLATE_DF = 3  # blocks in >= this many distinct docs are boilerplate
+
+_LINE_DEDUP_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws
+  FROM documents WHERE length(text) > 0
+), idx AS (
+  SELECT doc_id, ws,
+         unnest(generate_series(
+             0, CAST(ceil(len(ws) / {LINE_BLOCK_WORDS}.0) AS BIGINT) - 1)) AS pos
+  FROM w
+), b AS (
+  SELECT doc_id, pos,
+         array_to_string(
+             ws[pos * {LINE_BLOCK_WORDS} + 1 :
+                least((pos + 1) * {LINE_BLOCK_WORDS}, len(ws))], ' ') AS block
+  FROM idx
+), bp AS (
+  SELECT md5(block) AS bh FROM b
+  GROUP BY 1 HAVING count(DISTINCT doc_id) >= {LINE_BOILERPLATE_DF}
+), f AS (
+  SELECT b.doc_id, b.pos, b.block, (bp.bh IS NOT NULL) AS is_bp
+  FROM b LEFT JOIN bp ON md5(b.block) = bp.bh
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(sum(CASE WHEN is_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate,
+       md5(coalesce(
+           string_agg(CASE WHEN NOT is_bp THEN block END, ' ' ORDER BY pos),
+           '')) AS cleaned_md5
+FROM f GROUP BY doc_id
+"""
+
+
+@register("q_llm_line_dedup", oracle=_LINE_DEDUP_ORACLE, tags=("llm", "text", "dedup"))
+def q_llm_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus block-level dedup: blocks of {LINE_BLOCK_WORDS}
+    words that appear in >= LINE_BOILERPLATE_DF distinct documents are
+    boilerplate and are removed from every document; each document is
+    rewritten from its surviving blocks in order (the rewritten text is
+    hash-checked via md5).
+
+    Three-stage plan, each stage's shuffle bounded by design: (1) the
+    document-frequency aggregate shuffles only (digest, doc_id); (2)
+    the boilerplate membership join is digest-keyed (AQE splits the
+    hot banner digests); (3) the rewrite groupBy(doc_id) shuffles the
+    corpus once — the linear, unavoidable cost of producing a
+    rewritten corpus. Generalizes the reference's content-hash frame
+    tracing (`iceberg-twist/main.py:92`) from frames to corpus blocks.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    b = (
+        spread(docs.filter(F.length("text") > 0), "doc_id")
+        .select("doc_id", F.split("text", " ").alias("ws"))
+        .select(
+            "doc_id",
+            F.expr(
+                f"""explode(transform(
+                        sequence(0, cast(ceil(size(ws) / {LINE_BLOCK_WORDS}.0) as int) - 1),
+                        i -> struct(
+                            cast(i as bigint) as pos,
+                            array_join(slice(ws, i * {LINE_BLOCK_WORDS} + 1,
+                                             {LINE_BLOCK_WORDS}), ' ') as block)))"""
+            ).alias("s"),
+        )
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.block").alias("block"))
+        .withColumn("bh", F.md5("block"))
+    )
+    bp = (
+        b.groupBy("bh")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= LINE_BOILERPLATE_DF)
+        .select("bh", F.lit(True).alias("is_bp"))
+    )
+    flagged = b.join(bp, "bh", "left").withColumn(
+        "is_bp", F.coalesce("is_bp", F.lit(False))
+    )
+    surviving = F.filter(
+        F.array_sort(F.collect_list(F.struct("pos", "block", "is_bp"))),
+        lambda s: ~s["is_bp"],
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_blocks"),
+        F.sum(F.col("is_bp").cast("int")).cast("long").alias("n_boilerplate"),
+        F.md5(
+            F.array_join(F.transform(surviving, lambda s: s["block"]), " ")
+        ).alias("cleaned_md5"),
+    )

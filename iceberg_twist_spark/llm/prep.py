@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from iceberg_twist_spark.catalog import load_tables
+from iceberg_twist_spark.common import r4
 from iceberg_twist_spark.registry import register
 
 CHUNK_WIDTH = 200
@@ -261,3 +262,81 @@ def q_llm_neg_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     meta = docs.select(F.col("doc_id").alias("neg_id"), F.col("lang").alias("neg_lang"))
     return neg.join(meta, "neg_id").select("doc_id", "neg_slot", "neg_id", "neg_lang")
+
+
+# ------------------------------------------------- mixture reweighting
+# Corpus mixture control: large pretraining corpora are REBALANCED
+# across sources/languages before training (upsampling rare languages,
+# downsampling the crawl-dominant one). Modeled here as deterministic
+# hash-sampling each language down to the rarest language's count:
+# acceptance rate r_l = min_count / count_l, accept iff the document's
+# md5-derived uniform in [0,1) is < r_l. The decision is a pure
+# function of doc_id — partition-layout-invariant, reproducible on any
+# engine, and stable under corpus growth for the surviving docs.
+# Scale shape: one tiny per-language count aggregate (map-side
+# combined), the rate table broadcast (bounded by the language-set
+# cardinality — an enum, not a data volume), and one scan with a
+# per-row hash compare; no data-volume shuffle at all.
+
+_MIX_FRAC = (
+    "(CAST(('0x' || substr(md5('mix-' || CAST(doc_id AS VARCHAR)), 1, 6)) "
+    "AS BIGINT) / 16777216.0)"
+)
+
+_MIXTURE_ORACLE = f"""
+WITH counts AS (
+  SELECT lang, count(*) AS n_total FROM documents GROUP BY lang
+), rates AS (
+  SELECT lang, n_total,
+         (SELECT min(n_total) FROM counts) / CAST(n_total AS DOUBLE) AS rate
+  FROM counts
+)
+SELECT d.lang,
+       CAST(max(r.n_total) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN {_MIX_FRAC} < r.rate THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept,
+       floor(max(r.rate) * 10000 + 0.5) / 10000 AS rate
+FROM documents d JOIN rates r USING (lang)
+GROUP BY d.lang
+"""
+
+
+@register("q_llm_mixture_sample", oracle=_MIXTURE_ORACLE, tags=("llm", "sample"))
+def q_llm_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mixture rebalancing: downsample every language to the
+    rarest language's document count with a deterministic hash gate.
+
+    Returns per-language (n_total, n_kept, rate). n_kept ≈ min-lang
+    count with binomial jitter — the acceptance is per-document
+    hash < rate, not exact-k, because exact-k needs a global sort while
+    the hash gate is embarrassingly parallel (the same trade CCNet
+    makes). The rate table is broadcast: its size is the language-set
+    cardinality, fixed even at 100 TB.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_total"))
+    min_row = counts.agg(F.min("n_total").alias("min_n"))
+    rates = counts.crossJoin(F.broadcast(min_row)).select(
+        "lang",
+        "n_total",
+        (F.col("min_n") / F.col("n_total").cast("double")).alias("rate"),
+    )
+    frac = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mix-"), F.col("doc_id").cast("string"))), 1, 6
+            ),
+            16,
+            10,
+        ).cast("long")
+        / 16777216.0
+    )
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .groupBy("lang")
+        .agg(
+            F.max("n_total").cast("long").alias("n_total"),
+            F.sum((frac < F.col("rate")).cast("int")).cast("long").alias("n_kept"),
+            r4(F.max("rate")).alias("rate"),
+        )
+    )

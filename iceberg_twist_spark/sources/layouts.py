@@ -168,7 +168,19 @@ def q_scan_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     (audited), reusing the dimension's broadcast — so only the 2 of 5
     matching directories are ever read. At 100 TB this is the routed-
     telemetry read path: partition on route, prune via whatever
-    dimension predicate the query actually has."""
+    dimension predicate the query actually has.
+
+    The dim broadcast is EXPLICIT and load-bearing: a
+    ``createDataFrame`` local relation reaches Catalyst as a
+    stats-less ``Scan ExistingRDD``, so past the fact's
+    auto-broadcast threshold the static planner picks SortMergeJoin —
+    which (a) exchanges the whole fact and (b) degenerates the
+    pruning subquery to ``dynamicpruningexpression(true)`` (DPP
+    reuses broadcasts only): at sf10 that meant a 137 MB shuffle AND
+    a full 5-of-5 directory scan. The hint is provably bounded — the
+    dim is the compile-time-constant 5-row ``_PRIORITIES`` list — and
+    the audit forbids the degenerate ``dynamicpruningexpression(true)``
+    form outright."""
     path, written = _sink_dir("dpp", sf_dir)
     if not written:
         orders = load_tables(spark, sf_dir)["orders"]
@@ -181,7 +193,7 @@ def q_scan_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact = spark.read.parquet(path)
     dim = spark.createDataFrame(_PRIORITIES, "prio string, urgency int")
     return (
-        fact.join(dim, fact["o_orderpriority"] == dim["prio"])
+        fact.join(F.broadcast(dim), fact["o_orderpriority"] == dim["prio"])
         .filter(F.col("urgency") <= 2)
         .groupBy("o_orderpriority")
         .agg(

@@ -215,10 +215,11 @@ def test_weighted_sample_prefers_heavy_rows(spark, sf_dir):
 
 
 def test_ann_recall_bounds(spark, sf_dir):
-    """Pinned retrieval-quality floor: IVF recall@10 >= 0.9 and
-    multi-probe-LSH recall@10 >= 0.5 on the fixtures — an index
-    parameter change (nprobe, n_planes, probe radius) that silently
-    degrades retrieval fails here, not in production."""
+    """Pinned retrieval-quality floor: IVF recall@10 >= 0.9,
+    multi-probe-LSH recall@10 >= 0.5, and PQ/ADC recall@10 >= 0.4 on
+    the fixtures — an index parameter change (nprobe, n_planes, probe
+    radius, PQ_M/PQ_K or the Lloyd round) that silently degrades
+    retrieval fails here, not in production."""
     from iceberg_twist_spark.registry import REGISTRY
 
     rows = {
@@ -227,6 +228,7 @@ def test_ann_recall_bounds(spark, sf_dir):
     }
     assert rows["ivf"] >= 0.9, rows
     assert rows["lsh_multiprobe"] >= 0.5, rows
+    assert rows["pq"] >= 0.4, rows
 
 
 def test_global_rank_keeps_nulls_and_all_null(spark):

@@ -170,14 +170,39 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
     # dynamic partition pruning: the dimension's urgency filter must
     # reach the fact scan as a runtime dynamicpruning subquery (the
     # fact has no static predicate on the partition column)
+    # "dynamicpruningexpression(true)" is the DEGENERATE form (DPP
+    # planned but dropped because no broadcast was reusable — at sf10
+    # this silently meant a full 5-of-5 scan plus a 137 MB fact
+    # exchange); forbidding it pins the subquery as actually pruning
     "q_scan_dpp": (
         ["dynamicpruning", "BroadcastHashJoin"],
-        ["SortMergeJoin", "CartesianProduct"],
+        ["SortMergeJoin", "CartesianProduct", "dynamicpruningexpression(true)"],
     ),
     # run-collapse is a pure projection: indexed HOF filter, no
     # explode (Generate), no Window, no hash shuffle — the only
     # allowed Exchange is spread()'s round-robin scan chunking
     "q_llm_collapse_runs": ([], ["Generate", "Window", "Exchange hashpartitioning"]),
+    # line-level dedup: digest-keyed df agg + membership join + one
+    # doc-keyed rewrite groupBy — never a nested loop, never a global
+    # sort (collect_list is array_sort-ed per group, not ordered)
+    "q_llm_line_dedup": (
+        ["HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "Exchange rangepartitioning"],
+    ),
+    # mixture rebalancing: the per-lang rate table joins as a
+    # broadcast (its size is the language-set cardinality); the only
+    # data-volume op is one scan with a hash compare
+    "q_llm_mixture_sample": (
+        ["BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    # PQ/ADC: codebook + distance table are broadcast constants; the
+    # encode argmin is a struct-min partial aggregate (NO window), and
+    # the query top-k is a TakeOrderedAndProject, not a global sort
+    "q_llm_ann_pq": (
+        ["BroadcastHashJoin", "TakeOrderedAndProject", "HashAggregate"],
+        ["CartesianProduct", "Window", "Exchange rangepartitioning"],
+    ),
     # common-neighbor top-k: equi self-join + hash agg + per-partition
     # heap — never a global sort or a nested loop
     "q_graph_common_neighbors": (
@@ -215,6 +240,8 @@ BNLJ_ALLOWED: dict[str, str] = {
     "q_join_cross": "the declared cross join (two dimension tables)",
     "q_join_theta": "declared theta join (inequality predicate)",
     "q_agg_histogram": "1-row min/max bounds broadcast",
+    "q_llm_mixture_sample": "1-row min-language-count broadcast onto the "
+    "|langs|-row rate table",
     "q_agg_histogram_eqdepth": "1-row decile-edge array broadcast",
     "q_cdc_upsert": "1-row max(o_orderkey) insert-offset broadcast",
     "q_join_bloom_prune": "1-row bloom bit-set broadcast onto fact scan",
@@ -270,7 +297,12 @@ BROADCAST_BOUNDED: dict[str, dict[str, str]] = {
         "sets are fixed even when the corpus is 100 TB; documented in "
         "Engine.decontaminate)"
     },
-    "llm/prep.py": {"n": "one-row corpus count"},
+    "llm/prep.py": {
+        "n": "one-row corpus count",
+        "min_row": "one-row min-language count",
+        "rates": "per-language rate table (language-set cardinality — "
+        "a fixed enum, not a data volume)",
+    },
     "llm/textstats.py": {
         "vocab": "top-VOCAB_SIZE words (limit 100)",
         "total": "one-row token total",
@@ -282,6 +314,9 @@ BROADCAST_BOUNDED: dict[str, dict[str, str]] = {
         "probe_sims": "nprobe×K probe-centroid rows (constant)",
         "pb": "probe bucket signature (constant rows)",
         "brute": "brute-force top-k baseline (k rows)",
+        "cb": "PQ codebook (PQ_M×PQ_K rows, constant)",
+        "probe_sub": "probe subvectors (PQ_M rows, constant)",
+        "dt": "ADC distance table (PQ_M×PQ_K rows, constant)",
     },
     "llm/decontam.py": {
         "bench_grams": "fixed benchmark n-gram set",
@@ -303,6 +338,13 @@ BROADCAST_BOUNDED: dict[str, dict[str, str]] = {
         't["region"]': "5-row dimension",
         "bands": "fixed theta-band edge list",
         "n": "filtered nation (≤25 rows)",
+    },
+    "sources/layouts.py": {
+        "dim": "compile-time-constant 5-row priority dimension "
+        "(_PRIORITIES literal); explicit hint required because a "
+        "createDataFrame local relation is stats-less — without it "
+        "the planner SMJs past the fact's auto-broadcast size and "
+        "DPP degenerates to dynamicpruningexpression(true)",
     },
     "operators/graph.py": {
         "ranks_src": "count-gated: broadcast only when the measured "

@@ -64,6 +64,11 @@ SKEW_FAMILY = [
     "q_stream_pyds",
     "q_sample_bernoulli",
     "q_frames_mapinpandas",
+    # r5: boilerplate digests are the canonical hot key (one banner
+    # block in a third of a zipf crawl); lang counts are skewed by
+    # fixture construction
+    "q_llm_line_dedup",
+    "q_llm_mixture_sample",
 ]
 
 # Cluster-RESOLUTION queries: verified at the FULL sf1 twin since r5.
