@@ -484,3 +484,181 @@ def q_llm_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(BPE_TOPK)
     )
+
+
+# ---------------------------------------------------- BPE merge apply
+# The second half of the tokenizer-training inner loop: APPLY the
+# winning merge to the corpus (q_llm_bpe_pairs counts the candidates;
+# this rewrites the token streams). The merge rule is learned in-plan
+# (top pair by count, 1-row broadcast — no driver round-trip) and
+# restricted to pairs with a ≠ b: for such pairs adjacent occurrences
+# cannot overlap (an occurrence at i+1 would need t[i+1] = a = b), so
+# greedy left-to-right BPE merging degenerates to "merge EVERY
+# occurrence" — a pure positional rewrite both engines express with
+# array lambdas, no sequential recursion. (a = b pairs need a true
+# fold; they are skipped by the rule selection, not mis-merged.)
+# Scale shape: rule selection is the bpe_pairs aggregate (map-side
+# combined, TakeOrderedAndProject); application is a zero-shuffle
+# projection — HOF filter/transform per row.
+
+_BPE_APPLY_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_TOKEN_PATTERN}') AS t
+  FROM documents WHERE length(text) > 0
+), cand AS (
+  SELECT t[CAST(u.i AS INT)] AS a, t[CAST(u.i + 1 AS INT)] AS b
+  FROM toks, LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)
+), top AS (
+  SELECT a, b FROM cand WHERE a <> b
+  GROUP BY a, b ORDER BY count(*) DESC, a, b LIMIT 1
+), m AS (
+  SELECT doc_id, t, a, b,
+         CASE WHEN len(t) >= 2 THEN
+           list_filter(generate_series(1, len(t) - 1),
+                       i -> t[CAST(i AS INT)] = a AND t[CAST(i + 1 AS INT)] = b)
+         ELSE [] END AS occ
+  FROM toks, top
+)
+SELECT doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(len(occ) AS BIGINT) AS n_merges,
+       CAST(len(t) - len(occ) AS BIGINT) AS n_tokens_after,
+       md5(array_to_string(
+           list_filter(
+               list_transform(generate_series(1, len(t)), i ->
+                   CASE WHEN list_contains(occ, i) THEN a || b
+                        WHEN list_contains(occ, i - 1) THEN NULL
+                        ELSE t[CAST(i AS INT)] END),
+               x -> x IS NOT NULL), ' ')) AS merged_md5
+FROM m
+"""
+
+
+@register("q_llm_bpe_apply", oracle=_BPE_APPLY_ORACLE, tags=("llm", "text"))
+def q_llm_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE merge round applied to the corpus: learn the top
+    adjacent pair (a ≠ b) in-plan, merge every occurrence in every
+    document's token stream, return per-doc merge counts and the md5
+    of the rewritten stream.
+
+    The a ≠ b restriction makes greedy merging positional (adjacent
+    occurrences cannot overlap), so the rewrite is a zero-shuffle HOF
+    projection — the trainer's rule-selection aggregate is the only
+    shuffle, and it moves pair counts, not the corpus."""
+    docs = spread(
+        load_tables(spark, sf_dir)["documents"].filter(F.length("text") > 0),
+        "doc_id",
+    )
+    toks = docs.select(
+        "doc_id",
+        F.regexp_extract_all(F.lower("text"), F.lit(_TOKEN_PATTERN), 0).alias("t"),
+    )
+    cand = toks.select(
+        F.explode(
+            F.when(
+                F.size("t") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), "
+                    "i -> struct(element_at(t, i) as a, element_at(t, i + 1) as b))"
+                ),
+            ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        ).alias("p")
+    ).select("p.a", "p.b")
+    top = (
+        cand.filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .count()
+        .orderBy(F.col("count").desc(), "a", "b")
+        .limit(1)
+        .select("a", "b")
+    )
+    m = toks.crossJoin(F.broadcast(top)).withColumn(
+        "occ",
+        F.when(
+            F.size("t") >= 2,
+            F.expr(
+                "filter(sequence(1, size(t) - 1), "
+                "i -> element_at(t, i) = a AND element_at(t, i + 1) = b)"
+            ),
+        ).otherwise(F.array().cast("array<int>")),
+    )
+    merged = F.expr(
+        """filter(
+               transform(sequence(1, size(t)), i ->
+                   CASE WHEN array_contains(occ, i) THEN concat(a, b)
+                        WHEN array_contains(occ, i - 1) THEN CAST(NULL AS STRING)
+                        ELSE element_at(t, i) END),
+               x -> x IS NOT NULL)"""
+    )
+    return m.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.size("occ").cast("long").alias("n_merges"),
+        (F.size("t") - F.size("occ")).cast("long").alias("n_tokens_after"),
+        F.md5(F.array_join(merged, " ")).alias("merged_md5"),
+    )
+
+
+# ------------------------------------------------------- PII scrubbing
+# Redaction is a mandatory pass over any crawl-derived corpus. The
+# fixture text carries no PII, so the query PLANTS deterministic
+# synthetic PII (an email and a phone derived from doc_id — built with
+# the identical expression on both engines) and then scrubs it — the
+# check verifies the detector/replacer pipeline end-to-end: counts per
+# doc and the md5 of the scrubbed text. Patterns stay inside the
+# regex subset Java (Spark) and RE2 (DuckDB) agree on: literal
+# classes, bounded repetition, \\b word boundaries; no lookarounds.
+# Scale shape: a pure projection — zero shuffle, codegen'd JVM regex.
+
+_PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PII_PHONE = "\\b555-[0-9]{4}\\b"
+
+_PII_ORACLE = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail'
+              || CAST(doc_id % 7 AS VARCHAR) || '.com or 555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(
+           regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_PHONE}', '<PHONE>', 'g')) AS scrubbed_md5
+FROM aug
+"""
+
+
+@register("q_llm_pii_scrub", oracle=_PII_ORACLE, tags=("llm", "text"))
+def q_llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: detect and replace emails and phone numbers,
+    reporting per-doc counts and the scrubbed text's md5. The PII is
+    planted deterministically from doc_id (the fixture has none), so
+    the oracle checks detector and replacer byte-for-byte."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".com or 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("t"),
+    )
+    return aug.select(
+        "doc_id",
+        F.regexp_count("t", F.lit(_PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count("t", F.lit(_PII_PHONE)).cast("long").alias("n_phones"),
+        F.md5(
+            F.regexp_replace(
+                F.regexp_replace("t", _PII_EMAIL, "<EMAIL>"),
+                F.lit(_PII_PHONE),
+                F.lit("<PHONE>"),
+            )
+        ).alias("scrubbed_md5"),
+    )

@@ -252,3 +252,20 @@ def test_global_rank_keeps_nulls_and_all_null(spark):
     ranked2, total2 = _global_rank(allnull, "v", "k")
     assert total2 == 2
     assert {r.k: r["__rank"] for r in ranked2.collect()} == {1: 1, 2: 2}
+
+
+def test_pagerank_regimes_agree(spark, sf_dir, monkeypatch):
+    """The count-gated broadcast is an EXECUTION choice, not a
+    semantics choice: forcing the above-cap shuffle-join regime
+    (ITWS_PAGERANK_BCAST_CAP=0) must reproduce the broadcast regime's
+    ranks exactly. The shuffle plan is also hash-verified against the
+    DuckDB oracle at sf1 (PERF.md, round 5); this pins the equivalence
+    at every fixture SF the suite runs."""
+    from iceberg_twist_spark.registry import REGISTRY
+
+    build = REGISTRY["q_graph_pagerank"].builder
+    monkeypatch.delenv("ITWS_PAGERANK_BCAST_CAP", raising=False)
+    bcast = {(r.node): r.pr_rank for r in build(spark, sf_dir).collect()}
+    monkeypatch.setenv("ITWS_PAGERANK_BCAST_CAP", "0")
+    shuf = {(r.node): r.pr_rank for r in build(spark, sf_dir).collect()}
+    assert bcast == shuf

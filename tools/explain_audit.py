@@ -196,6 +196,16 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
         ["BroadcastHashJoin"],
         ["CartesianProduct", "SortMergeJoin"],
     ),
+    # BPE merge application: rule selection is the pair aggregate +
+    # per-partition heap; application is a zero-shuffle HOF projection
+    # (no Generate/Window in the rewrite)
+    "q_llm_bpe_apply": (
+        ["HashAggregate", "TakeOrderedAndProject"],
+        ["CartesianProduct", "Window", "Exchange rangepartitioning"],
+    ),
+    # PII scrub is a pure projection: regex count+replace per row — no
+    # join, no aggregate-side exchange at all
+    "q_llm_pii_scrub": ([], ["Exchange hashpartitioning", "Generate", "Window"]),
     # PQ/ADC: codebook + distance table are broadcast constants; the
     # encode argmin is a struct-min partial aggregate (NO window), and
     # the query top-k is a TakeOrderedAndProject, not a global sort
@@ -242,6 +252,7 @@ BNLJ_ALLOWED: dict[str, str] = {
     "q_agg_histogram": "1-row min/max bounds broadcast",
     "q_llm_mixture_sample": "1-row min-language-count broadcast onto the "
     "|langs|-row rate table",
+    "q_llm_bpe_apply": "1-row learned merge-rule broadcast",
     "q_agg_histogram_eqdepth": "1-row decile-edge array broadcast",
     "q_cdc_upsert": "1-row max(o_orderkey) insert-offset broadcast",
     "q_join_bloom_prune": "1-row bloom bit-set broadcast onto fact scan",
@@ -306,6 +317,7 @@ BROADCAST_BOUNDED: dict[str, dict[str, str]] = {
     "llm/textstats.py": {
         "vocab": "top-VOCAB_SIZE words (limit 100)",
         "total": "one-row token total",
+        "top": "one-row learned BPE merge rule",
     },
     "llm/similarity.py": {
         "probe": "fixed probe vector set (constant k rows)",
