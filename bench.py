@@ -67,6 +67,11 @@ HEADLINE = (
     # 600k⋈150k join), DPP reads 2 of 5 fact directories
     "q_join_bucketed",
     "q_scan_dpp",
+    # round-5 additions: corpus line-level dedup (digest-bounded df
+    # pass + one corpus rewrite) and the PQ/ADC ANN index (constant
+    # broadcasts, integer distance sums)
+    "q_llm_line_dedup",
+    "q_llm_ann_pq",
 )
 
 # Queries whose result set is large: execute via the noop sink so the
@@ -122,6 +127,9 @@ SHUFFLE_CEILING_SF01 = {  # bytes at sf0.1: measured (r4 calibration) → ceilin
                                       # join itself is exchange-free by layout
     "q_scan_dpp": 5_000,              # 162 B — 2-of-5 directories read,
                                       # 2-group agg is the only shuffle
+    "q_llm_line_dedup": 9_000_000,    # 3.39 MB — digests + one corpus rewrite
+    "q_llm_ann_pq": 10_000_000,       # 4.05 MB — encode argmin partials
+                                      # (|vecs|×M code rows, never floats)
 }
 
 # sf1 ceilings (r5): measured on the generated sf1 twin
@@ -160,7 +168,9 @@ SHUFFLE_CEILING_SF1 = {  # bytes at sf1: measured (r5) → ceiling
     "q_seq_pattern": 125_000_000,     # 50.0 MB
     "q_llm_ann_lsh": 4_500_000,       # 1.71 MB — bucket-bounded
     "q_join_bucketed": 10_000,        # 3.3 KB — layout-invariant
-    "q_scan_dpp": 5_000,              # 164 B
+    "q_scan_dpp": 5_000,              # 972 B (r5 plan: broadcast dim + real DPP)
+    "q_llm_line_dedup": 25_000_000,   # 10.1 MB
+    "q_llm_ann_pq": 20_000_000,       # 8.05 MB
 }
 
 # ceilings enforced per SF; other SFs report but don't gate

@@ -223,3 +223,125 @@ def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("shared_parts").desc(), "s1", "s2")
         .limit(CO_TOPK)
     )
+
+
+# ---------------------------------------------------- triangle count
+# Triangle counting with degree-ordered edge orientation (the
+# compact-forward / node-iterator++ algorithm — Latapy 2008, and the
+# shape every distributed triangle system uses): orient each
+# undirected edge from its (degree, id)-smaller endpoint to the
+# larger; the orientation is a DAG under a total order, so every
+# triangle {u,v,w} is counted EXACTLY once as u→v, u→w, v→w, and the
+# wedge-join candidate mass is Σ out-deg² with out-deg ≤ O(√|E|) —
+# the bound that makes the self-join feasible on power-law graphs
+# where the undirected Σ deg² blows up on hubs. The graph is the
+# co-supply projection (supplier pairs sharing ≥ CO_MIN_SHARED parts,
+# hub parts excluded by CO_CAP — same bounded construction as
+# q_graph_common_neighbors). Per-node triangle participation is the
+# clustering-coefficient numerator.
+
+TRI_TOPK = 100
+
+_TRIANGLE_ORACLE = f"""
+WITH e AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+), degok AS (
+  SELECT l_partkey FROM e GROUP BY l_partkey HAVING count(*) <= {CO_CAP}
+), kept AS (
+  SELECT e.l_partkey, e.l_suppkey FROM e JOIN degok USING (l_partkey)
+), pairs AS (
+  SELECT a.l_suppkey AS s1, b.l_suppkey AS s2
+  FROM kept a JOIN kept b
+    ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2 HAVING count(*) >= {CO_MIN_SHARED}
+), deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT s1 AS node FROM pairs UNION ALL SELECT s2 AS node FROM pairs
+  ) GROUP BY node
+), o AS (
+  SELECT CASE WHEN (d1.d, p.s1) < (d2.d, p.s2) THEN p.s1 ELSE p.s2 END AS src,
+         CASE WHEN (d1.d, p.s1) < (d2.d, p.s2) THEN p.s2 ELSE p.s1 END AS dst
+  FROM pairs p JOIN deg d1 ON p.s1 = d1.node JOIN deg d2 ON p.s2 = d2.node
+), tri AS (
+  SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+  FROM o e1
+  JOIN o e2 ON e1.src = e2.src AND e1.dst < e2.dst
+  JOIN o e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+FROM (
+  SELECT u AS node FROM tri UNION ALL
+  SELECT v AS node FROM tri UNION ALL
+  SELECT w AS node FROM tri
+)
+GROUP BY node
+ORDER BY n_triangles DESC, node
+LIMIT {TRI_TOPK}
+"""
+
+
+@register("q_graph_triangles", oracle=_TRIANGLE_ORACLE, tags=("graph", "join", "agg"))
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k suppliers by triangle participation in the co-supply
+    graph (the clustering-coefficient numerator).
+
+    The wedge self-join keys on the oriented source (equi shuffle, AQE
+    splits residual skew) and its mass is Σ out-deg², bounded by the
+    degree orientation; the closing edge check is another equi join on
+    (v, w). All counts are integers — the oracle comparison is exact.
+    A wedge e1.dst < e2.dst canonicalization stops double-counting the
+    (v, w) / (w, v) wedge mirror; oriented dst order implies the
+    closing edge is queried in its stored orientation."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    edges = li.select("l_partkey", "l_suppkey").distinct()
+    deg_ok = (
+        edges.groupBy("l_partkey")
+        .agg(F.count("*").alias("pdeg"))
+        .filter(F.col("pdeg") <= CO_CAP)
+        .select("l_partkey")
+    )
+    kept = edges.join(deg_ok, "l_partkey")
+    a = kept.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("s1"))
+    b = kept.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("s2"))
+    pairs = (
+        a.join(b, "pk")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= CO_MIN_SHARED)
+        .select("s1", "s2")
+    )
+    deg = (
+        pairs.select(F.col("s1").alias("node"))
+        .unionByName(pairs.select(F.col("s2").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    p = (
+        pairs.join(deg.withColumnRenamed("node", "s1").withColumnRenamed("d", "d1"), "s1")
+        .join(deg.withColumnRenamed("node", "s2").withColumnRenamed("d", "d2"), "s2")
+    )
+    first_is_smaller = (F.struct("d1", "s1") < F.struct("d2", "s2"))
+    o = p.select(
+        F.when(first_is_smaller, F.col("s1")).otherwise(F.col("s2")).alias("src"),
+        F.when(first_is_smaller, F.col("s2")).otherwise(F.col("s1")).alias("dst"),
+    )
+    e1 = o.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    e2 = o.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    e3 = o.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tri = (
+        e1.join(e2, "u")
+        .filter(F.col("v") < F.col("w"))
+        .join(e3, ["v", "w"])
+    )
+    nodes = (
+        tri.select(F.col("u").alias("node"))
+        .unionByName(tri.select(F.col("v").alias("node")))
+        .unionByName(tri.select(F.col("w").alias("node")))
+    )
+    return (
+        nodes.groupBy("node")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+        .orderBy(F.col("n_triangles").desc(), "node")
+        .limit(TRI_TOPK)
+    )

@@ -201,3 +201,94 @@ def q_scan_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(exact_sum("o_totalprice")).alias("sum_price"),
         )
     )
+
+
+# ------------------------------------------------------ z-order layout
+# Multi-dimensional clustering: interleave the bits of two query
+# dimensions into a Morton (z-order) key, range-partition + sort the
+# table by it, and a 2-D box predicate becomes a PUSHED 1-D z-range
+# that parquet row-group min/max stats can skip on — the Delta/Iceberg
+# OPTIMIZE ZORDER technique, expressed as a checked query. The z-range
+# [z(xlo,ylo), z(xhi,yhi)] is a valid superset of the box (bit-wise
+# monotone: x1<=x2 ∧ y1<=y2 ⇒ z1<=z2), so correctness never depends on
+# the pruning; the exact box residual refines it. At 100 TB this is
+# the difference between "cluster by ONE column and full-scan on the
+# other" and file-skipping on BOTH.
+#
+# The 16-term interleave is the same unrolled integer expression on
+# both engines — exact int64 math, no rounding anywhere.
+
+_Z_BITS = 16
+
+
+def _z_expr(x: str, y: str) -> str:
+    """SQL for the Morton interleave of the low 16 bits of x and y
+    (valid in Spark SQL and DuckDB: &, >>, << on BIGINT)."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+# dims: customer key and a 64-wide price bucket — both int64 in-range
+_ZX = "CAST(o_custkey & 65535 AS BIGINT)"
+_ZY = "CAST(CAST(floor(o_totalprice / 64.0) AS BIGINT) & 65535 AS BIGINT)"
+# the 2-D box the query asks for
+_BOX = "o_custkey BETWEEN 100 AND 500 AND o_totalprice BETWEEN 50000 AND 150000"
+
+_ZORDER_ORACLE = f"""
+SELECT o_orderkey, o_custkey,
+       {duck_r4('o_totalprice')} AS price,
+       {_z_expr(_ZX, _ZY)} AS z
+FROM orders WHERE {_BOX}
+"""
+
+
+@register("q_layout_zorder", oracle=_ZORDER_ORACLE, tags=("layout", "scan", "sort"))
+def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order-clustered scan: the staged table is range-partitioned
+    and sorted by the Morton key of (custkey, price-bucket); the box
+    query filters on the derived z-range FIRST (pushed to the parquet
+    scan, audited) and the exact box second. Result must equal the
+    plain box filter on the source table — pruning is a performance
+    layer, never a semantics layer.
+
+    The z superset bound: every row in the box has
+    z(xlo,ylo) <= z <= z(xhi,yhi) by bit-wise monotonicity of the
+    interleave (BIGMIN-style gap skipping would tighten the range
+    further; the coarse bound is what stats-based skipping needs).
+    Dimensions are masked to 16 bits — at fixture scale both dims fit;
+    a deployment picks the mask from the dim's value range."""
+    path, written = _sink_dir("zord", sf_dir)
+    if not written:
+        orders = load_tables(spark, sf_dir)["orders"]
+        (
+            orders.select("o_orderkey", "o_custkey", "o_totalprice")
+            .withColumn("z", F.expr(_z_expr(_ZX, _ZY)))
+            .repartitionByRange(8, "z")
+            .sortWithinPartitions("z")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    # z-range bound for the box, computed with the same interleave
+    def z_of(x: int, y: int) -> int:
+        z = 0
+        for i in range(_Z_BITS):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    zlo = z_of(100 & 0xFFFF, (50000 // 64) & 0xFFFF)
+    zhi = z_of(500 & 0xFFFF, (150000 // 64) & 0xFFFF)
+    fact = spark.read.parquet(path)
+    return (
+        fact.filter(F.col("z").between(zlo, zhi))  # pushed, stats-skippable
+        .filter(F.expr(_BOX))  # exact residual
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            r4("o_totalprice").alias("price"),
+            "z",
+        )
+    )

@@ -206,6 +206,20 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
     # PII scrub is a pure projection: regex count+replace per row — no
     # join, no aggregate-side exchange at all
     "q_llm_pii_scrub": ([], ["Exchange hashpartitioning", "Generate", "Window"]),
+    # z-order layout: the derived 1-D z-range must reach the parquet
+    # scan as a pushed filter (that is the whole point — row-group
+    # min/max skipping on a z-sorted layout); one scan, no join
+    "q_layout_zorder": (
+        ["PushedFilters: [IsNotNull(z)", "GreaterThanOrEqual(z,"],
+        ["Exchange", "SortMergeJoin", "CartesianProduct"],
+    ),
+    # triangle counting: wedge join + closing-edge join are equi joins
+    # on oriented keys; per-node rollup is a hash agg and the top-k a
+    # per-partition heap — no nested loop, no global sort
+    "q_graph_triangles": (
+        ["HashAggregate", "TakeOrderedAndProject"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "Exchange rangepartitioning"],
+    ),
     # PQ/ADC: codebook + distance table are broadcast constants; the
     # encode argmin is a struct-min partial aggregate (NO window), and
     # the query top-k is a TakeOrderedAndProject, not a global sort
