@@ -325,3 +325,103 @@ def q_source_gzip_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("text_md5"),
         F.length("text").cast("long").alias("n_chars_read"),
     )
+
+
+# --------------------------------------------------------- XML source
+# Spark 4 ships a NATIVE XML source (the databricks/spark-xml lineage,
+# merged upstream in 4.0) — no external jar. Round-trip the nation
+# dimension through rowTag-framed XML with an explicit schema (the
+# same reader infers when the schema is withheld). XML remains the
+# interchange format of a long tail of enterprise/industrial feeds —
+# a source family the engine must read natively, not via UDF parsing.
+
+
+@register("q_source_xml_roundtrip", oracle=_NATION_ORACLE, tags=("source", "sink"))
+def q_source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink → XML source (Spark 4 native): values must survive the
+    markup round-trip exactly, same contract as the CSV/JSON/ORC
+    roundtrips."""
+    path, written = _sink_dir("xml", sf_dir)
+    cols = ["n_nationkey", "n_name", "n_regionkey"]
+    if not written:
+        nation = load_tables(spark, sf_dir)["nation"].select(*cols)
+        nation.write.mode("overwrite").format("xml").option("rowTag", "nation").save(path)
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .schema("n_nationkey bigint, n_name string, n_regionkey bigint")
+        .load(path)
+    )
+
+
+# -------------------------------------------------- splittable codec
+# The splittability contrast to q_source_gzip_text: bzip2 is a BLOCK
+# codec (900 kB independent blocks with a resynchronizable magic), so
+# ONE .bz2 member is read by MANY tasks — Hadoop's pure-Java CBZip2
+# splits it at block boundaries. gzip's single DEFLATE stream forces
+# one-task-per-member (why gzip corpora ship as many members, modeled
+# there); bz2 removes that constraint at ~3-5× the CPU. The staged
+# fixture is ONE member holding every document; content must round-
+# trip bit-exactly, and tests/test_contract.py pins that the scan
+# actually SPLITS (>1 partition under a small maxPartitionBytes) while
+# the same payload as .gz stays at 1.
+
+_BZ2_ORACLE = """
+SELECT doc_id, md5(text) AS text_md5,
+       CAST(length(text) AS BIGINT) AS n_chars_read
+FROM documents
+"""
+
+
+def stage_bz2_corpus(spark: SparkSession, sf_dir: str) -> str:
+    """Write ALL documents as ONE TSV .bz2 member (cached).
+
+    Single-member staging is the point (splittability makes one big
+    member fine); coalesce(1) keeps the write executor-side."""
+    import pandas as pd
+
+    path, written = _sink_dir("bz2", sf_dir)
+    if written:
+        return path
+
+    def write_member(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import bz2 as _bz2
+
+        pdf = pdf.sort_values("doc_id")
+        payload = "".join(
+            f"{int(i)}\t{t}\n" for i, t in zip(pdf["doc_id"], pdf["text"])
+        ).encode("utf-8")
+        tmp = os.path.join(path, ".corpus.tmp")
+        with open(tmp, "wb") as f:
+            f.write(_bz2.compress(payload))
+        os.replace(tmp, os.path.join(path, "corpus.tsv.bz2"))
+        return pd.DataFrame({"n": [len(pdf)]})
+
+    docs = load_tables(spark, sf_dir)["documents"].select(
+        "doc_id", "text", F.lit(0).alias("g")
+    )
+    n = (
+        docs.groupBy("g")
+        .applyInPandas(write_member, "n long")
+        .collect()[0][0]
+    )
+    if not n:
+        raise RuntimeError(f"bz2 staging wrote no rows for {sf_dir}")
+    open(os.path.join(path, "_SUCCESS"), "w").close()
+    return path
+
+
+@register("q_source_bz2_split", oracle=_BZ2_ORACLE, tags=("source", "llm", "text"))
+def q_source_bz2_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Splittable-codec ingestion: one .bz2 member, decompressed by
+    Hadoop's block-resync codec across however many tasks the split
+    size dictates; every document's text hash-checked against the
+    source table."""
+    path = stage_bz2_corpus(spark, sf_dir)
+    lines = spark.read.text(os.path.join(path, "corpus.tsv.bz2"))
+    kv = F.split(F.col("value"), "\t", 2)
+    return lines.select(
+        F.element_at(kv, 1).cast("long").alias("doc_id"),
+        F.md5(F.element_at(kv, 2)).alias("text_md5"),
+        F.length(F.element_at(kv, 2)).cast("long").alias("n_chars_read"),
+    )

@@ -116,3 +116,34 @@ def test_registry_rotation_covers_driver_blindspot():
     # oracle iteration order must follow the same rotation
     o_names = list(os_)
     assert o_names == [n for n in names if n in os_]
+
+
+def test_bz2_splits_where_gzip_cannot(spark, sf_dir):
+    """The scale claim behind q_source_bz2_split: ONE bz2 member fans
+    out to multiple read tasks at a small split size (block codec),
+    while the same payload as ONE gzip member stays a single task
+    (stream codec). Asserted on the actual staged fixture."""
+    import gzip
+    import os
+
+    from iceberg_twist_spark.sources.connectors import stage_bz2_corpus
+
+    path = stage_bz2_corpus(spark, sf_dir)
+    bz = os.path.join(path, "corpus.tsv.bz2")
+    # re-wrap the identical decompressed payload as a gzip member
+    import bz2 as _bz2
+
+    payload = _bz2.decompress(open(bz, "rb").read())
+    gz = os.path.join(path, "corpus_twin.tsv.gz")
+    with open(gz, "wb") as f:
+        f.write(gzip.compress(payload))
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(16 * 1024))
+        n_bz = spark.read.text(bz).rdd.getNumPartitions()
+        n_gz = spark.read.text(gz).rdd.getNumPartitions()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    assert n_bz > 1, f"bz2 member did not split ({n_bz} partition)"
+    assert n_gz == 1, f"gzip member unexpectedly split ({n_gz})"
