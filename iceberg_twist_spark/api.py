@@ -505,3 +505,247 @@ class Engine:
             span = F.lead(sec, len(pattern) - 1).over(w) - sec
             cond = cond & (span <= within_seconds)
         return out.withColumn("__m", cond).filter("__m").drop("__m")
+
+    # -- round-5 operators, generic over user DataFrames ----------------
+    @staticmethod
+    def line_dedup(
+        df: DataFrame,
+        text_col: str,
+        key_col: str,
+        block_words: int = 4,
+        min_df: int = 3,
+    ) -> DataFrame:
+        """Cross-corpus line/block-level dedup (C4/CCNet boilerplate
+        removal): blocks of ``block_words`` words appearing in >=
+        ``min_df`` distinct documents are removed from every document.
+        Returns (key, n_blocks, n_boilerplate, cleaned_text). Same plan
+        as q_llm_line_dedup: the frequency pass shuffles digests, the
+        rewrite shuffles the corpus once on the key."""
+        b = (
+            df.filter(F.length(text_col) > 0)
+            .select(F.col(key_col).alias("__k"), F.split(text_col, " ").alias("__ws"))
+            .select(
+                "__k",
+                F.expr(
+                    f"""explode(transform(
+                        sequence(0, cast(ceil(size(__ws) / {block_words}.0) as int) - 1),
+                        i -> struct(cast(i as bigint) as pos,
+                                    array_join(slice(__ws, i * {block_words} + 1,
+                                                     {block_words}), ' ') as block)))"""
+                ).alias("__s"),
+            )
+            .select("__k", F.col("__s.pos").alias("__pos"), F.col("__s.block").alias("__b"))
+            .withColumn("__bh", F.md5("__b"))
+        )
+        bp = (
+            b.groupBy("__bh")
+            .agg(F.countDistinct("__k").alias("__df"))
+            .filter(F.col("__df") >= min_df)
+            .select("__bh", F.lit(True).alias("__bp"))
+        )
+        flagged = b.join(bp, "__bh", "left").withColumn(
+            "__bp", F.coalesce("__bp", F.lit(False))
+        )
+        kept = F.filter(
+            F.array_sort(F.collect_list(F.struct("__pos", "__b", "__bp"))),
+            lambda s: ~s["__bp"],
+        )
+        return flagged.groupBy(F.col("__k").alias(key_col)).agg(
+            F.count("*").cast("long").alias("n_blocks"),
+            F.sum(F.col("__bp").cast("int")).cast("long").alias("n_boilerplate"),
+            F.array_join(F.transform(kept, lambda s: s["__b"]), " ").alias(
+                "cleaned_text"
+            ),
+        )
+
+    @staticmethod
+    def mixture_sample(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
+        """Rebalance groups (languages, sources) to the rarest group's
+        count by deterministic hash gate — returns the SURVIVING rows.
+        The per-group rate table broadcasts (group-set cardinality);
+        the decision is a pure function of the key, so the sample is
+        identical on any cluster layout."""
+        counts = df.groupBy(group_col).agg(F.count("*").alias("__n"))
+        min_row = counts.agg(F.min("__n").alias("__mn"))
+        rates = counts.crossJoin(F.broadcast(min_row)).select(
+            group_col, (F.col("__mn") / F.col("__n").cast("double")).alias("__rate")
+        )
+        frac = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("mix-"), F.col(key_col).cast("string"))), 1, 6
+                ),
+                16,
+                10,
+            ).cast("long")
+            / 16777216.0
+        )
+        return (
+            df.join(F.broadcast(rates), group_col)
+            .filter(frac < F.col("__rate"))
+            .drop("__rate")
+        )
+
+    @staticmethod
+    def scrub_pii(df: DataFrame, text_col: str) -> DataFrame:
+        """Redact emails and phone numbers in ``text_col`` (in place),
+        adding n_emails / n_phones count columns. Pure projection —
+        zero shuffle. Patterns sit in the Java∩RE2 regex subset (the
+        q_llm_pii_scrub oracle pins them cross-engine)."""
+        from iceberg_twist_spark.llm.textstats import _PII_EMAIL, _PII_PHONE
+
+        return (
+            df.withColumn(
+                "n_emails",
+                F.regexp_count(text_col, F.lit(_PII_EMAIL)).cast("long"),
+            )
+            .withColumn(
+                "n_phones",
+                F.regexp_count(text_col, F.lit(_PII_PHONE)).cast("long"),
+            )
+            .withColumn(
+                text_col,
+                F.regexp_replace(
+                    F.regexp_replace(text_col, _PII_EMAIL, "<EMAIL>"),
+                    F.lit(_PII_PHONE),
+                    F.lit("<PHONE>"),
+                ),
+            )
+        )
+
+    @staticmethod
+    def triangle_counts(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
+        """Per-node triangle participation from an undirected edge list
+        (each edge once, any orientation). Degree-ordered orientation
+        bounds the wedge join by Σ out-deg² — the plan that survives
+        power-law hubs (same shape as q_graph_triangles)."""
+        pairs = edges.select(
+            F.least(src_col, dst_col).alias("__a"),
+            F.greatest(src_col, dst_col).alias("__b"),
+        ).filter(F.col("__a") != F.col("__b")).distinct()
+        deg = (
+            pairs.select(F.col("__a").alias("__node"))
+            .unionByName(pairs.select(F.col("__b").alias("__node")))
+            .groupBy("__node")
+            .agg(F.count("*").alias("__d"))
+        )
+        p = (
+            pairs.join(
+                deg.withColumnRenamed("__node", "__a").withColumnRenamed("__d", "__d1"),
+                "__a",
+            ).join(
+                deg.withColumnRenamed("__node", "__b").withColumnRenamed("__d", "__d2"),
+                "__b",
+            )
+        )
+        first_smaller = F.struct("__d1", "__a") < F.struct("__d2", "__b")
+        o = p.select(
+            F.when(first_smaller, F.col("__a")).otherwise(F.col("__b")).alias("src"),
+            F.when(first_smaller, F.col("__b")).otherwise(F.col("__a")).alias("dst"),
+        )
+        e1 = o.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        e2 = o.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+        e3 = o.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+        tri = e1.join(e2, "u").filter(F.col("v") < F.col("w")).join(e3, ["v", "w"])
+        nodes = (
+            tri.select(F.col("u").alias("node"))
+            .unionByName(tri.select(F.col("v").alias("node")))
+            .unionByName(tri.select(F.col("w").alias("node")))
+        )
+        return nodes.groupBy("node").agg(
+            F.count("*").cast("long").alias("n_triangles")
+        )
+
+    @staticmethod
+    def zorder_write(
+        df: DataFrame,
+        path: str,
+        x_col: str,
+        y_col: str,
+        n_files: int = 8,
+    ) -> None:
+        """Write ``df`` Z-order-clustered on two int dimensions: Morton
+        key, range partition, sort within files — OPTIMIZE ZORDER. Box
+        queries over (x, y) should filter the written ``z`` column with
+        Engine.zorder_range's bounds first (pushed, stats-skippable)."""
+        from iceberg_twist_spark.sources.layouts import _z_expr
+
+        zx = f"CAST({x_col} & 65535 AS BIGINT)"
+        zy = f"CAST({y_col} & 65535 AS BIGINT)"
+        (
+            df.withColumn("z", F.expr(_z_expr(zx, zy)))
+            .repartitionByRange(n_files, "z")
+            .sortWithinPartitions("z")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+
+    @staticmethod
+    def zorder_range(xlo: int, xhi: int, ylo: int, yhi: int) -> tuple[int, int]:
+        """[zmin, zmax] superset bound of a 2-D box under the 16-bit
+        Morton interleave (bit-wise monotone)."""
+
+        def z_of(x: int, y: int) -> int:
+            z = 0
+            for i in range(16):
+                z |= ((x >> i) & 1) << (2 * i)
+                z |= ((y >> i) & 1) << (2 * i + 1)
+            return z
+
+        return z_of(xlo & 0xFFFF, ylo & 0xFFFF), z_of(xhi & 0xFFFF, yhi & 0xFFFF)
+
+    @staticmethod
+    def bpe_merge_round(df: DataFrame, text_col: str, key_col: str) -> DataFrame:
+        """One BPE tokenizer-training round over a user corpus: learn
+        the most frequent adjacent token pair (a ≠ b, so the greedy
+        merge is positional) and apply it everywhere. Returns
+        (key, n_tokens, n_merges, merged_text)."""
+        from iceberg_twist_spark.llm.textstats import _TOKEN_PATTERN
+
+        toks = df.filter(F.length(text_col) > 0).select(
+            F.col(key_col).alias("__k"),
+            F.regexp_extract_all(F.lower(text_col), F.lit(_TOKEN_PATTERN), 0).alias("t"),
+        )
+        cand = toks.select(
+            F.explode(
+                F.when(
+                    F.size("t") >= 2,
+                    F.expr(
+                        "transform(sequence(1, size(t) - 1), "
+                        "i -> struct(element_at(t, i) as a, element_at(t, i + 1) as b))"
+                    ),
+                ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+            ).alias("p")
+        ).select("p.a", "p.b")
+        top = (
+            cand.filter(F.col("a") != F.col("b"))
+            .groupBy("a", "b")
+            .count()
+            .orderBy(F.col("count").desc(), "a", "b")
+            .limit(1)
+            .select("a", "b")
+        )
+        m = toks.crossJoin(F.broadcast(top)).withColumn(
+            "__occ",
+            F.when(
+                F.size("t") >= 2,
+                F.expr(
+                    "filter(sequence(1, size(t) - 1), "
+                    "i -> element_at(t, i) = a AND element_at(t, i + 1) = b)"
+                ),
+            ).otherwise(F.array().cast("array<int>")),
+        )
+        merged = F.expr(
+            """filter(
+                   transform(sequence(1, size(t)), i ->
+                       CASE WHEN array_contains(__occ, i) THEN concat(a, b)
+                            WHEN array_contains(__occ, i - 1) THEN CAST(NULL AS STRING)
+                            ELSE element_at(t, i) END),
+                   x -> x IS NOT NULL)"""
+        )
+        return m.select(
+            F.col("__k").alias(key_col),
+            F.size("t").cast("long").alias("n_tokens"),
+            F.size("__occ").cast("long").alias("n_merges"),
+            F.array_join(merged, " ").alias("merged_text"),
+        )

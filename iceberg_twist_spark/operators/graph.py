@@ -241,6 +241,16 @@ def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # clustering-coefficient numerator.
 
 TRI_TOPK = 100
+# Sparsify-then-count: the co-supply graph DENSIFIES with scale (at
+# sf1 the >=2-shared rule yields 13M edges over 10k suppliers — 26%
+# density, wedge mass ~1e10: the sf1 rehearsal found exactly this), so
+# the triangle input is the TOP-E strongest edges by shared-part
+# count, a deterministic total order. Every production triangle/
+# similarity-graph pipeline sparsifies first (threshold or top-k) —
+# an unbounded pairwise-affinity graph is quadratic garbage at scale.
+# E is a knob like LSH banding: it fixes the compute envelope
+# (wedge mass ≤ E^1.5) at EVERY scale factor by construction.
+TRI_EDGES = 50_000
 
 _TRIANGLE_ORACLE = f"""
 WITH e AS (
@@ -249,16 +259,24 @@ WITH e AS (
   SELECT l_partkey FROM e GROUP BY l_partkey HAVING count(*) <= {CO_CAP}
 ), kept AS (
   SELECT e.l_partkey, e.l_suppkey FROM e JOIN degok USING (l_partkey)
-), pairs AS (
-  SELECT a.l_suppkey AS s1, b.l_suppkey AS s2
+), allpairs AS (
+  SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, count(*) AS shared
   FROM kept a JOIN kept b
     ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
   GROUP BY 1, 2 HAVING count(*) >= {CO_MIN_SHARED}
+), pairs AS MATERIALIZED (
+  -- MATERIALIZED is load-bearing for the oracle: DuckDB inlines plain
+  -- CTEs, and `o` (hence the 68M-row allpairs aggregation behind it)
+  -- is referenced three times by the triangle join — the r5 sf1 run
+  -- re-ran it concurrently and blew 68 GB of spill. Materialize once,
+  -- join the 50k-row table three times.
+  SELECT s1, s2 FROM allpairs
+  ORDER BY shared DESC, s1, s2 LIMIT {TRI_EDGES}
 ), deg AS (
   SELECT node, count(*) AS d FROM (
     SELECT s1 AS node FROM pairs UNION ALL SELECT s2 AS node FROM pairs
   ) GROUP BY node
-), o AS (
+), o AS MATERIALIZED (
   SELECT CASE WHEN (d1.d, p.s1) < (d2.d, p.s2) THEN p.s1 ELSE p.s2 END AS src,
          CASE WHEN (d1.d, p.s1) < (d2.d, p.s2) THEN p.s2 ELSE p.s1 END AS dst
   FROM pairs p JOIN deg d1 ON p.s1 = d1.node JOIN deg d2 ON p.s2 = d2.node
@@ -291,7 +309,15 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (v, w). All counts are integers — the oracle comparison is exact.
     A wedge e1.dst < e2.dst canonicalization stops double-counting the
     (v, w) / (w, v) wedge mirror; oriented dst order implies the
-    closing edge is queried in its stored orientation."""
+    closing edge is queried in its stored orientation.
+
+    The input graph is sparsified FIRST: top-TRI_EDGES pairs by
+    shared-part strength (total order → deterministic cutoff). The
+    sf1 rehearsal proved why — un-thresholded co-supply affinity is
+    26% dense there and the wedge set exhausted local disk. The
+    sparsify-then-count sequence is the industry shape for triangle
+    work over similarity graphs; TRI_EDGES bounds wedge mass by
+    E^1.5 at any SF."""
     li = load_tables(spark, sf_dir)["lineitem"]
     edges = li.select("l_partkey", "l_suppkey").distinct()
     deg_ok = (
@@ -309,6 +335,8 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s1", "s2")
         .agg(F.count("*").alias("shared"))
         .filter(F.col("shared") >= CO_MIN_SHARED)
+        .orderBy(F.col("shared").desc(), "s1", "s2")
+        .limit(TRI_EDGES)
         .select("s1", "s2")
     )
     deg = (

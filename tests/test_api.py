@@ -365,3 +365,102 @@ def test_cosine_pairs_guard_refuses_large_corpus(monkeypatch):
     with pytest.raises(ValueError, match="refuses 11"):
         _guard_exact_pairs(11)
     _guard_exact_pairs(10)
+
+
+def test_line_dedup_facade(spark):
+    """Boilerplate blocks (in >= min_df docs) vanish from every doc;
+    unique blocks survive verbatim."""
+    from iceberg_twist_spark.api import Engine
+
+    bp = "x1 x2 x3 x4"
+    rows = [
+        (1, f"{bp} a b c d"),
+        (2, f"{bp} e f g h"),
+        (3, f"{bp} i j k l"),
+        (4, "m n o p q r s t"),
+    ]
+    df = spark.createDataFrame(rows, "k long, text string")
+    out = {r.k: r for r in Engine.line_dedup(df, "text", "k", block_words=4, min_df=3).collect()}
+    assert out[1].cleaned_text == "a b c d"
+    assert out[1].n_boilerplate == 1 and out[1].n_blocks == 2
+    assert out[4].cleaned_text == "m n o p q r s t"
+    assert out[4].n_boilerplate == 0
+
+
+def test_mixture_sample_facade(spark):
+    """Every group downsamples toward the rarest group's count; the
+    rarest group survives whole; the result is key-deterministic."""
+    from iceberg_twist_spark.api import Engine
+
+    rows = [(i, "big" if i < 400 else "small") for i in range(420)]
+    df = spark.createDataFrame(rows, "k long, g string")
+    out = Engine.mixture_sample(df, "g", "k")
+    counts = {r.g: r.n for r in out.groupBy("g").agg(__import__("pyspark").sql.functions.count("*").alias("n")).collect()}
+    assert counts["small"] == 20           # rate 1.0 keeps everything
+    assert 5 <= counts["big"] <= 40        # ~20 expected, binomial jitter
+    again = Engine.mixture_sample(df, "g", "k")
+    assert sorted(r.k for r in out.collect()) == sorted(r.k for r in again.collect())
+
+
+def test_scrub_pii_facade(spark):
+    from iceberg_twist_spark.api import Engine
+
+    df = spark.createDataFrame(
+        [(1, "write to bob@example.com or call 555-0199 now")],
+        "k long, text string",
+    )
+    r = Engine.scrub_pii(df, "text").collect()[0]
+    assert r.n_emails == 1 and r.n_phones == 1
+    assert r.text == "write to <EMAIL> or call <PHONE> now"
+
+
+def test_triangle_counts_facade(spark):
+    """K4 minus one edge: two triangles; the two diagonal nodes sit in
+    both, the others in one each."""
+    from iceberg_twist_spark.api import Engine
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (3, 4)], "s long, d long"
+    )
+    out = {r.node: r.n_triangles for r in Engine.triangle_counts(edges, "s", "d").collect()}
+    assert out == {1: 2, 3: 2, 2: 1, 4: 1}
+
+
+def test_zorder_facade_roundtrip(spark, tmp_path):
+    """zorder_write + zorder_range: the z-range-filtered box query
+    returns exactly the plain box filter's rows."""
+    from pyspark.sql import functions as F
+
+    from iceberg_twist_spark.api import Engine
+
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 50).alias("x"),
+        ((F.col("id") * 7) % 80).alias("y"),
+    )
+    path = str(tmp_path / "zord")
+    Engine.zorder_write(df, path, "x", "y")
+    zlo, zhi = Engine.zorder_range(10, 20, 30, 60)
+    back = spark.read.parquet(path)
+    got = (
+        back.filter(F.col("z").between(zlo, zhi))
+        .filter("x BETWEEN 10 AND 20 AND y BETWEEN 30 AND 60")
+        .select("k")
+    )
+    want = df.filter("x BETWEEN 10 AND 20 AND y BETWEEN 30 AND 60").select("k")
+    assert sorted(r.k for r in got.collect()) == sorted(r.k for r in want.collect())
+    assert want.count() > 0
+
+
+def test_bpe_merge_round_facade(spark):
+    """The dominant adjacent pair merges everywhere; counts line up."""
+    from iceberg_twist_spark.api import Engine
+
+    rows = [(1, "red cat red cat red dog"), (2, "red cat blue fish")]
+    df = spark.createDataFrame(rows, "k long, text string")
+    out = {r.k: r for r in Engine.bpe_merge_round(df, "text", "k").collect()}
+    # 'red cat' occurs 3x — the winning a≠b pair
+    assert out[1].merged_text == "redcat redcat red dog"
+    assert out[1].n_merges == 2 and out[1].n_tokens == 6
+    assert out[2].merged_text == "redcat blue fish"
+    assert out[2].n_merges == 1
