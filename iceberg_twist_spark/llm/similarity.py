@@ -1310,3 +1310,60 @@ def q_ml_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.avg(F.sqrt("dist2"))).alias("avg_dist"),
         r4(F.sum("dist2")).alias("inertia"),
     )
+
+
+# ------------------------------------------------ matryoshka prefix
+# Matryoshka representation truncation (Kusupati et al., "Matryoshka
+# Representation Learning", NeurIPS 2022): MRL-trained embeddings rank
+# usefully under PREFIX truncation, so retrieval runs on the first
+# MRL_DIMS dims at (dims/full) the compute and memory — the standard
+# cheap first pass in front of a full-dim re-rank. The fixture's
+# synthetic embeddings are not MRL-trained, which is exactly why the
+# recall number is a CHECKED measurement beside IVF/LSH/PQ rather
+# than an assumption. Scale shape: identical to cosine_topk — probe
+# broadcast, one corpus scan, TakeOrderedAndProject — at one quarter
+# of the per-row HOF work.
+
+MRL_DIMS = 16
+
+_MRL_SLICE_SPARK = (
+    f"transform(slice(embedding, 1, {MRL_DIMS}), x -> cast(x as double))"
+)
+_MRL_SLICE_DUCK = "(CAST({e} AS DOUBLE[]))[1:{d}]"
+
+_MRL_ORACLE = f"""
+WITH t AS (
+  SELECT vec_id, {_MRL_SLICE_DUCK.format(e='embedding', d=MRL_DIMS)} AS v
+  FROM embeddings
+), probe AS (SELECT v AS p FROM t WHERE vec_id = 0)
+SELECT vec_id,
+       floor(({_DUCK_COS.format(a='t.v', b='probe.p')}) * 10000 + 0.5) / 10000
+           AS cos_sim
+FROM t CROSS JOIN probe
+WHERE vec_id <> 0
+ORDER BY cos_sim DESC, vec_id
+LIMIT {RECALL_K}
+"""
+
+
+@register("q_llm_ann_mrl", oracle=_MRL_ORACLE, tags=("llm", "similarity"))
+def q_llm_ann_mrl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncated top-10: cosine over the first MRL_DIMS
+    dims only. Same plan as the full-dim brute force at dims/full the
+    cost; its recall vs the full-dim answer is measured in the pinned
+    tests (not assumed — the fixture embeddings are not MRL-trained)."""
+    emb = spread(load_tables(spark, sf_dir)["embeddings"], "vec_id").select(
+        "vec_id", F.expr(_MRL_SLICE_SPARK).alias("v")
+    )
+    emb = emb.withColumn("nrm", _norm(F.col("v")))
+    probe = emb.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("p"), F.col("nrm").alias("pn")
+    )
+    sim = _dot(F.col("v"), F.col("p")) / (F.col("nrm") * F.col("pn"))
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select("vec_id", r4(sim).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(RECALL_K)
+    )

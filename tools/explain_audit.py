@@ -275,6 +275,7 @@ BNLJ_ALLOWED: dict[str, str] = {
     "q_tpch_q11": "1-row group-value threshold broadcast (spec'd HAVING)",
     "q_tpch_q22": "1-row avg(acctbal) scalar broadcast (spec'd subquery)",
     "q_llm_cosine_topk": "k-row probe-vector broadcast",
+    "q_llm_ann_mrl": "1-row truncated-probe broadcast",
     "q_llm_cosine_pairs": "bounded candidate-block broadcast",
     "q_llm_knn_join": "probe-set broadcast (|probes| ≪ corpus)",
     "q_llm_hybrid_search": "probe-vector + idf-model broadcast",
