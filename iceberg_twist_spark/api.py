@@ -586,28 +586,47 @@ class Engine:
             .drop("__rate")
         )
 
+    # Facade-default PII patterns — case-insensitive email and common
+    # North-American phone layouts (555-1234 / 415-555-1234 /
+    # (415) 555-1234 / +1-415-555-1234). The narrower lowercase/555-only
+    # patterns in llm/textstats.py stay as-is: they are pinned by the
+    # q_llm_pii_scrub oracle's planted fixture, not meant for user data.
+    PII_EMAIL_PATTERN = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    # (?<!\d) instead of \b so the match can start at '+' (no word
+    # boundary between a space and '+') without ever starting inside a
+    # longer digit run
+    PII_PHONE_PATTERN = (
+        "(?<!\\d)(?:\\+?1[-. ])?(?:\\(\\d{3}\\)\\s?|\\d{3}[-. ])?\\d{3}[-. ]\\d{4}\\b"
+    )
+
     @staticmethod
-    def scrub_pii(df: DataFrame, text_col: str) -> DataFrame:
+    def scrub_pii(
+        df: DataFrame,
+        text_col: str,
+        email_pattern: str | None = None,
+        phone_pattern: str | None = None,
+    ) -> DataFrame:
         """Redact emails and phone numbers in ``text_col`` (in place),
         adding n_emails / n_phones count columns. Pure projection —
-        zero shuffle. Patterns sit in the Java∩RE2 regex subset (the
-        q_llm_pii_scrub oracle pins them cross-engine)."""
-        from iceberg_twist_spark.llm.textstats import _PII_EMAIL, _PII_PHONE
-
+        zero shuffle. Defaults match uppercase emails and the common
+        NANP phone formats; pass ``email_pattern`` / ``phone_pattern``
+        (Java regex) for other locales."""
+        email = email_pattern or Engine.PII_EMAIL_PATTERN
+        phone = phone_pattern or Engine.PII_PHONE_PATTERN
         return (
             df.withColumn(
                 "n_emails",
-                F.regexp_count(text_col, F.lit(_PII_EMAIL)).cast("long"),
+                F.regexp_count(text_col, F.lit(email)).cast("long"),
             )
             .withColumn(
                 "n_phones",
-                F.regexp_count(text_col, F.lit(_PII_PHONE)).cast("long"),
+                F.regexp_count(text_col, F.lit(phone)).cast("long"),
             )
             .withColumn(
                 text_col,
                 F.regexp_replace(
-                    F.regexp_replace(text_col, _PII_EMAIL, "<EMAIL>"),
-                    F.lit(_PII_PHONE),
+                    F.regexp_replace(text_col, email, "<EMAIL>"),
+                    F.lit(phone),
                     F.lit("<PHONE>"),
                 ),
             )
@@ -642,11 +661,20 @@ class Engine:
         o = p.select(
             F.when(first_smaller, F.col("__a")).otherwise(F.col("__b")).alias("src"),
             F.when(first_smaller, F.col("__b")).otherwise(F.col("__a")).alias("dst"),
+            F.when(first_smaller, F.col("__d2")).otherwise(F.col("__d1")).alias("ddeg"),
         )
-        e1 = o.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-        e2 = o.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+        # wedge canonicalization must reuse the orientation's (deg, id)
+        # total order or closing edges stored "backwards" by raw id are
+        # silently missed (same fix as q_graph_triangles)
+        e1 = o.select(F.col("src").alias("u"), F.col("dst").alias("v"), F.col("ddeg").alias("dv"))
+        e2 = o.select(F.col("src").alias("u"), F.col("dst").alias("w"), F.col("ddeg").alias("dw"))
         e3 = o.select(F.col("src").alias("v"), F.col("dst").alias("w"))
-        tri = e1.join(e2, "u").filter(F.col("v") < F.col("w")).join(e3, ["v", "w"])
+        tri = (
+            e1.join(e2, "u")
+            .filter(F.struct("dv", "v") < F.struct("dw", "w"))
+            .join(e3, ["v", "w"])
+            .select("u", "v", "w")
+        )
         nodes = (
             tri.select(F.col("u").alias("node"))
             .unionByName(tri.select(F.col("v").alias("node")))
@@ -735,14 +763,20 @@ class Engine:
                 ),
             ).otherwise(F.array().cast("array<int>")),
         )
-        merged = F.expr(
-            """filter(
+        # guard size(t)=0: Spark's sequence(1, 0) is descending [1, 0]
+        # and element_at(t, 0) throws — whitespace-only rows pass the
+        # length filter but tokenize to zero tokens
+        merged = F.when(
+            F.size("t") >= 1,
+            F.expr(
+                """filter(
                    transform(sequence(1, size(t)), i ->
                        CASE WHEN array_contains(__occ, i) THEN concat(a, b)
                             WHEN array_contains(__occ, i - 1) THEN CAST(NULL AS STRING)
                             ELSE element_at(t, i) END),
                    x -> x IS NOT NULL)"""
-        )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
         return m.select(
             F.col("__k").alias(key_col),
             F.size("t").cast("long").alias("n_tokens"),

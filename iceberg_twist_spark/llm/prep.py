@@ -92,7 +92,7 @@ _SPLIT_CASE = (
 _SPLIT_ORACLE = f"""
 SELECT {_SPLIT_CASE} AS split,
        count(*) AS docs,
-       sum(n_chars) AS total_chars
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents
 GROUP BY 1
 """
@@ -136,7 +136,7 @@ WITH toks AS (
 SELECT lang,
        CAST(floor((cum_tokens - 1) / {PACK_BUDGET}) AS BIGINT) AS bin_id,
        count(*) AS docs,
-       sum(tokens) AS bin_tokens
+       CAST(sum(tokens) AS BIGINT) AS bin_tokens
 FROM cum
 GROUP BY lang, bin_id
 """

@@ -993,7 +993,7 @@ WITH scaled AS (
 )
 SELECT vec_id,
        floor(scale * 10000 + 0.5) / 10000 AS scale4,
-       list_sum(q) AS q_sum,
+       CAST(list_sum(q) AS BIGINT) AS q_sum,
        list_min(q) AS q_min,
        list_max(q) AS q_max
 FROM quant

@@ -582,14 +582,21 @@ def q_llm_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).otherwise(F.array().cast("array<int>")),
     )
-    merged = F.expr(
-        """filter(
+    # size(t)=0 must short-circuit: Spark's sequence(1, 0) is the
+    # DESCENDING [1, 0] and element_at(t, 0) throws, while DuckDB's
+    # generate_series(1, 0) is empty — guard like the pair extraction
+    # so whitespace-only docs yield md5('') on both engines.
+    merged = F.when(
+        F.size("t") >= 1,
+        F.expr(
+            """filter(
                transform(sequence(1, size(t)), i ->
                    CASE WHEN array_contains(occ, i) THEN concat(a, b)
                         WHEN array_contains(occ, i - 1) THEN CAST(NULL AS STRING)
                         ELSE element_at(t, i) END),
                x -> x IS NOT NULL)"""
-    )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return m.select(
         "doc_id",
         F.size("t").cast("long").alias("n_tokens"),

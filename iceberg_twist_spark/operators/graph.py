@@ -277,13 +277,18 @@ WITH e AS (
     SELECT s1 AS node FROM pairs UNION ALL SELECT s2 AS node FROM pairs
   ) GROUP BY node
 ), o AS MATERIALIZED (
+  -- carry the dst's degree: wedge canonicalization below must use the
+  -- SAME (deg, id) total order as this orientation, or triangles whose
+  -- closing edge is stored "backwards" by raw id are missed (r5 bug)
   SELECT CASE WHEN (d1.d, p.s1) < (d2.d, p.s2) THEN p.s1 ELSE p.s2 END AS src,
-         CASE WHEN (d1.d, p.s1) < (d2.d, p.s2) THEN p.s2 ELSE p.s1 END AS dst
+         CASE WHEN (d1.d, p.s1) < (d2.d, p.s2) THEN p.s2 ELSE p.s1 END AS dst,
+         CASE WHEN (d1.d, p.s1) < (d2.d, p.s2) THEN d2.d ELSE d1.d END AS ddeg
   FROM pairs p JOIN deg d1 ON p.s1 = d1.node JOIN deg d2 ON p.s2 = d2.node
 ), tri AS (
   SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
   FROM o e1
-  JOIN o e2 ON e1.src = e2.src AND e1.dst < e2.dst
+  JOIN o e2 ON e1.src = e2.src
+           AND (e1.ddeg, e1.dst) < (e2.ddeg, e2.dst)
   JOIN o e3 ON e3.src = e1.dst AND e3.dst = e2.dst
 )
 SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
@@ -307,9 +312,12 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     splits residual skew) and its mass is Σ out-deg², bounded by the
     degree orientation; the closing edge check is another equi join on
     (v, w). All counts are integers — the oracle comparison is exact.
-    A wedge e1.dst < e2.dst canonicalization stops double-counting the
-    (v, w) / (w, v) wedge mirror; oriented dst order implies the
-    closing edge is queried in its stored orientation.
+    Wedges are canonicalized by the SAME (degree, id) total order that
+    oriented the edges — struct(deg_v, v) < struct(deg_w, w) — which
+    guarantees the closing edge between v and w, if present, is stored
+    exactly as (v, w). Canonicalizing by raw id instead silently drops
+    every triangle whose closing edge's degree order disagrees with id
+    order (found by the r5 advisor; regression-tested in test_api.py).
 
     The input graph is sparsified FIRST: top-TRI_EDGES pairs by
     shared-part strength (total order → deterministic cutoff). The
@@ -353,14 +361,16 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = p.select(
         F.when(first_is_smaller, F.col("s1")).otherwise(F.col("s2")).alias("src"),
         F.when(first_is_smaller, F.col("s2")).otherwise(F.col("s1")).alias("dst"),
+        F.when(first_is_smaller, F.col("d2")).otherwise(F.col("d1")).alias("ddeg"),
     )
-    e1 = o.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-    e2 = o.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    e1 = o.select(F.col("src").alias("u"), F.col("dst").alias("v"), F.col("ddeg").alias("dv"))
+    e2 = o.select(F.col("src").alias("u"), F.col("dst").alias("w"), F.col("ddeg").alias("dw"))
     e3 = o.select(F.col("src").alias("v"), F.col("dst").alias("w"))
     tri = (
         e1.join(e2, "u")
-        .filter(F.col("v") < F.col("w"))
+        .filter(F.struct("dv", "v") < F.struct("dw", "w"))
         .join(e3, ["v", "w"])
+        .select("u", "v", "w")
     )
     nodes = (
         tri.select(F.col("u").alias("node"))

@@ -200,7 +200,7 @@ def q_sample_group_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------- native API (ε-band checked)
 _BERNOULLI_EXACT = """
 SELECT l_returnflag,
-       count(*) * 0.1 AS sampled_rows,
+       CAST(count(*) * 0.1 AS DOUBLE) AS sampled_rows,
        floor((avg(l_quantity)) * 10000 + 0.5) / 10000 AS avg_qty
 FROM lineitem GROUP BY l_returnflag
 """

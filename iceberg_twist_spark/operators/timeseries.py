@@ -175,10 +175,10 @@ WITH e AS (
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
 SELECT event_id, user_id,
-       sum(new_session) OVER (
+       CAST(sum(new_session) OVER (
            PARTITION BY user_id ORDER BY ts, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-       ) AS session_num
+       ) AS BIGINT) AS session_num
 FROM flagged
 """
 
@@ -228,7 +228,7 @@ WITH hourly AS (
 )
 SELECT user_id,
        strftime(date_trunc('day', hour), '%Y-%m-%d') AS day,
-       sum(cnt) AS cnt,
+       CAST(sum(cnt) AS BIGINT) AS cnt,
        CAST(sum(sum_scaled) AS DOUBLE) / 10000 AS sum_value,
        CAST(sum(sum_scaled) AS DOUBLE) / 10000 / sum(cnt) AS avg_value
 FROM hourly

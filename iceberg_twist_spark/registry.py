@@ -143,23 +143,64 @@ def _load_all_modules() -> None:
 
 
 # The driver truncates its per-round correctness record to the first
-# ~50 entries of queries() in ITERATION order: CORRECTNESS_r1–r4 all
-# cover the same alphabetical prefix (ending at q_iceberg_roundtrip),
-# leaving 180+ registered queries never driver-checked (they are
-# locally swept by tools/check.py every round instead). Rotating the
-# returned dicts' insertion order points each round's driver budget at
-# ids the record has never covered; if the driver sorts keys itself
-# this is a no-op. Bump ROTATION_START each round to just past the id
-# the previous CORRECTNESS file ended at.
-ROTATION_START = "q_iceberg_time_travel"  # r5: resume past r4's last id
+# ~50 entries of queries() in ITERATION order. Rounds 1–5 covered the
+# exact 100-id union below; everything else has only the local
+# tools/check.py sweep. Iteration order therefore puts (a) the six ids
+# whose DuckDB oracles emitted HUGEINT columns until r6 (the observed
+# r5 hash FAIL plus its five latent siblings — their fixes need driver
+# verification) first, then (b) every never-driver-checked id
+# alphabetically, then (c) the already-checked ids. If the driver sorts
+# keys itself this is a no-op. Append each round's newly-covered ids to
+# DRIVER_CHECKED from CORRECTNESS_r{N}.json.
+REVERIFY_FIRST = (
+    "q_llm_pack_greedy",  # r5 driver hash FAIL (HUGEINT bin_tokens)
+    "q_llm_split_assign",
+    "q_tpch_q12",
+    "q_ts_rollup_cascade",
+    "q_ts_sessionize",
+    "q_vec_quantize",
+)
+
+DRIVER_CHECKED = frozenset({
+    "q_agg_approx_distinct", "q_agg_approx_percentile", "q_agg_argextrema",
+    "q_agg_collect", "q_agg_corr_matrix", "q_agg_cube", "q_agg_distinct",
+    "q_agg_entropy", "q_agg_global", "q_agg_group", "q_agg_grouping_sets",
+    "q_agg_histogram", "q_agg_histogram_eqdepth", "q_agg_mode",
+    "q_agg_percentile", "q_agg_pivot", "q_agg_rollup", "q_agg_sla",
+    "q_agg_stats", "q_agg_weighted", "q_array_funcs", "q_array_hof",
+    "q_bitops", "q_cdc_upsert", "q_chunk_payload", "q_cte_recursive",
+    "q_cte_top_supplier", "q_date_diff", "q_date_funcs", "q_distinct",
+    "q_dq_checks", "q_event_transitions", "q_filter_eq", "q_filter_in",
+    "q_filter_like", "q_filter_null", "q_filter_range",
+    "q_frames_mapinpandas", "q_funnel_3step", "q_fuzzy_join", "q_geo_bbox",
+    "q_geo_nearest_station", "q_geo_track_length",
+    "q_graph_common_neighbors", "q_graph_pagerank", "q_iceberg_compact",
+    "q_iceberg_history", "q_iceberg_merge", "q_iceberg_prune",
+    "q_iceberg_roundtrip", "q_iceberg_time_travel", "q_impute_mean",
+    "q_join_anti", "q_join_asof", "q_join_bloom_prune", "q_join_broadcast",
+    "q_join_bucketed", "q_join_cross", "q_join_full", "q_join_inner",
+    "q_join_interval_overlap", "q_join_left", "q_join_multiway",
+    "q_join_nullsafe", "q_join_range", "q_join_salted", "q_join_semi",
+    "q_join_theta", "q_json_extract", "q_json_variant", "q_lateral_topk",
+    "q_layout_zorder", "q_llm_ann_ivf", "q_llm_ann_ivf_indexed",
+    "q_llm_ann_lsh", "q_llm_ann_mrl", "q_llm_ann_pq", "q_llm_ann_recall",
+    "q_llm_bpe_apply", "q_llm_bpe_pairs", "q_llm_chunk_text",
+    "q_llm_collapse_runs", "q_llm_corpus_pipeline", "q_llm_cosine_pairs",
+    "q_llm_cosine_topk", "q_llm_decontaminate", "q_llm_dedup_survivor",
+    "q_llm_dup_clusters", "q_llm_exact_dedup", "q_llm_fingerprint",
+    "q_llm_hybrid_search", "q_llm_knn_join", "q_llm_langid",
+    "q_llm_line_dedup", "q_llm_minhash_dedup", "q_llm_mixture_sample",
+    "q_llm_neg_sample", "q_llm_ngram_jaccard", "q_llm_pack_greedy",
+    "q_llm_pii_scrub",
+})
 
 
 def _rotated_names() -> list[str]:
-    import bisect
-
     s = sorted(REGISTRY)
-    i = bisect.bisect_left(s, ROTATION_START)
-    return s[i:] + s[:i]
+    first = [n for n in REVERIFY_FIRST if n in REGISTRY]
+    fresh = [n for n in s if n not in DRIVER_CHECKED and n not in first]
+    rest = [n for n in s if n in DRIVER_CHECKED and n not in first]
+    return first + fresh + rest
 
 
 def all_queries() -> dict[str, Builder]:

@@ -39,10 +39,20 @@ from iceberg_twist_spark.catalog import load_tables
 from iceberg_twist_spark.common import duck_exact_sum, duck_r4, exact_sum, r4
 from iceberg_twist_spark.registry import register
 
-# Bucket count is a CLUSTER parameter, not a data parameter: local
-# fixtures use 8; a 1000-executor cluster would write e.g. 4096 and
-# the query code would not change.
-_N_BUCKETS = 8
+# Bucket count is a CLUSTER parameter, not a data parameter: a
+# 1000-executor cluster would write e.g. 4096 and the query code would
+# not change. Locally the "cluster" is local[32], so the writer picks
+# max(8, min(32, rows/750k)) — 8 at the driver fixtures (sf ≤ 1,
+# unchanged hashes/bench), 32 at the sf10 twin, where a fixed 8 capped
+# the exchange-free join at 8 read tasks (the r5 curve's 6× regression
+# was the parameter's failure mode, not the layout's).
+_MIN_BUCKETS = 8
+_MAX_BUCKETS = 32
+_ROWS_PER_BUCKET = 750_000
+
+
+def _bucket_count(n_rows: int) -> int:
+    return max(_MIN_BUCKETS, min(_MAX_BUCKETS, n_rows // _ROWS_PER_BUCKET))
 
 _SINK_CACHE: dict[tuple[str, str], str] = {}
 
@@ -78,10 +88,13 @@ def _ensure_bucketed(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         return li, od
     t = load_tables(spark, sf_dir)
     path, _ = _sink_dir("bkt", sf_dir)
+    # parquet metadata count — cheap, and it sizes the layout like a
+    # real deployment would (bucket count from expected volume/cluster)
+    n_buckets = _bucket_count(t["lineitem"].count())
     (
         t["lineitem"]
         .select("l_orderkey", "l_extendedprice")
-        .write.bucketBy(_N_BUCKETS, "l_orderkey")
+        .write.bucketBy(n_buckets, "l_orderkey")
         .sortBy("l_orderkey")
         .option("path", os.path.join(path, "lineitem"))
         .mode("overwrite")
@@ -90,7 +103,7 @@ def _ensure_bucketed(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     (
         t["orders"]
         .select("o_orderkey", "o_orderpriority")
-        .write.bucketBy(_N_BUCKETS, "o_orderkey")
+        .write.bucketBy(n_buckets, "o_orderkey")
         .sortBy("o_orderkey")
         .option("path", os.path.join(path, "orders"))
         .mode("overwrite")

@@ -464,3 +464,48 @@ def test_bpe_merge_round_facade(spark):
     assert out[1].n_merges == 2 and out[1].n_tokens == 6
     assert out[2].merged_text == "redcat blue fish"
     assert out[2].n_merges == 1
+
+
+def test_triangle_counts_degree_flipped_closing_edge(spark):
+    """The r5 advisor's counterexample: edges {(1,2),(1,3),(2,3),(2,4)}
+    hold ONE triangle, but node 2's pendant edge raises its degree so
+    the (deg, id) orientation stores the closing edge as 3→2 —
+    canonicalizing wedges by raw id then misses it entirely."""
+    from iceberg_twist_spark.api import Engine
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4)], "s long, d long"
+    )
+    out = {r.node: r.n_triangles for r in Engine.triangle_counts(edges, "s", "d").collect()}
+    assert out == {1: 1, 2: 1, 3: 1}
+
+
+def test_bpe_merge_round_zero_token_doc(spark):
+    """Docs passing the length filter but tokenizing to zero tokens
+    (whitespace/punctuation-only) must yield an empty rewrite, not an
+    INVALID_ARRAY_INDEX crash from sequence(1, 0)."""
+    from iceberg_twist_spark.api import Engine
+
+    rows = [(1, "red cat red cat"), (2, "   ")]
+    df = spark.createDataFrame(rows, "k long, text string")
+    out = {r.k: r for r in Engine.bpe_merge_round(df, "text", "k").collect()}
+    assert out[1].merged_text == "redcat redcat"
+    assert out[2].n_tokens == 0 and out[2].n_merges == 0
+    assert out[2].merged_text == ""
+
+
+def test_scrub_pii_general_patterns(spark):
+    """Facade defaults must catch uppercase emails and real NANP phone
+    formats, not just the oracle fixture's lowercase/555-NNNN shapes."""
+    from iceberg_twist_spark.api import Engine
+
+    rows = [
+        (1, "Mail Bob.Smith@Example.COM or call (415) 555-0199 today"),
+        (2, "alt: +1-212-867-5309 and 212.867.5309 and plain 867-5309"),
+    ]
+    df = spark.createDataFrame(rows, "k long, text string")
+    out = {r.k: r for r in Engine.scrub_pii(df, "text").collect()}
+    assert out[1].n_emails == 1 and out[1].n_phones == 1
+    assert "<EMAIL>" in out[1].text and "<PHONE>" in out[1].text
+    assert out[2].n_phones == 3
+    assert out[2].text == "alt: <PHONE> and <PHONE> and plain <PHONE>"

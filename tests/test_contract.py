@@ -90,13 +90,15 @@ def test_ivf_index_layout_is_cluster_partitioned(spark, sf_dir):
 
 
 def test_registry_rotation_covers_driver_blindspot():
-    """queries()/oracle_sql() iterate from ROTATION_START (wrapping),
-    so a driver that truncates its correctness record to the first ~50
-    entries in insertion order reaches ids earlier rounds never
-    covered. Both dicts stay complete and consistently ordered."""
+    """queries()/oracle_sql() iterate re-verify ids first, then
+    never-driver-checked ids, then already-checked ones, so a driver
+    that truncates its correctness record to the first ~50 entries in
+    insertion order reaches ids earlier rounds never covered. Both
+    dicts stay complete and consistently ordered."""
     from iceberg_twist_spark.registry import (
+        DRIVER_CHECKED,
         REGISTRY,
-        ROTATION_START,
+        REVERIFY_FIRST,
         _load_all_modules,
         all_oracles,
         all_queries,
@@ -107,11 +109,12 @@ def test_registry_rotation_covers_driver_blindspot():
     names = list(qs)
     assert set(names) == set(REGISTRY)
     assert len(names) == len(set(names))
-    assert names[0] >= ROTATION_START
-    # wrapped order: a strictly ascending run, then one drop, then
-    # another strictly ascending run
-    drops = sum(1 for a, b in zip(names, names[1:]) if b < a)
-    assert drops <= 1
+    # the HUGEINT-fix ids lead so their r6 fixes get driver-verified
+    assert tuple(names[: len(REVERIFY_FIRST)]) == REVERIFY_FIRST
+    # every id in the first 50 is either a re-verify target or one the
+    # driver record has never covered
+    fresh_prefix = names[len(REVERIFY_FIRST) : 50]
+    assert all(n not in DRIVER_CHECKED for n in fresh_prefix)
     assert set(os_) <= set(qs)
     # oracle iteration order must follow the same rotation
     o_names = list(os_)

@@ -91,3 +91,38 @@ def test_readme_counts_are_live():
     assert f"{audits} asserted plan shapes" in text, (
         "README.md plan-audit count drifted from tools/explain_audit.AUDITS"
     )
+
+
+def test_no_oracle_emits_hugeint_or_decimal():
+    """Every DuckDB oracle's planned result types must be hashable the
+    same way Spark's are. DuckDB widens sum(BIGINT) to HUGEINT (int128)
+    — a type the driver's value-hasher serializes differently than the
+    Spark LONG it compares against (r5's q_llm_pack_greedy hash FAIL;
+    five latent siblings found by the r5 judge sweep). Relation .types
+    come from the binder, so this walks all 234 oracles in ~2 s without
+    executing them. DECIMAL is banned for the same reason (bankers'
+    serialization differs); oracles must CAST to BIGINT/DOUBLE."""
+    import duckdb
+
+    from iceberg_twist_spark.catalog import TABLES
+    from iceberg_twist_spark.registry import REGISTRY, _load_all_modules
+
+    _load_all_modules()
+    sf_dir = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
+    offenders = []
+    for name, spec in sorted(REGISTRY.items()):
+        for sql in filter(None, (spec.oracle, spec.approx_oracle)):
+            rel = con.sql(sql)
+            for col, typ in zip(rel.columns, rel.types):
+                t = str(typ).upper()
+                if "HUGEINT" in t or "INT128" in t or "DECIMAL" in t:
+                    offenders.append(f"{name}.{col}: {t}")
+    assert not offenders, (
+        "oracle columns with driver-hash-unsafe types (CAST them to "
+        f"BIGINT/DOUBLE in the oracle SQL): {offenders}"
+    )
