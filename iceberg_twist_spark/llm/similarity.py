@@ -783,17 +783,22 @@ ORDER BY adc_dist, vec_id LIMIT {RECALL_K}
 """
 
 
-def _pq_subspaces(df: DataFrame) -> DataFrame:
-    """(vec_id, m, sv): each vector split into PQ_M double subvectors."""
+def _pq_subspaces(
+    df: DataFrame, vec_col: str = "embedding", extra: tuple[str, ...] = ()
+) -> DataFrame:
+    """(vec_id, *extra, m, sv): each vector split into PQ_M double
+    subvectors. ``extra`` carries pass-through columns (IVF-PQ keeps
+    the cluster id alongside each subvector)."""
     return df.select(
         "vec_id",
+        *extra,
         F.expr(
             f"""explode(transform(sequence(0, {PQ_M - 1}),
                 m -> struct(m as m,
-                            transform(slice(embedding, m * {PQ_SUB} + 1, {PQ_SUB}),
+                            transform(slice({vec_col}, m * {PQ_SUB} + 1, {PQ_SUB}),
                                       x -> cast(x as double)) as sv)))"""
         ).alias("s"),
-    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+    ).select("vec_id", *extra, F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
 
 
 def _pq_d2(a: Column, b: Column) -> Column:
@@ -801,19 +806,22 @@ def _pq_d2(a: Column, b: Column) -> Column:
     return _dot(a, a) - 2 * _dot(a, b) + _dot(b, b)
 
 
-def _pq_assign(sub: DataFrame, cb: DataFrame) -> DataFrame:
-    """Broadcast-codebook argmin assignment: (vec_id, m, code).
+def _pq_assign(
+    sub: DataFrame, cb: DataFrame, keys: tuple[str, ...] = ("vec_id",)
+) -> DataFrame:
+    """Broadcast-codebook argmin assignment: (*keys, m, code).
 
     struct-min instead of a window — partial-aggregable map-side, so
     the shuffle is |vectors|×PQ_M code rows, not the joined distance
-    rows."""
+    rows. ``keys`` lets IVF-PQ carry the cluster id through the
+    assignment instead of re-joining it afterwards."""
     d2 = r4(_pq_d2(F.col("sv"), F.col("cw")))
     return (
         sub.join(F.broadcast(cb), "m")
-        .select("vec_id", "m", "code", d2.alias("d2"))
-        .groupBy("vec_id", "m")
+        .select(*keys, "m", "code", d2.alias("d2"))
+        .groupBy(*keys, "m")
         .agg(F.min(F.struct("d2", "code")).alias("mn"))
-        .select("vec_id", "m", F.col("mn.code").alias("code"))
+        .select(*keys, "m", F.col("mn.code").alias("code"))
     )
 
 
@@ -881,6 +889,234 @@ def q_llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------- IVF-PQ
+# The composed billion-vector architecture (Jégou's IVFADC): IVF's
+# coarse quantizer routes each vector to a cluster, PQ encodes the
+# RESIDUAL (vector − centroid) — residuals concentrate near the origin,
+# so the same codebook budget quantizes them with less error than raw
+# vectors — and a query ADC-scans only the nprobe probed clusters'
+# codes. Scale shape: the IVF half prunes (scan fraction ≈ nprobe/K,
+# directory-level with the materialized layout), the PQ half compresses
+# (codes ≈ 2% of embedding bytes); shuffles move codes and the
+# M×K codebook, never raw vectors.
+
+IVFPQ_NPROBE = IVF_NPROBE
+
+_IVFPQ_TOP_SQL = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), ms AS (
+  SELECT unnest(generate_series(0, {PQ_M - 1})) AS m
+), cent AS (
+  SELECT vec_id AS cid, embedding AS c, CAST(embedding AS DOUBLE[]) AS cd
+  FROM embeddings WHERE vec_id < {IVF_K}
+), csims AS (
+  SELECT e2.vec_id, cent.cid,
+         {_DUCK_R4COS.format(a='e2.embedding', b='cent.c')} AS csim
+  FROM embeddings e2 CROSS JOIN cent
+), clusters AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+    FROM csims
+  ) WHERE rn = 1
+), cmean AS (
+  -- residuals are taken against the per-cluster MEAN, not the seed
+  -- vector: seeds are arbitrary unit corpus points, so |x - seed| ~ 1
+  -- and residual PQ would gain nothing (measured: recall 0.3 vs 0.6);
+  -- against the mean the residuals concentrate near the origin.
+  -- Means are r4-rounded so both engines subtract identical values.
+  SELECT cid, list(cv ORDER BY pos) AS mu FROM (
+    SELECT cl.cid, t.i AS pos,
+           floor(avg(e.emb[t.i]) * 10000 + 0.5) / 10000 AS cv
+    FROM e JOIN clusters cl USING (vec_id),
+         LATERAL (SELECT unnest(generate_series(1, {PQ_M * PQ_SUB})) AS i) t
+    GROUP BY 1, 2
+  ) GROUP BY cid
+), resid AS (
+  SELECT e.vec_id, cl.cid,
+         list_transform(generate_series(1, {PQ_M * PQ_SUB}),
+                        i -> e.emb[i] - cm.mu[i]) AS r
+  FROM e JOIN clusters cl USING (vec_id) JOIN cmean cm ON cl.cid = cm.cid
+), sub AS (
+  SELECT vec_id, cid, m, r[m * {PQ_SUB} + 1 : (m + 1) * {PQ_SUB}] AS sv
+  FROM resid, ms
+), cb0 AS (
+  SELECT vec_id AS code, m, sv AS cw FROM sub WHERE vec_id < {PQ_K}
+), codes0 AS {_pq_assign_sql('cb0')}
+, flat0 AS (
+  SELECT c.m, c.code, t.i AS pos, s.sv[t.i] AS val
+  FROM codes0 c JOIN sub s ON c.vec_id = s.vec_id AND c.m = s.m,
+       LATERAL (SELECT unnest(generate_series(1, {PQ_SUB})) AS i) t
+), cb1 AS (
+  SELECT m, code, list(cv ORDER BY pos) AS cw FROM (
+    SELECT m, code, pos, floor(avg(val) * 10000 + 0.5) / 10000 AS cv
+    FROM flat0 GROUP BY 1, 2, 3
+  ) GROUP BY 1, 2
+), codes AS {_pq_assign_sql('cb1')}
+, codesc AS (
+  SELECT c.vec_id, cl.cid, c.m, c.code
+  FROM codes c JOIN clusters cl USING (vec_id)
+), probe_clusters AS (
+  SELECT cid FROM (
+    SELECT cid, row_number() OVER (ORDER BY csim DESC, cid) AS rn
+    FROM csims WHERE vec_id = 0
+  ) WHERE rn <= {IVFPQ_NPROBE}
+), presid AS (
+  SELECT cm.cid,
+         list_transform(generate_series(1, {PQ_M * PQ_SUB}),
+                        i -> pe.emb[i] - cm.mu[i]) AS pr
+  FROM (SELECT emb FROM e WHERE vec_id = 0) pe
+  CROSS JOIN cmean cm
+  JOIN probe_clusters pc ON cm.cid = pc.cid
+), psub AS (
+  SELECT cid, m, pr[m * {PQ_SUB} + 1 : (m + 1) * {PQ_SUB}] AS psv
+  FROM presid, ms
+), dt AS (
+  SELECT psub.cid, cb1.m, cb1.code,
+         CAST(floor({_PQ_D2.format(a='psub.psv', b='cb1.cw')} * 10000 + 0.5)
+              AS BIGINT) AS pd2i
+  FROM cb1 JOIN psub USING (m)
+), adc AS (
+  SELECT cc.vec_id, CAST(sum(dt.pd2i) AS DOUBLE) / 10000.0 AS adc_dist
+  FROM codesc cc
+  JOIN dt ON cc.cid = dt.cid AND cc.m = dt.m AND cc.code = dt.code
+  GROUP BY cc.vec_id
+)
+SELECT vec_id, adc_dist FROM adc WHERE vec_id <> 0
+ORDER BY adc_dist, vec_id LIMIT {RECALL_K}
+"""
+
+
+def ivfpq_encode(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(codes, codebook, cluster_means) for the IVF-PQ index: codes
+    carry (vec_id, cluster, m, code); the codebook is trained on
+    RESIDUALS (one sample-init + one Lloyd round, same discipline as
+    pq_encode).
+
+    Residuals are taken against the per-cluster MEAN, not the seed
+    vector: seeds are arbitrary unit corpus points (|x − seed| ~ 1, so
+    residual PQ would gain nothing — measured recall 0.3 vs 0.6), while
+    mean-residuals concentrate near the origin, which is what lets the
+    same codebook budget quantize them with less error. Means are
+    r4-rounded so both engines subtract identical values; their
+    aggregate is K×dim groups — map-side combined, constant size.
+
+    The assignment frame is lazily checkpointed: it feeds the mean
+    aggregate, codebook init, the Lloyd update, and the final encode,
+    and without the checkpoint each consumer would re-run the K-way
+    centroid-scoring scan."""
+    emb = with_norm(spread(load_tables(spark, sf_dir)["embeddings"], "vec_id"), "embedding")
+    centroids = emb.filter(F.col("vec_id") < IVF_K)
+    clustered = ivf_assign(emb, centroids).localCheckpoint(eager=False)
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    cmean = (
+        clustered.select("cluster", F.posexplode(dbl).alias("p0", "val"))
+        .groupBy("cluster", (F.col("p0") + 1).alias("pos"))
+        .agg(r4(F.avg("val")).alias("cv"))
+        .groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                lambda s: s["cv"],
+            ).alias("mu")
+        )
+    )
+    resid = (
+        clustered.join(F.broadcast(cmean), "cluster")
+        .select(
+            "vec_id",
+            "cluster",
+            F.zip_with("embedding", "mu", lambda x, y: x.cast("double") - y).alias("r"),
+        )
+    )
+    rsub = _pq_subspaces(resid, "r", extra=("cluster",))
+    sub = rsub.select("vec_id", "m", "sv")
+    cb0 = (
+        sub.filter(F.col("vec_id") < PQ_K)
+        .select(F.col("vec_id").alias("code"), "m", F.col("sv").alias("cw"))
+    )
+    codes0 = _pq_assign(sub, cb0)
+    cb1 = (
+        codes0.join(sub, ["vec_id", "m"])
+        .select("m", "code", F.posexplode("sv").alias("p0", "val"))
+        .groupBy("m", "code", (F.col("p0") + 1).alias("pos"))
+        .agg(r4(F.avg("val")).alias("cv"))
+        .groupBy("m", "code")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                lambda s: s["cv"],
+            ).alias("cw")
+        )
+    )
+    return _pq_assign(rsub, cb1, keys=("vec_id", "cluster")), cb1, cmean
+
+
+@register("q_llm_ann_ivfpq", oracle=_IVFPQ_TOP_SQL, tags=("llm", "similarity", "sketch"))
+def q_llm_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (IVFADC) approximate top-10 for probe vec_id=0: coarse
+    cluster pruning + residual-PQ ADC scoring.
+
+    The probe picks its nprobe nearest IVF clusters, computes a
+    RESIDUAL against each probed centroid, and builds one
+    nprobe×M×K distance table (broadcast — constant size). A stored
+    vector's approximate distance is the sum of its PQ_M table entries
+    under its OWN cluster's probe residual — the inner join on
+    (cluster, m, code) restricts the scan to the probed clusters'
+    codes by construction. Partial distances cross engines as exact
+    1e-4-scaled integers, so the sum is order-free."""
+    codes, cb, cmean = ivfpq_encode(spark, sf_dir)
+    emb = with_norm(load_tables(spark, sf_dir)["embeddings"], "embedding")
+    centroids = emb.filter(F.col("vec_id") < IVF_K)
+    probe = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("p"), F.col("nrm").alias("pn")
+    )
+    cent = centroids.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("c"),
+        F.col("nrm").alias("cn"),
+    )
+    probed = (
+        probe.crossJoin(F.broadcast(cent))
+        .select(
+            "p", "cid",
+            r4(_dot(F.col("p"), F.col("c")) / (F.col("pn") * F.col("cn"))).alias("csim"),
+        )
+        .orderBy(F.col("csim").desc(), F.col("cid"))
+        .limit(IVFPQ_NPROBE)
+        # probe residual vs each probed cluster's MEAN (matches encode)
+        .join(F.broadcast(cmean.withColumnRenamed("cluster", "cid")), "cid")
+        .select(
+            "cid",
+            F.zip_with("p", "mu", lambda x, y: x.cast("double") - y).alias("pr"),
+        )
+    )
+    psub = _pq_subspaces(
+        probed.withColumn("vec_id", F.lit(0)), "pr", extra=("cid",)
+    ).select("cid", "m", F.col("sv").alias("psv"))
+    dt = (
+        cb.join(F.broadcast(psub), "m")
+        .select(
+            F.col("cid").alias("cluster"),
+            "m",
+            "code",
+            F.floor(_pq_d2(F.col("psv"), F.col("cw")) * 10000 + F.lit(0.5))
+            .cast("long")
+            .alias("pd2i"),
+        )
+    )
+    return (
+        codes.join(F.broadcast(dt), ["cluster", "m", "code"])
+        .groupBy("vec_id")
+        .agg((F.sum("pd2i") / 10000.0).alias("adc_dist"))
+        .filter(F.col("vec_id") != 0)
+        .orderBy(F.col("adc_dist"), F.col("vec_id"))
+        .limit(RECALL_K)
+    )
+
+
 # --------------------------------------------------------- ANN recall
 # IVF and LSH are deterministic, but determinism says nothing about
 # QUALITY — the number a user tuning nprobe / n_planes actually needs
@@ -899,6 +1135,7 @@ _RECALL_ORACLE = f"""
 WITH brute AS ({_TOPK_ORACLE}),
 ivf AS ({_IVF_ORACLE}),
 pq AS ({_PQ_TOP_SQL}),
+ivfpq AS ({_IVFPQ_TOP_SQL}),
 b AS (
   SELECT vec_id, embedding, {_lsh_bucket_sql('embedding')} AS bucket
   FROM embeddings
@@ -921,6 +1158,9 @@ SELECT 'lsh_multiprobe' AS method, CAST({RECALL_K} AS INT) AS k,
 UNION ALL
 SELECT 'pq' AS method, CAST({RECALL_K} AS INT) AS k,
        floor((SELECT count(*) FROM pq JOIN brute USING (vec_id)) / {RECALL_K}.0 * 10000 + 0.5) / 10000 AS recall
+UNION ALL
+SELECT 'ivfpq' AS method, CAST({RECALL_K} AS INT) AS k,
+       floor((SELECT count(*) FROM ivfpq JOIN brute USING (vec_id)) / {RECALL_K}.0 * 10000 + 0.5) / 10000 AS recall
 """
 
 
@@ -972,10 +1212,12 @@ def q_llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     pq = q_llm_ann_pq(spark, sf_dir).select("vec_id")
+    ivfpq = q_llm_ann_ivfpq(spark, sf_dir).select("vec_id")
     return (
         rec("ivf", ivf)
         .unionByName(rec("lsh_multiprobe", lsh_top))
         .unionByName(rec("pq", pq))
+        .unionByName(rec("ivfpq", ivfpq))
     )
 
 

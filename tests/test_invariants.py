@@ -216,10 +216,13 @@ def test_weighted_sample_prefers_heavy_rows(spark, sf_dir):
 
 def test_ann_recall_bounds(spark, sf_dir):
     """Pinned retrieval-quality floor: IVF recall@10 >= 0.9,
-    multi-probe-LSH recall@10 >= 0.5, and PQ/ADC recall@10 >= 0.4 on
-    the fixtures — an index parameter change (nprobe, n_planes, probe
-    radius, PQ_M/PQ_K or the Lloyd round) that silently degrades
-    retrieval fails here, not in production."""
+    multi-probe-LSH recall@10 >= 0.5, PQ/ADC recall@10 >= 0.4, and
+    IVF-PQ recall@10 >= 0.4 on the fixtures — an index parameter
+    change (nprobe, n_planes, probe radius, PQ_M/PQ_K, the Lloyd round
+    or the mean-residual reference) that silently degrades retrieval
+    fails here, not in production. Measured r6: ivfpq 0.5 (sf0.001) /
+    0.7 (sf0.01) — above plain PQ while ADC-scanning only the probed
+    nprobe/K of the codes."""
     from iceberg_twist_spark.registry import REGISTRY
 
     rows = {
@@ -229,6 +232,7 @@ def test_ann_recall_bounds(spark, sf_dir):
     assert rows["ivf"] >= 0.9, rows
     assert rows["lsh_multiprobe"] >= 0.5, rows
     assert rows["pq"] >= 0.4, rows
+    assert rows["ivfpq"] >= 0.4, rows
 
 
 def test_global_rank_keeps_nulls_and_all_null(spark):

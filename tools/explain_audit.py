@@ -227,6 +227,15 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
         ["BroadcastHashJoin", "TakeOrderedAndProject", "HashAggregate"],
         ["CartesianProduct", "Window", "Exchange rangepartitioning"],
     ),
+    # IVF-PQ composition: everything constant-sized broadcasts (means,
+    # codebook, nprobe distance table); the ADC scan's restriction to
+    # probed clusters is the (cluster, m, code) broadcast-hash join —
+    # no global sort anywhere (the assignment argmax window partitions
+    # by vec_id, never a single reducer)
+    "q_llm_ann_ivfpq": (
+        ["BroadcastHashJoin", "TakeOrderedAndProject", "HashAggregate"],
+        ["CartesianProduct", "Exchange rangepartitioning"],
+    ),
     # common-neighbor top-k: equi self-join + hash agg + per-partition
     # heap — never a global sort or a nested loop
     "q_graph_common_neighbors": (
@@ -280,6 +289,8 @@ BNLJ_ALLOWED: dict[str, str] = {
     "q_llm_knn_join": "probe-set broadcast (|probes| ≪ corpus)",
     "q_llm_hybrid_search": "probe-vector + idf-model broadcast",
     "q_llm_ann_ivf": "centroid-table broadcast (nlist rows)",
+    "q_llm_ann_ivfpq": "1-row probe × K-centroid scoring broadcast "
+    "(cluster selection; the ADC scan itself is an equi hash join)",
     "q_llm_ann_ivf_indexed": "centroid + 1-row probe broadcast over the "
     "partition-pruned index scan",
     "q_llm_semdedup": "centroid-table broadcast for the cluster assignment",
@@ -344,6 +355,8 @@ BROADCAST_BOUNDED: dict[str, dict[str, str]] = {
         "cb": "PQ codebook (PQ_M×PQ_K rows, constant)",
         "probe_sub": "probe subvectors (PQ_M rows, constant)",
         "dt": "ADC distance table (PQ_M×PQ_K rows, constant)",
+        "cmean": "IVF cluster means (K×dim values, constant)",
+        "psub": "probe residual subvectors (nprobe×PQ_M rows, constant)",
     },
     "llm/decontam.py": {
         "bench_grams": "fixed benchmark n-gram set",
