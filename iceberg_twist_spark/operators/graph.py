@@ -111,10 +111,27 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # fold degree onto the edge list ONCE, as a count window over src —
     # one materialization job instead of the former two serial
-    # checkpoints (edges, then deg-join)
-    edges_deg = edges.withColumn(
-        "deg", F.count("*").over(Window.partitionBy("src"))
-    ).localCheckpoint(eager=True)
+    # checkpoints (edges, then deg-join). AQE is OFF while this
+    # checkpoint materializes: the window's physical child is already
+    # Exchange(hashpartitioning(src)) + Sort(src), and localCheckpoint
+    # captures the physical plan's outputPartitioning/outputOrdering
+    # into the LogicalRDD — but only when the root isn't an
+    # AdaptiveSparkPlanExec (opaque partitioning). With the layout
+    # captured, every shuffle-regime iteration's join reuses it and
+    # exchanges ONLY the |V| ranks frame, never the |E| edges (r5 sf10:
+    # 3 × 48M-edge traffic, 77 s; captured: 59 s, per-iteration 14→6 s;
+    # an explicit repartition+re-checkpoint was measured SLOWER than
+    # doing nothing — the capture must ride the exchange the window
+    # already pays). The broadcast regime is unaffected: its edges
+    # never move in either form.
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        edges_deg = edges.withColumn(
+            "deg", F.count("*").over(Window.partitionBy("src"))
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
     nodes = edges_deg.select(F.col("src").alias("node")).distinct()
     # |V| measured ONCE against the checkpointed edges — an O(1) driver
     # scalar that (a) replaces the former in-plan one-row `nn`
