@@ -400,3 +400,162 @@ def test_upsert_sink_recovers_from_checkpoint_mid_replay(spark, sf_dir):
     assert any(
         full_counts[u] > c for u, c in mid_counts.items()
     ), "resumed run merged nothing new"
+
+
+def test_dedup_watermark_recovers_from_checkpoint_mid_replay(spark, sf_dir):
+    """Failure injection for streaming dedup: stop after two replay
+    chunks, then re-arrive a DUPLICATE COPY of chunk 1 alongside the
+    remaining chunks and restart from the SAME checkpoint. The two
+    recovery semantics under test are exactly the ones the restart can
+    lose: (a) the dedup state store — in-watermark duplicates are
+    suppressed only if the seen-key state survived; (b) the watermark
+    clock — older duplicates are dropped as late only if the restored
+    clock still says they are late (a reset clock would re-admit and
+    re-emit them). Union of both runs' file-sink output must equal the
+    original events exactly once."""
+    import shutil
+    import tempfile
+
+    from iceberg_twist_spark.streaming.jobs import (
+        EVENT_SCHEMA,
+        _state_partitions,
+        _twin_dedup,
+        stage_replay_dir,
+    )
+
+    full = stage_replay_dir(spark, sf_dir, 4)
+    chunks = sorted(f for f in os.listdir(full) if f.endswith(".parquet"))
+    assert len(chunks) == 4
+    replay = tempfile.mkdtemp(prefix="itws_replay_dd_")
+    ckpt = tempfile.mkdtemp(prefix="itws_ckpt_dd_")
+    out = tempfile.mkdtemp(prefix="itws_out_dd_") + "/sink"
+
+    def arrive(src_name, dst_name, mtime):
+        dst = os.path.join(replay, dst_name)
+        shutil.copyfile(os.path.join(full, src_name), dst)
+        os.utime(dst, (mtime, mtime))
+
+    def run_once():
+        s = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(replay)
+        )
+        deduped = s.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+        with _state_partitions(spark):
+            q = (
+                deduped.writeStream.format("parquet")
+                .outputMode("append")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        return [tuple(r) for r in spark.read.parquet(out).collect()]
+
+    base = 1_600_000_000
+    try:
+        arrive(chunks[0], "chunk_000.parquet", base)
+        arrive(chunks[1], "chunk_001.parquet", base + 1)
+        first = run_once()  # consumes chunks 0-1, commits state, stops
+        # the duplicate copy replays FIRST after the restart (mtime
+        # order), while the restored watermark still brackets chunk 1
+        arrive(chunks[1], "chunk_001_dup.parquet", base + 2)
+        arrive(chunks[2], "chunk_002.parquet", base + 3)
+        arrive(chunks[3], "chunk_003.parquet", base + 4)
+        combined = run_once()  # SAME checkpoint: resumes after chunk 1
+    finally:
+        shutil.rmtree(replay, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(os.path.dirname(out), ignore_errors=True)
+    twin = sorted(tuple(r) for r in _twin_dedup(spark, sf_dir).collect())
+    assert sorted(combined) == twin, (
+        "re-arrived duplicates leaked through the restart (state store "
+        "or watermark clock did not survive)"
+    )
+    assert len(first) < len(combined), "restart contributed nothing"
+
+
+def test_late_drop_recovers_from_checkpoint_mid_replay(spark, sf_dir):
+    """Failure injection for the watermark clock: stop the append-mode
+    windowed count after three of six replay chunks, then re-arrive a
+    COPY of chunk 0 (days older than the committed watermark) before
+    the remaining chunks and restart from the SAME checkpoint. A
+    surviving clock drops every late row — closed windows stay closed
+    and already-emitted counts are never re-emitted or inflated; a
+    reset clock would re-open them. Union of both runs must equal the
+    uninterrupted twin."""
+    import shutil
+    import tempfile
+
+    from iceberg_twist_spark.streaming.jobs import (
+        EVENT_SCHEMA,
+        _state_partitions,
+        _twin_late_drop,
+        stage_replay_dir,
+    )
+
+    full = stage_replay_dir(spark, sf_dir, 6)
+    chunks = sorted(f for f in os.listdir(full) if f.endswith(".parquet"))
+    assert len(chunks) == 6
+    replay = tempfile.mkdtemp(prefix="itws_replay_ld_")
+    ckpt = tempfile.mkdtemp(prefix="itws_ckpt_ld_")
+    out = tempfile.mkdtemp(prefix="itws_out_ld_") + "/sink"
+
+    def arrive(src_name, dst_name, mtime):
+        dst = os.path.join(replay, dst_name)
+        shutil.copyfile(os.path.join(full, src_name), dst)
+        os.utime(dst, (mtime, mtime))
+
+    def run_once():
+        s = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(replay)
+        )
+        counted = (
+            s.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("cnt"))
+            .select(F.col("w.start").alias("window_start"), "cnt")
+        )
+        with _state_partitions(spark):
+            q = (
+                counted.writeStream.format("parquet")
+                .outputMode("append")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        return [tuple(r) for r in spark.read.parquet(out).collect()]
+
+    base = 1_600_000_000
+    try:
+        for k in range(3):
+            arrive(chunks[k], f"chunk_{k:03d}.parquet", base + k)
+        first = run_once()
+        # chunk 0 re-arrives ~10 event-days late: every row is behind
+        # the restored watermark and must be dropped, not re-aggregated
+        arrive(chunks[0], "chunk_000_late.parquet", base + 3)
+        for k in range(3, 6):
+            arrive(chunks[k], f"chunk_{k:03d}.parquet", base + k + 1)
+        combined = run_once()
+    finally:
+        shutil.rmtree(replay, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(os.path.dirname(out), ignore_errors=True)
+    twin = sorted(tuple(r) for r in _twin_late_drop(spark, sf_dir).collect())
+    assert sorted(combined) == twin, (
+        "late re-arrival leaked into closed windows (watermark clock "
+        "did not survive the restart)"
+    )
+    assert len(first) < len(combined), "restart contributed nothing"
+    # windows emitted before the cut must not re-emit after it
+    emitted_twice = [w for w in {t[0] for t in first} if
+                     sum(1 for t in combined if t[0] == w) > 1]
+    assert not emitted_twice, f"windows re-emitted after restart: {emitted_twice}"
