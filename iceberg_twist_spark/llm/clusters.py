@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from iceberg_twist_spark.catalog import load_tables
 from iceberg_twist_spark.common import r4
-from iceberg_twist_spark.llm.dedup import _JACCARD_ORACLE, q_llm_ngram_jaccard
+from iceberg_twist_spark.llm.dedup import _VERIFIED_ORACLE, q_llm_minhash_verified
 from iceberg_twist_spark.registry import register
 
 CC_MAX_ITER = 20
@@ -144,7 +144,7 @@ labels AS MATERIALIZED (SELECT node AS doc_id, label AS cluster_id FROM {prev})"
 
 
 _CLUSTERS_ORACLE = f"""
-WITH {_cc_label_sql(_JACCARD_ORACLE)}
+WITH {_cc_label_sql(_VERIFIED_ORACLE)}
 SELECT l.doc_id, l.cluster_id, s.cluster_size
 FROM labels l
 JOIN (SELECT cluster_id, count(*) AS cluster_size
@@ -154,14 +154,21 @@ JOIN (SELECT cluster_id, count(*) AS cluster_size
 
 @register("q_llm_dup_clusters", oracle=_CLUSTERS_ORACLE, tags=("llm", "dedup"))
 def q_llm_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resolve 3-gram-Jaccard near-dup pairs into clusters.
+    """Resolve verified near-dup pairs into clusters.
+
+    Pairs come from q_llm_minhash_verified (LSH candidates, exact
+    Jaccard ≥ 0.2 verification) — the pair tier whose cost is bounded
+    by banding rather than shingle-frequency skew, so this chain (and
+    everything composed on it: survivorship, the corpus pipeline)
+    keeps the same shape at 1M docs as at 1k (r6 corpus bench: the
+    previous exact-inverted-index source filled the disk at 1M).
 
     Output: one row per document in any dup cluster with its cluster
     id (min doc_id in the component — the canonical keeper) and the
     cluster size. Downstream: keep ``doc_id == cluster_id``, drop the
     rest.
     """
-    pairs = q_llm_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = q_llm_minhash_verified(spark, sf_dir).select("doc_a", "doc_b")
     labels = connected_components(pairs, "doc_a", "doc_b")
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
     return (

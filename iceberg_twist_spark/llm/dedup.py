@@ -22,7 +22,7 @@ cross-engine verifiability, still far under the bench baseline).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from iceberg_twist_spark.catalog import load_tables
@@ -78,6 +78,25 @@ def shingle_docs(docs: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def shingle_arrays(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Distinct k-word shingles per document kept AS AN ARRAY:
+    (doc_id, shs). Computed narrowly (no explode, no shuffle) — a
+    document's shingle set never leaves its row, so verification joins
+    that consume it move exactly one row per document."""
+    words = F.split("text", " ")
+    n = F.size(words)
+    grams = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(k)]
+        ),
+    )
+    return (
+        spread(docs, "doc_id").filter(n >= k)
+        .select("doc_id", F.array_distinct(grams).alias("shs"))
+    )
+
+
 _JACCARD_ORACLE = """
 WITH w AS (
   SELECT doc_id, string_split(text, ' ') AS words FROM documents
@@ -103,30 +122,100 @@ WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.2
 """
 
 
-@register("q_llm_ngram_jaccard", oracle=_JACCARD_ORACLE, tags=("llm", "dedup"))
-def q_llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by exact 3-gram Jaccard ≥ 0.2 via shingle inverted
-    index — candidate pairs come from a join on shingle, so cost scales
-    with shared-shingle mass, not |docs|²."""
-    docs = load_tables(spark, sf_dir)["documents"]
-    sh = shingle_docs(docs, 3).cache()
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("c"))
+JACCARD_TAU = 0.2
+
+
+def _verify_jaccard(cand: DataFrame, docs: DataFrame, tau: float) -> DataFrame:
+    """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs.
+
+    Each side's distinct shingle SET rides along as one array column
+    (shingle_arrays — built narrowly, never exploded), so verification
+    is two hash joins moving one row per document plus the candidates,
+    and the intersection is a single JVM array_intersect per pair —
+    linear in candidate count, independent of shingle frequency skew.
+
+    The array frame is lazily checkpointed: it feeds BOTH join sides,
+    and without the checkpoint each side re-runs the gram transform
+    over the whole corpus (the same double-subplan cost the MinHash
+    band join pays without its checkpoint — ~2× measured there).
+    """
+    arrs = shingle_arrays(docs, 3).localCheckpoint(eager=False)
+    a = arrs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shs").alias("sa"),
+        F.size("shs").alias("na"),
     )
-    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    b = arrs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shs").alias("sb"),
+        F.size("shs").alias("nb"),
+    )
+    c = F.size(F.array_intersect("sa", "sb"))
+    jac = c / (F.col("na") + F.col("nb") - c)
     return (
-        common.join(ca, "doc_a")
-        .join(cb, "doc_b")
-        .filter(jac >= 0.2)
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(jac >= tau)
         .select("doc_a", "doc_b", r4(jac).alias("jaccard"))
     )
+
+
+@register("q_llm_ngram_jaccard", oracle=_JACCARD_ORACLE, tags=("llm", "dedup"))
+def q_llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact 3-gram Jaccard ≥ 0.2: prefix-filtered
+    inverted index (AllPairs — Bayardo/Ma/Srikant, WWW'07) + exact
+    array-intersect verification.
+
+    The naive inverted index joins on EVERY shingle, so a shingle
+    shared by d documents contributes d² candidate mass — the 1M-doc
+    corpus twin turned that into ~10¹¹ pairs and a disk-filling spill
+    (r6 corpus bench). Prefix filtering is the standard exact fix:
+    under one global shingle order (document frequency asc, shingle
+    asc — rarest first), any pair with J ≥ t shares its SMALLEST common
+    shingle inside both docs' prefixes of length n − ⌈t·n⌉ + 1, so
+    indexing only prefixes loses no qualifying pair (the suffix holds
+    < ⌈t·n⌉ ≤ |A∩B| shingles). Hot boilerplate shingles sort LAST and
+    drop out of nearly every prefix — exactly the d² mass the naive
+    index dies on. Candidates are then verified with the exact
+    set intersection (_verify_jaccard), so the result — and the
+    oracle — is the full-index answer, unchanged.
+
+    Note the honest limit: on an adversarially FLAT shingle-frequency
+    corpus the prefix excludes little and candidate mass is inherent
+    to exact all-pairs; the 100 TB tier for that shape is
+    q_llm_minhash_verified (LSH candidates, exact verify).
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    # consumed three times (frequency table, per-doc counts, prefix
+    # base) — checkpoint so the shingle explode runs once
+    sh = shingle_docs(docs, 3).localCheckpoint(eager=False)
+    freq = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    pos_w = Window.partitionBy("doc_id").orderBy("df", "sh")
+    prefix = (
+        sh.join(freq, "sh")
+        .withColumn("pos", F.row_number().over(pos_w))
+        .join(counts, "doc_id")
+        .filter(
+            F.col("pos")
+            <= F.col("n") - F.ceil(F.lit(JACCARD_TAU) * F.col("n")) + 1
+        )
+        .select("doc_id", "sh")
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return _verify_jaccard(cand, docs, JACCARD_TAU)
 
 
 N_MINHASH = 16
@@ -138,16 +227,22 @@ MINHASH_HEX = 16  # hex chars per permutation value (64 bits)
 
 def minhash_signatures(docs: DataFrame, k: int = 3, n_perm: int = N_MINHASH) -> DataFrame:
     """Deterministic MinHash signatures:
-    perm_i(sh) = first 16 hex chars of md5(f"{i}:" + sh);
-    signature[i] = lexicographic min over shingles (fixed-length hex ⇒
-    string min == numeric min).
+    perm_i(sh) = 16 hex chars of md5(f"{i // 2}:" + sh) — the FIRST 16
+    for even i, the LAST 16 for odd i; signature[i] = lexicographic
+    min over shingles (fixed-length hex ⇒ string min == numeric min).
 
     md5 rather than xxhash64 so DuckDB computes the IDENTICAL
     signatures and the banding query carries a full hash oracle
-    (round-3 upgrade from rows-only).
+    (round-3 upgrade from rows-only). Each md5 yields TWO 64-bit
+    permutations (its halves are independent bits), so the 16-perm
+    signature costs 8 md5 invocations per shingle, not 16 — md5 over
+    every shingle is the dominant cost of the whole MinHash family
+    (~54 s of the 1M-doc corpus bench before the split). The per-chunk
+    digest arrays are materialized as intermediate columns so codegen
+    evaluates each md5 once and both halves read the bound variable.
 
     Computed NARROWLY — the shingle array stays inside its row and each
-    signature column is ``array_min(transform(shingles, md5…))`` — so
+    signature column is ``array_min`` over a per-shingle transform — so
     there is no shingle explode and no groupBy shuffle at all: a
     document never leaves its partition to be signed.
     """
@@ -162,27 +257,34 @@ def minhash_signatures(docs: DataFrame, k: int = 3, n_perm: int = N_MINHASH) -> 
     base = spread(docs, "doc_id").filter(n >= k).withColumn(
         "sh_arr", F.array_distinct(grams)
     )
-    return base.select(
-        "doc_id",
-        *[
-            F.array_min(
-                F.transform(
-                    "sh_arr",
-                    lambda s: F.substring(
-                        F.md5(F.concat(F.lit(f"{i}:"), s)), 1, MINHASH_HEX
-                    ),
-                )
-            ).alias(f"mh{i}")
-            for i in range(n_perm)
-        ],
-    )
+    n_chunks = (n_perm + 1) // 2
+
+    # Factory closures, NOT `lambda s, c=c:` default-arg captures — a
+    # two-parameter lambda is Spark's (element, index) HOF form, so the
+    # "captured" second arg silently rebinds to the array index column.
+    def _chunk(c: int):
+        return F.transform(
+            "sh_arr", lambda s: F.md5(F.concat(F.lit(f"{c}:"), s))
+        ).alias(f"hx{c}")
+
+    def _half(i: int):
+        pos = 1 + MINHASH_HEX * (i % 2)
+        return F.array_min(
+            F.transform(
+                f"hx{i // 2}", lambda x: F.substring(x, pos, MINHASH_HEX)
+            )
+        ).alias(f"mh{i}")
+
+    hashed = base.select("doc_id", *[_chunk(c) for c in range(n_chunks)])
+    return hashed.select("doc_id", *[_half(i) for i in range(n_perm)])
 
 
 def _minhash_oracle(k: int = 3, n_perm: int = N_MINHASH, n_bands: int = LSH_BANDS) -> str:
     """DuckDB SQL producing the identical banded candidate pairs."""
     rpb = n_perm // n_bands
     sig_cols = ",\n           ".join(
-        f"list_min(list_transform(shs, s -> substr(md5('{i}:' || s), 1, {MINHASH_HEX}))) AS mh{i}"
+        f"list_min(list_transform(shs, s -> substr(md5('{i // 2}:' || s), "
+        f"{1 + MINHASH_HEX * (i % 2)}, {MINHASH_HEX}))) AS mh{i}"
         for i in range(n_perm)
     )
     parts = []
@@ -270,36 +372,116 @@ def q_llm_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
-    """32-bit SimHash per document.
+_VERIFIED_ORACLE = f"""
+WITH cand AS ({_minhash_oracle()}),
+arrs AS (
+    SELECT doc_id,
+           list_distinct(list_transform(range(0, len(w) - 2),
+               i -> w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3])) AS shs
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+          WHERE len(string_split(text, ' ')) >= 3)
+)
+SELECT doc_a, doc_b,
+       floor((c * 1.0 / (na + nb - c)) * 10000 + 0.5) / 10000 AS jaccard
+FROM (
+    SELECT cand.doc_a, cand.doc_b,
+           len(list_intersect(a.shs, b.shs)) AS c,
+           len(a.shs) AS na, len(b.shs) AS nb
+    FROM cand
+    JOIN arrs a ON cand.doc_a = a.doc_id
+    JOIN arrs b ON cand.doc_b = b.doc_id
+)
+WHERE c * 1.0 / (na + nb - c) >= {JACCARD_TAU}
+"""
 
-    Each distinct word hashes via md5; bit j of a word's hash is bit
-    (j mod 4) of hex digit j//4 — derivable from the md5 STRING with
-    substr/ascii arithmetic, so DuckDB computes the identical
-    fingerprint and the query family is hash-checked (round-3 upgrade
-    from the xxhash64 rows-only form). Bit j of the fingerprint is 1
-    iff the sum of ±1 votes over the document's words is positive.
-    Computed as explode → one hash aggregate with 32 vote columns —
-    vectorized, one shuffle on doc_id, no Python.
+
+@register(
+    "q_llm_minhash_verified", oracle=_VERIFIED_ORACLE, tags=("llm", "dedup", "sketch")
+)
+def q_llm_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs the way a 100 TB corpus build actually finds
+    them: MinHash/LSH banded candidates, then EXACT 3-gram Jaccard
+    verification of just those candidates.
+
+    This is the scalable counterpart of q_llm_ngram_jaccard: candidate
+    mass is bounded by the banding (constant-size signatures — never
+    shingle-frequency-dependent, never all-pairs) and the verify step
+    is one array_intersect per candidate, so the whole operator moves
+    signatures + one row per document. Exactness trade: a true pair
+    that collides in NO band is missed (LSH recall < 1 by design);
+    every emitted pair is exactly verified at J ≥ 0.2. The 1M-doc
+    corpus twin runs this tier where the exact inverted index —
+    even prefix-filtered — hits the flat-frequency candidate wall.
+
+    The oracle replays the identical md5-derived banding + DuckDB
+    list_intersect verification, so the pair set is hash-checked.
     """
+    docs = load_tables(spark, sf_dir)["documents"]
+    cand = q_llm_minhash_dedup(spark, sf_dir)
+    return _verify_jaccard(cand, docs, JACCARD_TAU)
+
+
+def simhash(docs: DataFrame, bits: int = 60) -> DataFrame:
+    """60-bit SimHash per document over distinct 3-word shingles.
+
+    Each distinct shingle hashes via md5; bit j of a feature's hash is
+    bit (j mod 4) of hex digit j//4 — derivable identically in DuckDB,
+    so the query family is hash-checked (round-3 upgrade from the
+    xxhash64 rows-only form). Bit j of the fingerprint is 1 iff the
+    sum of ±1 votes over the document's features is positive. Computed
+    as explode → one hash aggregate with one vote column per bit —
+    vectorized, one shuffle on doc_id, no Python.
+
+    60 bits (not 32): the banded candidate join buckets on fingerprint
+    QUARTERS, and bucket count is what bounds the self-join — 8-bit
+    bands gave 256 buckets/band, which the 1M-doc corpus twin turned
+    into ~10⁹ candidate pairs (r6 corpus bench hang); 15-bit bands give
+    32768, keeping buckets ~30 docs at 1M. 60 = 4×15 stays inside the
+    md5 hex digits AND below the sign bit, so every engine-side shift/
+    xor runs on non-negative longs.
+    """
+    # Features are distinct 3-word shingles, not distinct words: over
+    # a bounded vocabulary the unigram SET is degenerate (the 1M-doc
+    # corpus twin collapsed to a handful of distinct fingerprints, so
+    # the Hamming-≤3 pair OUTPUT itself went quadratic — no plan fixes
+    # a quadratic answer); shingles give fingerprint diversity the way
+    # production SimHash does. One conv() per feature turns the leading
+    # 15 hex digits into a long; every per-bit vote is then a
+    # shift/mask on that long (the former per-bit substring+ascii+CASE
+    # string work pinned all cores for 10+ minutes at 1M docs). Bit j
+    # still means bit (j mod 4) of hex digit j//4 — digit 0 is the
+    # converted number's HIGH nibble, hence the position remap — so
+    # fingerprints stay bit-identical to the oracle's derivation.
+    ws = F.split("text", " ")
+    shingles = F.when(
+        F.size(ws) >= 3,
+        F.expr(
+            "transform(sequence(1, size(split(text, ' ')) - 2), i -> "
+            "concat(element_at(split(text, ' '), i), ' ', "
+            "element_at(split(text, ' '), i + 1), ' ', "
+            "element_at(split(text, ' '), i + 2)))"
+        ),
+    ).otherwise(F.array(F.array_join(ws, " ")))
     w = (
         spread(docs, "doc_id")
         .select(
             "doc_id",
-            F.explode(F.array_distinct(F.split("text", " "))).alias("word"),
+            F.explode(F.array_distinct(shingles)).alias("word"),
         )
-        .select("doc_id", F.md5("word").alias("hx"))
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("word"), 1, (bits + 3) // 4), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
     )
+    n_digits = (bits + 3) // 4
 
     def bit(j: int):
-        c = F.substring(F.col("hx"), j // 4 + 1, 1)
-        v = F.when(c.between("0", "9"), F.ascii(c) - 48).otherwise(F.ascii(c) - 87)
-        return F.shiftright(v, j % 4).bitwiseAND(F.lit(1))
+        pos = 4 * (n_digits - 1 - j // 4) + (j % 4)
+        return F.shiftright(F.col("h"), pos).bitwiseAND(F.lit(1))
 
-    aggs = [
-        F.sum(F.when(bit(j) == 1, 1).otherwise(-1)).alias(f"v{j}")
-        for j in range(bits)
-    ]
+    aggs = [F.sum(bit(j) * 2 - 1).alias(f"v{j}") for j in range(bits)]
     votes = w.groupBy("doc_id").agg(*aggs)
     fingerprint = None
     for j in range(bits):
@@ -311,7 +493,7 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     return votes.select("doc_id", fingerprint.alias("simhash"))
 
 
-def _simhash_oracle(bits: int = 32, max_hamming: int = 3) -> str:
+def _simhash_oracle(bits: int = 60, max_hamming: int = 3) -> str:
     """DuckDB SQL computing the identical SimHash pairs (all-pairs
     Hamming — the correctness baseline for the banded candidate join)."""
     digit = (
@@ -329,9 +511,15 @@ def _simhash_oracle(bits: int = 32, max_hamming: int = 3) -> str:
         for j in range(bits)
     )
     return f"""
-WITH w AS (
-    SELECT doc_id, md5(unnest(list_distinct(string_split(text, ' ')))) AS hx
-    FROM documents
+WITH ws AS (
+    SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), w AS (
+    SELECT doc_id, md5(unnest(list_distinct(
+        CASE WHEN len(ws) >= 3 THEN list_transform(
+                 generate_series(1, len(ws) - 2),
+                 i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])
+             ELSE [array_to_string(ws, ' ')] END))) AS hx
+    FROM ws
 ), votes AS (
     SELECT doc_id,
            {votes}
@@ -350,19 +538,23 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 def q_llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints + near-dup pairs at Hamming distance ≤ 3.
 
-    Candidates via 4 byte-band matches — pigeonhole-COMPLETE for
+    Candidates via 4 15-bit-band matches — pigeonhole-COMPLETE for
     distance ≤ 3 over 4 bands (the round-2 16-bit-half banding missed
     (1,2)-split pairs; caught when the all-pairs oracle landed) — then
     exact Hamming verification. Hash-checked against the all-pairs
     DuckDB derivation of the same md5-digit fingerprints."""
     docs = load_tables(spark, sf_dir)["documents"]
     fp = simhash(docs).cache()
+    # 15-bit quarters of the 60-bit fingerprint: pigeonhole-complete
+    # for Hamming ≤ 3 over 4 bands, and 32768 buckets per band keeps
+    # the candidate self-join linear-ish at a 1M-doc corpus (the 8-bit
+    # bands this replaced were quadratic there — found by corpus bench)
     bands = fp.select(
         "doc_id",
         "simhash",
         F.posexplode(
             F.array(*[
-                F.shiftright("simhash", 8 * k).bitwiseAND(F.lit(0xFF))
+                F.shiftright("simhash", 15 * k).bitwiseAND(F.lit(0x7FFF))
                 for k in range(4)
             ])
         ).alias("band_idx", "band_val"),

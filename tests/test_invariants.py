@@ -235,6 +235,24 @@ def test_ann_recall_bounds(spark, sf_dir):
     assert rows["ivfpq"] >= 0.4, rows
 
 
+def test_minhash_verified_is_exact_subset(spark, sf_dir):
+    """The LSH-verified pair tier is sound and its recall is pinned:
+    every (doc_a, doc_b, jaccard) it emits appears IDENTICALLY in the
+    exact prefix-filtered all-pairs result (soundness — verification
+    is the same exact intersection), and it finds at least 80% of the
+    exact pairs on the fixture (banding recall — a band-parameter or
+    signature regression that quietly drops near-dups fails here)."""
+    exact = _run("q_llm_ngram_jaccard", spark, sf_dir)
+    verified = _run("q_llm_minhash_verified", spark, sf_dir)
+    n_exact = exact.count()
+    n_verified = verified.count()
+    missing_from_exact = verified.exceptAll(exact).count()
+    assert missing_from_exact == 0, (
+        f"{missing_from_exact} verified pairs not in the exact result"
+    )
+    assert n_verified >= 0.8 * n_exact, (n_verified, n_exact)
+
+
 def test_global_rank_keeps_nulls_and_all_null(spark):
     """_global_rank must not drop NULL values (they bucket to 0 and
     rank first, matching a global NULLS FIRST order) and must survive

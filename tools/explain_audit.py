@@ -68,6 +68,7 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
     "q_llm_knn_join": (["BroadcastExchange"], ["SortMergeJoin"]),
     "q_llm_ngram_jaccard": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
     "q_llm_minhash_dedup": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    "q_llm_minhash_verified": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
     "q_llm_simhash": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
     "q_telemetry_pipeline": (["ArrowEvalPython"], ["CartesianProduct"]),
     # subquery decorrelation: EXISTS/IN → semi join, NOT EXISTS → anti

@@ -41,6 +41,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SKEW_FAMILY = [
     "q_join_salted",
     "q_llm_minhash_dedup",
+    "q_llm_minhash_verified",
     "q_llm_simhash",
     "q_llm_ngram_jaccard",
     "q_ts_zscore",
