@@ -290,8 +290,11 @@ BNLJ_ALLOWED: dict[str, str] = {
     "q_llm_knn_join": "probe-set broadcast (|probes| ≪ corpus)",
     "q_llm_hybrid_search": "probe-vector + idf-model broadcast",
     "q_llm_ann_ivf": "centroid-table broadcast (nlist rows)",
+    "q_llm_ann_pq": "1-row probe broadcast for the exact re-ranking "
+    "of the constant ADC shortlist",
     "q_llm_ann_ivfpq": "1-row probe × K-centroid scoring broadcast "
-    "(cluster selection; the ADC scan itself is an equi hash join)",
+    "(cluster selection; the ADC scan itself is an equi hash join) + "
+    "the same re-rank probe broadcast as q_llm_ann_pq",
     "q_llm_ann_ivf_indexed": "centroid + 1-row probe broadcast over the "
     "partition-pruned index scan",
     "q_llm_semdedup": "centroid-table broadcast for the cluster assignment",
@@ -358,6 +361,8 @@ BROADCAST_BOUNDED: dict[str, dict[str, str]] = {
         "dt": "ADC distance table (PQ_M×PQ_K rows, constant)",
         "cmean": "IVF cluster means (K×dim values, constant)",
         "psub": "probe residual subvectors (nprobe×PQ_M rows, constant)",
+        "shortlist": "ADC top-PQ_RERANK ids for exact re-ranking "
+        "(constant 100 rows per query)",
     },
     "llm/decontam.py": {
         "bench_grams": "fixed benchmark n-gram set",
