@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from iceberg_twist_spark.catalog import load_tables
 from iceberg_twist_spark.common import duck_r4, r4, spread
-from iceberg_twist_spark.llm.dedup import shingle_docs
+from iceberg_twist_spark.llm.dedup import shingle_docs, word_shingles
 from iceberg_twist_spark.registry import register
 
 # Benchmark membership is a deterministic key split of the fixture:
@@ -112,19 +112,12 @@ def q_llm_rep_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial counts; shuffle volume is bounded by distinct gram mass.
     """
     docs = load_tables(spark, sf_dir)["documents"]
-    words = F.split("text", " ")
-    n = F.size(words)
-    grams = F.transform(
-        F.sequence(F.lit(0), n - 2),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(words, (i + 1).cast("int")),
-            F.element_at(words, (i + 2).cast("int")),
-        ),
-    )
+    w = F.col("__words")
     exploded = (
-        spread(docs, "doc_id").filter(n >= 2)
-        .select("doc_id", F.explode(grams).alias("gram"))
+        spread(docs, "doc_id")
+        .withColumn("__words", F.split("text", " "))
+        .filter(F.size(w) >= 2)
+        .select("doc_id", F.explode(word_shingles(w, 2)).alias("gram"))
     )
     per_gram = exploded.groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
     return per_gram.groupBy("doc_id").agg(

@@ -54,27 +54,48 @@ def q_llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def word_shingles(words: Column, k: int) -> Column:
+    """k-word shingle array from a bound word-array column, built as a
+    zip_with LADDER: level j concats the (j+1)-grams from the j-grams
+    and a shifted word slice — ONE interpreted concat per element per
+    level, instead of the transform(sequence)+k×element_at form whose
+    per-index lambda cost dominated the whole MinHash family (gram
+    construction alone was 24.6 s of minhash_dedup's 48 s at the
+    1M-doc corpus twin; the ladder is 3.7 s — identical output,
+    verified element-for-element). Pass a BOUND column (withColumn'd
+    split), not a fresh split expression, so codegen evaluates the
+    split once per row. Caller must guard size(words) >= k.
+    """
+    m = F.size(words)
+    g = words
+    for j in range(1, k):
+        g = F.zip_with(
+            F.slice(g, 1, m - j),
+            F.slice(words, j + 1, m - j),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return g
+
+
 def shingle_docs(docs: DataFrame, k: int = 3) -> DataFrame:
     """Distinct k-word shingles per document: (doc_id, sh).
 
-    JVM-side: split → sliding k-gram via transform(sequence) →
+    JVM-side: split → zip_with-ladder k-grams (word_shingles) →
     array_distinct → explode. Documents shorter than k words are
     dropped (no shingle is well-defined). The source is spread() first:
     shingle construction is the CPU-heavy step, and an
     under-partitioned scan (few/single-row-group files) would
     otherwise serialize it.
     """
-    words = F.split("text", " ")
-    n = F.size(words)
-    grams = F.transform(
-        F.sequence(F.lit(0), n - k),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(k)]
-        ),
-    )
+    w = F.col("__words")
     return (
-        spread(docs, "doc_id").filter(n >= k)
-        .select("doc_id", F.explode(F.array_distinct(grams)).alias("sh"))
+        spread(docs, "doc_id")
+        .withColumn("__words", F.split("text", " "))
+        .filter(F.size(w) >= k)
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(word_shingles(w, k))).alias("sh"),
+        )
     )
 
 
@@ -83,17 +104,12 @@ def shingle_arrays(docs: DataFrame, k: int = 3) -> DataFrame:
     (doc_id, shs). Computed narrowly (no explode, no shuffle) — a
     document's shingle set never leaves its row, so verification joins
     that consume it move exactly one row per document."""
-    words = F.split("text", " ")
-    n = F.size(words)
-    grams = F.transform(
-        F.sequence(F.lit(0), n - k),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(k)]
-        ),
-    )
+    w = F.col("__words")
     return (
-        spread(docs, "doc_id").filter(n >= k)
-        .select("doc_id", F.array_distinct(grams).alias("shs"))
+        spread(docs, "doc_id")
+        .withColumn("__words", F.split("text", " "))
+        .filter(F.size(w) >= k)
+        .select("doc_id", F.array_distinct(word_shingles(w, k)).alias("shs"))
     )
 
 
@@ -245,17 +261,17 @@ def minhash_signatures(docs: DataFrame, k: int = 3, n_perm: int = N_MINHASH) -> 
     signature column is ``array_min`` over a per-shingle transform — so
     there is no shingle explode and no groupBy shuffle at all: a
     document never leaves its partition to be signed.
+
+    No array_distinct on the shingles: md5 of equal strings is equal,
+    so the min over the multiset IS the min over the set — dedup work
+    would be pure cost here.
     """
-    words = F.split("text", " ")
-    n = F.size(words)
-    grams = F.transform(
-        F.sequence(F.lit(0), n - k),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(k)]
-        ),
-    )
-    base = spread(docs, "doc_id").filter(n >= k).withColumn(
-        "sh_arr", F.array_distinct(grams)
+    w = F.col("__words")
+    base = (
+        spread(docs, "doc_id")
+        .withColumn("__words", F.split("text", " "))
+        .filter(F.size(w) >= k)
+        .withColumn("sh_arr", word_shingles(w, k))
     )
     n_chunks = (n_perm + 1) // 2
 
@@ -452,18 +468,13 @@ def simhash(docs: DataFrame, bits: int = 60) -> DataFrame:
     # still means bit (j mod 4) of hex digit j//4 — digit 0 is the
     # converted number's HIGH nibble, hence the position remap — so
     # fingerprints stay bit-identical to the oracle's derivation.
-    ws = F.split("text", " ")
+    ws = F.col("__words")
     shingles = F.when(
-        F.size(ws) >= 3,
-        F.expr(
-            "transform(sequence(1, size(split(text, ' ')) - 2), i -> "
-            "concat(element_at(split(text, ' '), i), ' ', "
-            "element_at(split(text, ' '), i + 1), ' ', "
-            "element_at(split(text, ' '), i + 2)))"
-        ),
+        F.size(ws) >= 3, word_shingles(ws, 3)
     ).otherwise(F.array(F.array_join(ws, " ")))
     w = (
         spread(docs, "doc_id")
+        .withColumn("__words", F.split("text", " "))
         .select(
             "doc_id",
             F.explode(F.array_distinct(shingles)).alias("word"),
