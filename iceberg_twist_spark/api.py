@@ -106,6 +106,54 @@ class Engine:
         sig = minhash_signatures(docs)
         return sig  # signatures; banding join is q_llm_minhash_dedup's shape
 
+    @staticmethod
+    def near_dup_pairs(
+        df: DataFrame, text_col: str, key_col: str, tau: float = 0.2
+    ) -> DataFrame:
+        """Verified near-duplicate pairs: MinHash/LSH banded candidates
+        exact-Jaccard-verified at ``tau`` — the pair tier the engine's
+        own cluster/survivor/corpus-pipeline chain runs on
+        (q_llm_minhash_verified's shape). Returns
+        (doc_a, doc_b, jaccard); recall is bounded by the banding,
+        every emitted pair is exactly verified."""
+        from iceberg_twist_spark.llm.dedup import (
+            LSH_BANDS,
+            N_MINHASH,
+            _verify_jaccard,
+            minhash_signatures,
+        )
+
+        docs = df.select(
+            F.col(key_col).alias("doc_id"), F.col(text_col).alias("text")
+        )
+        sig = minhash_signatures(docs)
+        rpb = N_MINHASH // LSH_BANDS
+        bands = sig.select(
+            "doc_id",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.md5(F.concat(*[F.col(f"mh{b * rpb + r}") for r in range(rpb)]))
+                        for b in range(LSH_BANDS)
+                    ]
+                )
+            ).alias("band_idx", "band_hash"),
+        ).localCheckpoint(eager=False)
+        a, b = bands.alias("a"), bands.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .distinct()
+        )
+        return _verify_jaccard(cand, docs, tau)
+
     def frame_split(self, df: DataFrame, payload_col: str) -> DataFrame:
         """Delimiter frame split (A5) over binary payloads."""
         from iceberg_twist_spark.ingest.frames import split_frames_map_in_pandas

@@ -387,6 +387,27 @@ def test_line_dedup_facade(spark):
     assert out[4].n_boilerplate == 0
 
 
+def test_near_dup_pairs_facade(spark):
+    """Planted near-dups (one word changed) are found with the right
+    Jaccard; unrelated docs never pair; pairs are (lo, hi)-oriented."""
+    from iceberg_twist_spark.api import Engine
+
+    base = " ".join(f"w{i}" for i in range(40))
+    near = " ".join(f"w{i}" if i != 20 else "CHANGED" for i in range(40))
+    rows = [
+        (1, base),
+        (2, near),
+        (3, " ".join(f"z{i}" for i in range(40))),
+    ]
+    df = spark.createDataFrame(rows, "k long, text string")
+    got = Engine.near_dup_pairs(df, "text", "k").collect()
+    assert len(got) == 1 and (got[0].doc_a, got[0].doc_b) == (1, 2)
+    # 38 shared of 38+3 distinct trigrams each (3 touch position 20):
+    # J = 35/41
+    assert abs(got[0].jaccard - 35 / 41) < 1e-3
+    assert Engine.near_dup_pairs(df, "text", "k", tau=0.99).count() == 0
+
+
 def test_mixture_sample_facade(spark):
     """Every group downsamples toward the rarest group's count; the
     rarest group survives whole; the result is key-deterministic."""
