@@ -72,6 +72,12 @@ HEADLINE = (
     # broadcasts, integer distance sums)
     "q_llm_line_dedup",
     "q_llm_ann_pq",
+    # round-7 additions: the verified near-dup pair tier (the backbone
+    # of clusters/survivor/corpus_pipeline since r6) and the composed
+    # end-to-end corpus pipeline — bench-pinned so a plan regression
+    # shows in BENCH deltas, not only at the 1M-doc rehearsal
+    "q_llm_minhash_verified",
+    "q_llm_corpus_pipeline",
 )
 
 # Queries whose result set is large: execute via the noop sink so the
@@ -130,6 +136,12 @@ SHUFFLE_CEILING_SF01 = {  # bytes at sf0.1: measured (r4 calibration) → ceilin
     "q_llm_line_dedup": 9_000_000,    # 3.39 MB — digests + one corpus rewrite
     "q_llm_ann_pq": 10_000_000,       # 4.05 MB — encode argmin partials
                                       # (|vecs|×M code rows, never floats)
+    "q_llm_minhash_verified": 4_500_000,   # 1.72 MB (r7) — banded
+                                      # signatures + one shingle-array
+                                      # row per doc on each verify side
+    "q_llm_corpus_pipeline": 10_000_000,   # 3.73 MB (r7) — verified pair
+                                      # tier + CC rounds + gate/pack
+                                      # windows over the kept corpus
 }
 
 # sf1 ceilings (r5): measured on the generated sf1 twin

@@ -114,44 +114,30 @@ class Engine:
         exact-Jaccard-verified at ``tau`` — the pair tier the engine's
         own cluster/survivor/corpus-pipeline chain runs on
         (q_llm_minhash_verified's shape). Returns
-        (doc_a, doc_b, jaccard); recall is bounded by the banding,
-        every emitted pair is exactly verified."""
+        (doc_a, doc_b, jaccard); every emitted pair is exactly
+        verified.
+
+        The banding is DERIVED from tau (lsh_params: the sharpest
+        rows-per-band whose S-curve detection probability at J = tau
+        still clears 0.9), so a low tau gets wide single-row bands
+        and a high tau gets the precise 4×4 banding — the r6 facade
+        reused the query's fixed 4×4 constants, which at tau = 0.2
+        detected a true borderline pair with probability ~0.006.
+        Candidate generation is the same shared ``band_pairs`` helper
+        the oracle-checked queries run, so the band hashing cannot
+        drift from the verified implementation."""
         from iceberg_twist_spark.llm.dedup import (
-            LSH_BANDS,
-            N_MINHASH,
             _verify_jaccard,
+            band_pairs,
+            lsh_params,
             minhash_signatures,
         )
 
         docs = df.select(
             F.col(key_col).alias("doc_id"), F.col(text_col).alias("text")
         )
-        sig = minhash_signatures(docs)
-        rpb = N_MINHASH // LSH_BANDS
-        bands = sig.select(
-            "doc_id",
-            F.posexplode(
-                F.array(
-                    *[
-                        F.md5(F.concat(*[F.col(f"mh{b * rpb + r}") for r in range(rpb)]))
-                        for b in range(LSH_BANDS)
-                    ]
-                )
-            ).alias("band_idx", "band_hash"),
-        ).localCheckpoint(eager=False)
-        a, b = bands.alias("a"), bands.alias("b")
-        cand = (
-            a.join(
-                b,
-                (F.col("a.band_idx") == F.col("b.band_idx"))
-                & (F.col("a.band_hash") == F.col("b.band_hash"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .select(
-                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-            )
-            .distinct()
-        )
+        n_bands, _ = lsh_params(tau)
+        cand = band_pairs(minhash_signatures(docs), n_bands=n_bands)
         return _verify_jaccard(cand, docs, tau)
 
     def frame_split(self, df: DataFrame, payload_col: str) -> DataFrame:
@@ -658,9 +644,17 @@ class Engine:
         adding n_emails / n_phones count columns. Pure projection —
         zero shuffle. Defaults match uppercase emails and the common
         NANP phone formats; pass ``email_pattern`` / ``phone_pattern``
-        (Java regex) for other locales."""
+        (Java regex) for other locales.
+
+        n_phones is counted on the EMAIL-REDACTED text — replacements
+        run emails-first, so a digit run inside an email local-part
+        ('john555-1234@x.com') is consumed by <EMAIL> and must not be
+        billed as a phone the scrub never performs; counting after
+        the email pass keeps n_phones equal to the number of <PHONE>
+        replacements actually made."""
         email = email_pattern or Engine.PII_EMAIL_PATTERN
         phone = phone_pattern or Engine.PII_PHONE_PATTERN
+        deemailed = F.regexp_replace(text_col, email, "<EMAIL>")
         return (
             df.withColumn(
                 "n_emails",
@@ -668,15 +662,11 @@ class Engine:
             )
             .withColumn(
                 "n_phones",
-                F.regexp_count(text_col, F.lit(phone)).cast("long"),
+                F.regexp_count(deemailed, F.lit(phone)).cast("long"),
             )
             .withColumn(
                 text_col,
-                F.regexp_replace(
-                    F.regexp_replace(text_col, email, "<EMAIL>"),
-                    F.lit(phone),
-                    F.lit("<PHONE>"),
-                ),
+                F.regexp_replace(deemailed, F.lit(phone), F.lit("<PHONE>")),
             )
         )
 

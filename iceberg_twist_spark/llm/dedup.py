@@ -295,6 +295,89 @@ def minhash_signatures(docs: DataFrame, k: int = 3, n_perm: int = N_MINHASH) -> 
     return hashed.select("doc_id", *[_half(i) for i in range(n_perm)])
 
 
+def lsh_params(
+    tau: float, n_perm: int = N_MINHASH, min_recall: float = 0.9
+) -> tuple[int, int]:
+    """(n_bands, rows_per_band) for a target Jaccard threshold ``tau``:
+    the largest rows-per-band whose S-curve detection probability
+    1 − (1 − tau^r)^(n/r) at J = tau still clears ``min_recall``.
+
+    Larger r sharpens precision (fewer sub-tau collisions survive a
+    whole band) but pushes the S-curve knee (1/b)^(1/r) upward; the
+    recall constraint keeps the knee safely below tau. With the
+    16-perm signature: tau ≤ ~0.4 → 16 bands × 1 row, tau ≈ 0.5 →
+    8 × 2, tau ≥ ~0.8 → 4 × 4. r = 1 always satisfies any
+    min_recall ≤ 1 − (1 − tau)^n for tau > 0, so the fixed-banding
+    under-recall the r6 facade had (4×4 banding at tau = 0.2 detects
+    a true J = 0.2 pair with probability 0.006) cannot recur.
+    """
+    best = (n_perm, 1)
+    for r in range(2, n_perm + 1):
+        if n_perm % r:
+            continue
+        b = n_perm // r
+        if 1 - (1 - tau**r) ** b >= min_recall:
+            best = (b, r)
+    return best
+
+
+def band_pairs(
+    sig: DataFrame, n_perm: int = N_MINHASH, n_bands: int = LSH_BANDS
+) -> DataFrame:
+    """Banded LSH candidate pairs (doc_a < doc_b) from a signature
+    frame — THE candidate generator for the whole MinHash family
+    (q_llm_minhash_dedup, q_llm_minhash_verified, and the
+    Engine.near_dup_pairs facade all call this one function, so the
+    band hashing cannot drift between the oracle-checked queries and
+    the facade).
+
+    Banding: the signature splits into n_bands bands of
+    n_perm/n_bands hashes; docs agreeing on any whole band (md5 of
+    the concatenated minhashes) become a candidate pair. At 100 TB
+    the band bucket join replaces all-pairs comparison; skewed
+    buckets (boilerplate text) are handled by AQE skew-join
+    splitting.
+
+    The (doc_id, band) rows are lazily materialized before the
+    self-join: without the checkpoint both join sides re-run the
+    whole signature pipeline (shingle + hash permutations over every
+    document — by far the dominant cost; ~2× measured at sf0.1). The
+    checkpoint is tiny (|docs| × n_bands rows) and keeps the join
+    plan flat.
+    """
+    rpb = n_perm // n_bands
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat(
+                            *[F.col(f"mh{b * rpb + r}") for r in range(rpb)]
+                        )
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    ).localCheckpoint(eager=False)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
 def _minhash_oracle(k: int = 3, n_perm: int = N_MINHASH, n_bands: int = LSH_BANDS) -> str:
     """DuckDB SQL producing the identical banded candidate pairs."""
     rpb = n_perm // n_bands
@@ -341,51 +424,13 @@ def q_llm_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding query compares against a full DuckDB derivation (round-3
     upgrade from rows-only).
 
-    Banding: signature split into LSH_BANDS bands of 4 hashes; docs
-    agreeing on any whole band become a candidate pair. At 100 TB the
-    band bucket join replaces all-pairs comparison; skewed buckets
-    (boilerplate text) are handled by AQE skew-join splitting.
+    Banding and the candidate self-join live in the shared
+    ``band_pairs`` helper (also the engine facade's generator — one
+    implementation, no oracle drift); see its docstring for the scale
+    shape and the checkpoint rationale.
     """
     docs = load_tables(spark, sf_dir)["documents"]
-    sig = minhash_signatures(docs)
-    rows_per_band = N_MINHASH // LSH_BANDS
-    bands = sig.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.md5(
-                        F.concat(
-                            *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-                        )
-                    )
-                    for b in range(LSH_BANDS)
-                ]
-            )
-        ).alias("band_idx", "band_hash"),
-    )
-    # Lazy-materialize the (doc_id, band) rows before the self-join:
-    # without it both join sides re-run the whole signature pipeline
-    # (shingle + 16 hash permutations over every document — by far the
-    # dominant cost; ~2× measured at sf0.1). The checkpoint is tiny
-    # (|docs| × LSH_BANDS rows of 3 longs) and, like PageRank's
-    # per-iteration checkpoints, keeps the join plan flat.
-    bands = bands.localCheckpoint(eager=False)
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .distinct()
-    )
+    return band_pairs(minhash_signatures(docs))
 
 
 _VERIFIED_ORACLE = f"""

@@ -872,13 +872,18 @@ def _pq_assign(
     def d2(e):
         return r4(sv2 - 2 * _dot(sv, e["cw"]) + e["c2"])
 
-    best = F.aggregate(
-        F.element_at(F.col("cbarr"), F.col("m").cast("int") + 1),
-        F.struct(F.lit(float("inf")).alias("d"), F.lit(-1).alias("code")),
-        lambda acc, e: F.when(
-            d2(e) < acc["d"],
-            F.struct(d2(e).alias("d"), e["code"].alias("code")),
-        ).otherwise(acc),
+    # array_min over (d, code) structs, not a when-fold: HOF lambdas get
+    # no common-subexpression elimination, so the fold's when-predicate
+    # + replacement struct evaluated d2 TWICE per replacing codeword;
+    # one transform evaluates it exactly once per codeword, and the
+    # struct's lexicographic min — smallest d, then smallest code — IS
+    # the oracle's (d2, code) row_number order, including the
+    # keep-lowest-code tie rule the strict-< fold encoded.
+    best = F.array_min(
+        F.transform(
+            F.element_at(F.col("cbarr"), F.col("m").cast("int") + 1),
+            lambda e: F.struct(d2(e).alias("d"), e["code"].alias("code")),
+        )
     )
     return (
         sub.withColumn("__sv2", _dot(sv, sv))
@@ -921,25 +926,15 @@ def pq_encode(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     return _pq_assign(sub, cb1), cb1
 
 
-@register("q_llm_ann_pq", oracle=_PQ_TOP_SQL, tags=("llm", "similarity"))
-def q_llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ/ADC top-10 for probe vec_id=0, exact-re-ranked.
-
-    The probe is NOT quantized (asymmetric): its exact distance to
-    every refined codeword forms a PQ_M×PQ_K lookup table (broadcast),
-    and a stored vector's approximate distance is the sum of its PQ_M
-    table entries — integer adds over the codes table, no float
-    arrays touched at query time. Partial distances cross engines as
-    exact 1e-4-scaled integers so the sum is order-free.
-
-    The ADC pass produces a PQ_RERANK shortlist (TakeOrdered on the
-    integer sums, vec_id tiebreak — cross-engine exact), and only the
-    shortlist is re-scored with the exact cosine against the raw
-    embeddings (a broadcast of 100 ids — the corpus's float arrays
-    are touched for exactly PQ_RERANK rows). This is Jégou's IVFADC+R
-    refinement step; without it, quantized-L2 ordering caps recall@10
-    at 0.1 on the 100k-vector corpus twin."""
-    codes, cb = pq_encode(spark, sf_dir)
+def _pq_adc_topk(
+    spark: SparkSession, sf_dir: str, codes: DataFrame, cb: DataFrame
+) -> DataFrame:
+    """ADC top-10 given a codes table + codebook (however sourced):
+    the shared query back-half of q_llm_ann_pq (codes trained
+    in-plan) and q_llm_ann_pq_indexed (codes read from the
+    materialized index). Both answers are identical because the
+    encoding is deterministic and array<double> codewords round-trip
+    parquet exactly."""
     emb = with_norm(
         spread(load_tables(spark, sf_dir)["embeddings"], "vec_id"), "embedding"
     )
@@ -976,6 +971,106 @@ def q_llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(RECALL_K)
     )
+
+
+@register("q_llm_ann_pq", oracle=_PQ_TOP_SQL, tags=("llm", "similarity"))
+def q_llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC top-10 for probe vec_id=0, exact-re-ranked.
+
+    The probe is NOT quantized (asymmetric): its exact distance to
+    every refined codeword forms a PQ_M×PQ_K lookup table (broadcast),
+    and a stored vector's approximate distance is the sum of its PQ_M
+    table entries — integer adds over the codes table, no float
+    arrays touched at query time. Partial distances cross engines as
+    exact 1e-4-scaled integers so the sum is order-free.
+
+    The ADC pass produces a PQ_RERANK shortlist (TakeOrdered on the
+    integer sums, vec_id tiebreak — cross-engine exact), and only the
+    shortlist is re-scored with the exact cosine against the raw
+    embeddings (a broadcast of 100 ids — the corpus's float arrays
+    are touched for exactly PQ_RERANK rows). This is Jégou's IVFADC+R
+    refinement step; without it, quantized-L2 ordering caps recall@10
+    at 0.1 on the 100k-vector corpus twin.
+
+    Codebook training + encoding run INSIDE this query — the
+    correctness-baseline form. The scale form is
+    q_llm_ann_pq_indexed, which reads the same codes from the
+    materialized index and pays only LUT + ADC scan + re-rank."""
+    codes, cb = pq_encode(spark, sf_dir)
+    return _pq_adc_topk(spark, sf_dir, codes, cb)
+
+
+# Bump when the PQ index layout changes (see _IVF_INDEX_VERSION).
+_PQ_INDEX_VERSION = 1
+
+
+def _pq_index_dir(sf_dir: str) -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(
+        tempfile.gettempdir(), f"itws_pq_index_v{_PQ_INDEX_VERSION}_{key}"
+    )
+
+
+def build_pq_index(spark: SparkSession, sf_dir: str, path: str | None = None) -> str:
+    """Materialize the PQ index: codes (vec_id, m, code — ~2% of the
+    embedding bytes) and the refined codebook (PQ_M×PQ_K rows of
+    array<double>) written ONCE. This is the offline build the r6
+    verdict priced: training inside the query costs ~51–79 s per
+    lookup at the 1M-vector corpus; amortized here it runs once per
+    corpus snapshot and every query pays only LUT + integer-ADC scan.
+
+    Idempotent per (sf_dir, layout version): written to a unique
+    staging dir, marker file, rename — a concurrent builder loses the
+    race harmlessly and reuses the winner's index (same discipline as
+    build_ivf_index)."""
+    import os
+    import shutil
+    import uuid
+
+    path = path or _pq_index_dir(sf_dir)
+    if os.path.exists(os.path.join(path, "_COMPLETE")):
+        return path
+    codes, cb = pq_encode(spark, sf_dir)
+    staging = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    codes.write.mode("overwrite").parquet(os.path.join(staging, "codes"))
+    cb.write.mode("overwrite").parquet(os.path.join(staging, "codebook"))
+    with open(os.path.join(staging, "_COMPLETE"), "w") as f:
+        f.write("ok")
+    try:
+        os.rename(staging, path)
+    except OSError:
+        shutil.rmtree(staging, ignore_errors=True)  # lost the race: reuse
+    return path
+
+
+@register(
+    "q_llm_ann_pq_indexed",
+    oracle=_PQ_TOP_SQL,
+    tags=("llm", "similarity", "source"),
+)
+def q_llm_ann_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC top-10 over the MATERIALIZED index — the scale form of
+    q_llm_ann_pq (same answer, same oracle).
+
+    q_llm_ann_pq trains the codebook and encodes the corpus in-plan on
+    every call; here both are an offline index build
+    (``build_pq_index``) and the query side is: subspace-split the
+    probe, broadcast-join it against the ≤ PQ_M×PQ_K codebook rows to
+    form the ADC lookup table, sum table entries over the integer
+    codes table (never touching a float array of the corpus), and
+    exact-re-rank only the PQ_RERANK shortlist. At 100 TB the codes
+    table is the only corpus-sized input and it is ~2% of the
+    embedding bytes."""
+    import os
+
+    idx = build_pq_index(spark, sf_dir)
+    codes = spark.read.parquet(os.path.join(idx, "codes"))
+    cb = spark.read.parquet(os.path.join(idx, "codebook"))
+    return _pq_adc_topk(spark, sf_dir, codes, cb)
 
 
 # ------------------------------------------------------------- IVF-PQ
@@ -1192,6 +1287,148 @@ def q_llm_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(IVFPQ_NPROBE)
         # probe residual vs each probed cluster's MEAN (matches encode)
         .join(F.broadcast(cmean.withColumnRenamed("cluster", "cid")), "cid")
+        .select(
+            "cid",
+            F.zip_with("p", "mu", lambda x, y: x.cast("double") - y).alias("pr"),
+        )
+    )
+    psub = _pq_subspaces(
+        probed.withColumn("vec_id", F.lit(0)), "pr", extra=("cid",)
+    ).select("cid", "m", F.col("sv").alias("psv"))
+    dt = (
+        cb.join(F.broadcast(psub), "m")
+        .select(
+            F.col("cid").alias("cluster"),
+            "m",
+            "code",
+            F.floor(_pq_d2(F.col("psv"), F.col("cw")) * 10000 + F.lit(0.5))
+            .cast("long")
+            .alias("pd2i"),
+        )
+    )
+    shortlist = (
+        codes.join(F.broadcast(dt), ["cluster", "m", "code"])
+        .groupBy("vec_id")
+        .agg((F.sum("pd2i") / 10000.0).alias("adc_dist"))
+        .filter(F.col("vec_id") != 0)
+        .orderBy(F.col("adc_dist"), F.col("vec_id"))
+        .limit(PQ_RERANK)
+        .select("vec_id")
+    )
+    pair_sim = _dot(F.col("embedding"), F.col("p")) / (F.col("nrm") * F.col("pn"))
+    return (
+        spread(emb, "vec_id")
+        .join(F.broadcast(shortlist), "vec_id")
+        .crossJoin(F.broadcast(probe))
+        .select("vec_id", r4(pair_sim).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(RECALL_K)
+    )
+
+
+# Bump when the IVF-PQ index layout changes (see _IVF_INDEX_VERSION).
+_IVFPQ_INDEX_VERSION = 1
+
+
+def _ivfpq_index_dir(sf_dir: str) -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(
+        tempfile.gettempdir(), f"itws_ivfpq_index_v{_IVFPQ_INDEX_VERSION}_{key}"
+    )
+
+
+def build_ivfpq_index(
+    spark: SparkSession, sf_dir: str, path: str | None = None
+) -> str:
+    """Materialize the IVFADC index: residual-PQ codes written
+    ``partitionBy("cluster")`` (so a probe's nprobe-cluster ADC scan
+    prunes at the DIRECTORY level, the q_llm_ann_ivf_indexed layout),
+    plus the constant codebook and per-cluster means. Offline build,
+    once per corpus snapshot; same staging+rename idempotence as
+    build_pq_index."""
+    import os
+    import shutil
+    import uuid
+
+    path = path or _ivfpq_index_dir(sf_dir)
+    if os.path.exists(os.path.join(path, "_COMPLETE")):
+        return path
+    codes, cb, cmean = ivfpq_encode(spark, sf_dir)
+    staging = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    codes.write.mode("overwrite").partitionBy("cluster").parquet(
+        os.path.join(staging, "codes")
+    )
+    cb.write.mode("overwrite").parquet(os.path.join(staging, "codebook"))
+    cmean.write.mode("overwrite").parquet(os.path.join(staging, "cmeans"))
+    with open(os.path.join(staging, "_COMPLETE"), "w") as f:
+        f.write("ok")
+    try:
+        os.rename(staging, path)
+    except OSError:
+        shutil.rmtree(staging, ignore_errors=True)  # lost the race: reuse
+    return path
+
+
+@register(
+    "q_llm_ann_ivfpq_indexed",
+    oracle=_IVFPQ_TOP_SQL,
+    tags=("llm", "similarity", "sketch", "source"),
+)
+def q_llm_ann_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-10 over the MATERIALIZED index — the scale form of
+    q_llm_ann_ivfpq (same answer, same oracle), and the full
+    billion-vector architecture: IVF prunes (the probe's nprobe
+    cluster ids are collected as bounded driver scalars and become a
+    literal IN-list over the partition column, so only those
+    directories are LISTED, let alone read), PQ compresses (the
+    pruned scan reads integer codes, ~2% of embedding bytes), and the
+    exact re-rank touches float arrays for exactly PQ_RERANK rows."""
+    import os
+
+    idx = build_ivfpq_index(spark, sf_dir)
+    cb = spark.read.parquet(os.path.join(idx, "codebook"))
+    cmean = spark.read.parquet(os.path.join(idx, "cmeans"))
+    emb = with_norm(load_tables(spark, sf_dir)["embeddings"], "embedding")
+    centroids = emb.filter(F.col("vec_id") < IVF_K)
+    probe = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("p"), F.col("nrm").alias("pn")
+    )
+    cent = centroids.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("c"),
+        F.col("nrm").alias("cn"),
+    )
+    # nprobe winning cluster ids as driver scalars (≤ IVFPQ_NPROBE
+    # rows — the q_llm_ann_ivf_indexed convention): a literal IN-list
+    # over the partition column gives static partition pruning.
+    probe_cids = [
+        r.cid
+        for r in (
+            probe.crossJoin(F.broadcast(cent))
+            .select(
+                "cid",
+                r4(_dot(F.col("p"), F.col("c")) / (F.col("pn") * F.col("cn"))).alias("csim"),
+            )
+            .orderBy(F.col("csim").desc(), F.col("cid"))
+            .limit(IVFPQ_NPROBE)
+            .collect()
+        )
+    ]
+    codes = spark.read.parquet(os.path.join(idx, "codes")).filter(
+        F.col("cluster").isin(probe_cids)
+    )
+    # probe residual vs each probed cluster's mean (matches the encode)
+    probed = (
+        probe.crossJoin(
+            F.broadcast(
+                cmean.filter(F.col("cluster").isin(probe_cids)).withColumnRenamed(
+                    "cluster", "cid"
+                )
+            )
+        )
         .select(
             "cid",
             F.zip_with("p", "mu", lambda x, y: x.cast("double") - y).alias("pr"),

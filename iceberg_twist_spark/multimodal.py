@@ -522,7 +522,14 @@ FROM b GROUP BY doc_id, width, height
 PHASH_W = PHASH_H = 16
 PHASH_STREAM = PHASH_W * PHASH_H * 3  # 768 pixel bytes
 PHASH_BITS = 64
-PHASH_MAX_HAMMING = 7  # ≤7 bit errors over 8 byte-bands → pigeonhole-complete
+# ≤3 bit errors over 4 sixteen-bit bands → pigeonhole-complete (3
+# errors cannot touch all 4 bands). r7: was ≤7 over 8 byte-bands —
+# the same quadratic wall the r6 corpus rehearsal caught in SimHash:
+# 8-bit bands give 256 buckets/band, which at the 1M-blob corpus twin
+# is ~3.9k docs per bucket and ~15G candidate pairs (never finishes);
+# 16-bit bands give 65536, keeping buckets ~15 docs at 1M. The
+# planted variants sit at Hamming 0–2, inside the tightened radius.
+PHASH_MAX_HAMMING = 3
 
 
 def build_phash_media(docs: DataFrame) -> DataFrame:
@@ -665,12 +672,15 @@ WHERE bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) <= {PHASH_MAX_HAMM
 @register("q_mm_phash_dedup", oracle=_PHASH_DEDUP_ORACLE, tags=("multimodal", "dedup"))
 def q_mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup pairs: Hamming ≤ {PHASH_MAX_HAMMING} over the
-    64-bit aHash. Candidates come from an 8-way byte-band join —
-    pigeonhole-complete (≤7 bit errors cannot touch all 8 bands, so
+    64-bit aHash. Candidates come from a 4-way 16-bit-band join —
+    pigeonhole-complete (≤3 bit errors cannot touch all 4 bands, so
     every qualifying pair shares at least one exact band) — then exact
     Hamming verification. The oracle's all-pairs form is the
     correctness baseline; the banded join is the 100 TB path (same
-    shape as MinHash banding)."""
+    shape as MinHash banding). Band width is the scale knob: 16-bit
+    bands keep bucket occupancy |corpus|/65536 (~15 docs at the
+    1M-blob corpus twin) where the former 8-bit bands hit the same
+    quadratic bucket wall the r6 rehearsal caught in SimHash."""
     from iceberg_twist_spark.common import spread
 
     docs = spread(load_tables(spark, sf_dir)["documents"], "doc_id")
@@ -681,10 +691,10 @@ def q_mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[
                 F.struct(
                     F.lit(j).alias("band"),
-                    F.shiftright(F.col("h1" if j < 4 else "h2"), (j % 4) * 8)
-                    .bitwiseAND(F.lit(255)).alias("val"),
+                    F.shiftright(F.col("h1" if j < 2 else "h2"), (j % 2) * 16)
+                    .bitwiseAND(F.lit(65535)).alias("val"),
                 )
-                for j in range(8)
+                for j in range(4)
             ])
         ).alias("bv"),
     ).select("doc_id", "h1", "h2", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))

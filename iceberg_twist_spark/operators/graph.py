@@ -98,10 +98,15 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast in the loop moves 8-byte ints, and the string form is
     # reconstructed only in the final projection (r5: ~35% off the
     # whole query at sf0.1).
+    # Eagerly materialized: the distinct pair set feeds THREE consumers
+    # (the node-count gate below, and both halves of the edge union) —
+    # without the checkpoint each would re-run the lineitem scan +
+    # distinct shuffle. |pairs| rows of 2 longs is the graph itself;
+    # materializing it once is the cheapest thing in the query.
     pairs = li.select(
         (F.col("l_partkey").cast("long") * 2).alias("p"),
         (F.col("l_suppkey").cast("long") * 2 + 1).alias("s"),
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     # NO distinct after the union: `pairs` is already distinct and the
     # two halves are disjoint by src parity (even=p / odd=s), so the
     # union cannot produce duplicates — the r4 shape paid a full extra
@@ -111,33 +116,58 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # fold degree onto the edge list ONCE, as a count window over src —
     # one materialization job instead of the former two serial
-    # checkpoints (edges, then deg-join). AQE is OFF while this
-    # checkpoint materializes: the window's physical child is already
-    # Exchange(hashpartitioning(src)) + Sort(src), and localCheckpoint
-    # captures the physical plan's outputPartitioning/outputOrdering
-    # into the LogicalRDD — but only when the root isn't an
-    # AdaptiveSparkPlanExec (opaque partitioning). With the layout
-    # captured, every shuffle-regime iteration's join reuses it and
-    # exchanges ONLY the |V| ranks frame, never the |E| edges (r5 sf10:
-    # 3 × 48M-edge traffic, 77 s; captured: 59 s, per-iteration 14→6 s;
-    # an explicit repartition+re-checkpoint was measured SLOWER than
-    # doing nothing — the capture must ride the exchange the window
-    # already pays). The broadcast regime is unaffected: its edges
-    # never move in either form.
-    aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        edges_deg = edges.withColumn(
-            "deg", F.count("*").over(Window.partitionBy("src"))
-        ).localCheckpoint(eager=True)
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+    # checkpoints (edges, then deg-join).
+    # |V| is measured FIRST (distinct parts + distinct suppliers —
+    # disjoint by parity, so the sum IS the node count; one
+    # multi-distinct aggregate job over the pairs scan) because it
+    # gates not just the per-iteration broadcast but the FORM of the
+    # checkpoint itself: the AQE-off layout capture pays off only in
+    # the shuffle regime, while in the broadcast regime the edges
+    # never move and AQE's partition coalescing is what keeps the
+    # small-SF window exchange cheap (r6 verdict watch item: the
+    # unconditional capture billed +0.7 s wall / +6.7 MB shuffle at
+    # sf0.1 where it buys nothing).
+    #
+    # NOTE: the AQE toggle below mutates session-global conf for the
+    # duration of one eager materialization. The engine's builders
+    # assume single-threaded use of a SparkSession (bench/check/
+    # driver all run queries serially); a concurrent query on the
+    # same session could observe AQE disabled mid-flight — use a
+    # dedicated session if concurrent builders are ever needed.
+    n_nodes = max(
+        pairs.agg(
+            (F.count_distinct("p") + F.count_distinct("s")).alias("n")
+        ).collect()[0][0],
+        1,
+    )
+    deg_win = F.count("*").over(Window.partitionBy("src"))
+    if n_nodes <= _pagerank_bcast_cap():
+        # broadcast regime: plain checkpoint, AQE on (coalesced window
+        # exchange) — the captured layout would never be reused
+        edges_deg = edges.withColumn("deg", deg_win).localCheckpoint(eager=True)
+    else:
+        # shuffle regime: AQE OFF while the checkpoint materializes —
+        # the window's physical child is already
+        # Exchange(hashpartitioning(src)) + Sort(src), and
+        # localCheckpoint captures the physical plan's
+        # outputPartitioning/outputOrdering into the LogicalRDD (only
+        # when the root isn't an AdaptiveSparkPlanExec, whose
+        # partitioning is opaque). With the layout captured, every
+        # iteration's join reuses it and exchanges ONLY the |V| ranks
+        # frame, never the |E| edges (r5 sf10: 3 × 48M-edge traffic,
+        # 77 s; captured: 59 s, per-iteration 14→6 s; an explicit
+        # repartition+re-checkpoint was measured SLOWER than doing
+        # nothing — the capture must ride the exchange the window
+        # already pays).
+        aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            edges_deg = edges.withColumn("deg", deg_win).localCheckpoint(
+                eager=True
+            )
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
     nodes = edges_deg.select(F.col("src").alias("node")).distinct()
-    # |V| measured ONCE against the checkpointed edges — an O(1) driver
-    # scalar that (a) replaces the former in-plan one-row `nn`
-    # aggregate + crossJoin on both sides of the loop, and (b) gates
-    # the broadcast decision below on actual data, not a blind hint.
-    n_nodes = max(nodes.count(), 1)
     # both divisions replicate the oracle's SQL expressions bit-for-bit
     # (IEEE double division of identical operands)
     inv_n = 1.0 / n_nodes

@@ -143,22 +143,37 @@ def _load_all_modules() -> None:
 
 
 # The driver truncates its per-round correctness record to the first
-# ~50 entries of queries() in ITERATION order. Rounds 1–5 covered the
-# exact 100-id union below; everything else has only the local
-# tools/check.py sweep. Iteration order therefore puts (a) the six ids
-# whose DuckDB oracles emitted HUGEINT columns until r6 (the observed
-# r5 hash FAIL plus its five latent siblings — their fixes need driver
-# verification) first, then (b) every never-driver-checked id
-# alphabetically, then (c) the already-checked ids. If the driver sorts
-# keys itself this is a no-op. Append each round's newly-covered ids to
-# DRIVER_CHECKED from CORRECTNESS_r{N}.json.
+# ~50 entries of queries() in ITERATION order. Rounds 1–6 covered the
+# 149-id union below; everything else has only the local
+# tools/check.py sweep. Iteration order therefore puts (a) ids whose
+# PLAN changed after their last driver check (r7: the _pq_assign fold
+# rewrite touches the whole PQ family; pagerank's layout capture is
+# regime-gated; the three dedup ids were rewritten in r6 after their
+# r3/r5 checks) plus the round's NEW ids first, then (b) every
+# never-driver-checked id alphabetically, then (c) the already-checked
+# ids. If the driver sorts keys itself this is a no-op. Append each
+# round's newly-covered ids to DRIVER_CHECKED from
+# CORRECTNESS_r{N}.json.
 REVERIFY_FIRST = (
-    "q_llm_pack_greedy",  # r5 driver hash FAIL (HUGEINT bin_tokens)
-    "q_llm_split_assign",
-    "q_tpch_q12",
-    "q_ts_rollup_cascade",
-    "q_ts_sessionize",
-    "q_vec_quantize",
+    # new in r7 (materialized ANN indexes)
+    "q_llm_ann_pq_indexed",
+    "q_llm_ann_ivfpq_indexed",
+    # plan changed r7: _pq_assign argmin fold → array_min(transform)
+    "q_llm_ann_pq",
+    "q_llm_ann_ivfpq",
+    "q_llm_ann_recall",
+    # plan changed r7: layout capture gated on the shuffle regime
+    "q_graph_pagerank",
+    # rewritten r6 AFTER their last driver check (r5/r3/r3)
+    "q_llm_minhash_dedup",
+    "q_llm_ngram_jaccard",
+    "q_llm_dup_clusters",
+    # banding extracted into a shared helper r7 (plan-identical, but
+    # the oracle-checked query must witness the refactor)
+    "q_llm_minhash_verified",
+    # semantics changed r7: Hamming radius 7→3 with 16-bit bands (the
+    # quadratic-bucket fix; oracle changed identically)
+    "q_mm_phash_dedup",
 )
 
 DRIVER_CHECKED = frozenset({
@@ -192,6 +207,23 @@ DRIVER_CHECKED = frozenset({
     "q_llm_line_dedup", "q_llm_minhash_dedup", "q_llm_mixture_sample",
     "q_llm_neg_sample", "q_llm_ngram_jaccard", "q_llm_pack_greedy",
     "q_llm_pii_scrub",
+    # round 6 (CORRECTNESS_r06.json)
+    "q_graph_triangles", "q_llm_ann_ivfpq", "q_llm_minhash_verified",
+    "q_llm_quality_gate", "q_llm_rep_ngrams", "q_llm_semdedup",
+    "q_llm_semdedup_capped", "q_llm_shuffle_shards", "q_llm_simhash",
+    "q_llm_split_assign", "q_llm_text_quality", "q_llm_text_stats",
+    "q_llm_tfidf_topk", "q_llm_token_count", "q_llm_unigram_logprob",
+    "q_llm_vocab_oov", "q_llm_winnow_fp", "q_map_funcs", "q_map_hof",
+    "q_math_funcs", "q_ml_kmeans_step", "q_ml_kmeans_train",
+    "q_mm_audio_energy", "q_mm_byte_features", "q_mm_frame_sample",
+    "q_mm_metadata", "q_mm_phash", "q_mm_phash_dedup", "q_mm_png_decode",
+    "q_mm_png_filters", "q_mm_ppm_decode", "q_mm_resize", "q_mm_wav_stats",
+    "q_mv_incremental", "q_profile_skew", "q_profile_table",
+    "q_project_arith", "q_project_conditional", "q_retention_cohort",
+    "q_sample_bernoulli", "q_sample_group_k", "q_sample_hash",
+    "q_sample_stratified", "q_sample_systematic", "q_sample_weighted",
+    "q_tpch_q12", "q_ts_rollup_cascade", "q_ts_sessionize",
+    "q_vec_quantize",
 })
 
 

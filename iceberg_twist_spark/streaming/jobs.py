@@ -175,6 +175,14 @@ class _state_partitions:
         self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
 
 
+# Most recent completed stream's per-micro-batch progress (dicts from
+# StreamingQueryProgress). Populated by run_to_memory for the
+# rehearsal harness (tools/stream_rehearsal.py reads stateOperators —
+# per-batch state rows / memory — to gate state-store growth at sf1);
+# queries never read it.
+LAST_PROGRESS: list[dict] = []
+
+
 def run_to_memory(sdf: DataFrame, output_mode: str = "append") -> DataFrame:
     """Execute a streaming plan to completion into a memory sink."""
     name = f"itws_{uuid.uuid4().hex[:12]}"
@@ -190,6 +198,7 @@ def run_to_memory(sdf: DataFrame, output_mode: str = "append") -> DataFrame:
         )
         try:
             q.awaitTermination()
+            LAST_PROGRESS[:] = list(q.recentProgress or [])
         finally:
             shutil.rmtree(ckpt, ignore_errors=True)
     return sdf.sparkSession.table(name)

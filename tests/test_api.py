@@ -408,6 +408,46 @@ def test_near_dup_pairs_facade(spark):
     assert Engine.near_dup_pairs(df, "text", "k", tau=0.99).count() == 0
 
 
+def test_near_dup_pairs_tau_derived_banding(spark):
+    """The facade's banding derives from tau (lsh_params), so planted
+    pairs just above the threshold are recovered at BOTH a low and a
+    high tau — the r6 facade's fixed 4×4 banding detected a true
+    J ≈ 0.55 pair with probability ~0.07 per band set and silently
+    under-recalled any tau below its S-curve knee (~0.7)."""
+    from iceberg_twist_spark.api import Engine
+    from iceberg_twist_spark.llm.dedup import lsh_params
+
+    # sanity on the derivation itself: sharper bands at higher tau,
+    # and ≥0.9 detection probability at J = tau for each
+    assert lsh_params(0.2) == (16, 1)
+    # 8×2 at J=0.5 detects with p=0.8999 — a hair under the 0.9 floor,
+    # so the derivation correctly stays at the wider 16×1 banding
+    assert lsh_params(0.5) == (16, 1)
+    assert lsh_params(0.6) == (8, 2)
+    assert lsh_params(0.9) == (4, 4)
+
+    # tau=0.5 plant: 30-word shared prefix of 40 → 28 shared trigrams
+    # of 38 each → J = 28/48 ≈ 0.583
+    mid_a = " ".join(f"w{i}" for i in range(40))
+    mid_b = " ".join((f"w{i}" if i < 30 else f"y{i}") for i in range(40))
+    # tau=0.9 plant: one word changed in 60 → 55 shared of 58 each →
+    # J = 55/61 ≈ 0.902
+    hi_a = " ".join(f"v{i}" for i in range(60))
+    hi_b = " ".join((f"v{i}" if i != 30 else "CHANGED") for i in range(60))
+    rows = [
+        (1, mid_a),
+        (2, mid_b),
+        (3, hi_a),
+        (4, hi_b),
+        (5, " ".join(f"z{i}" for i in range(40))),
+    ]
+    df = spark.createDataFrame(rows, "k long, text string")
+    mid = {(r.doc_a, r.doc_b) for r in Engine.near_dup_pairs(df, "text", "k", tau=0.5).collect()}
+    assert (1, 2) in mid and (3, 4) in mid
+    hi = {(r.doc_a, r.doc_b) for r in Engine.near_dup_pairs(df, "text", "k", tau=0.9).collect()}
+    assert hi == {(3, 4)}  # the J≈0.58 pair fails exact verification
+
+
 def test_mixture_sample_facade(spark):
     """Every group downsamples toward the rarest group's count; the
     rarest group survives whole; the result is key-deterministic."""
@@ -530,3 +570,21 @@ def test_scrub_pii_general_patterns(spark):
     assert "<EMAIL>" in out[1].text and "<PHONE>" in out[1].text
     assert out[2].n_phones == 3
     assert out[2].text == "alt: <PHONE> and <PHONE> and plain <PHONE>"
+
+
+def test_scrub_pii_counts_match_replacements(spark):
+    """A phone-shaped digit run inside an email local-part is consumed
+    by the <EMAIL> replacement and must NOT be billed as a phone:
+    n_phones counts on the email-redacted text, so counts always equal
+    the <PHONE> replacements actually made."""
+    from iceberg_twist_spark.api import Engine
+
+    df = spark.createDataFrame(
+        [(1, "reach john555-1234@x.com or 555-0199")],
+        "k long, text string",
+    )
+    r = Engine.scrub_pii(df, "text").collect()[0]
+    assert r.n_emails == 1
+    assert r.n_phones == 1  # only the real phone, not the local-part
+    assert r.text == "reach <EMAIL> or <PHONE>"
+    assert r.text.count("<PHONE>") == r.n_phones

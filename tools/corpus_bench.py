@@ -42,11 +42,21 @@ CORPUS_HEADLINE = (
     "q_llm_semdedup_capped",
     "q_llm_ann_ivf_indexed",
     "q_llm_ann_pq",
+    "q_llm_ann_pq_indexed",
     "q_llm_ann_ivfpq",
+    "q_llm_ann_ivfpq_indexed",
     "q_llm_decontaminate",
     "q_llm_corpus_pipeline",
     "q_llm_token_count",
     "q_llm_langid",
+    # r7: the multimodal family at corpus scale — 1M binary blobs
+    # derived per-row from the documents table (decode + banded
+    # Hamming dedup + frame explode have never run beyond the 500-row
+    # fixture; the banded Hamming join is the quadratic-risk analog
+    # of SimHash, the defect class the r6 rehearsal caught)
+    "q_mm_phash_dedup",
+    "q_mm_png_decode",
+    "q_mm_frame_sample",
 )
 
 # Large result sets execute via the noop sink so timing measures engine
@@ -58,6 +68,9 @@ _NOOP_SINK = frozenset(
         "q_llm_token_count",
         "q_llm_langid",
         "q_llm_simhash",
+        "q_mm_phash_dedup",
+        "q_mm_png_decode",
+        "q_mm_frame_sample",
     }
 )
 
@@ -82,7 +95,11 @@ CORPUS_CEILING = {
     "q_llm_semdedup_capped": 300_000_000,
     "q_llm_ann_ivf_indexed": 30_000_000,  # 9.2 MB — assignment pairs once
     "q_llm_ann_pq": 200_000_000,          # 66 MB — |vecs|×M code rows
+    # indexed ANN: training/encoding live in the offline build, so the
+    # query's only shuffle is the per-vector ADC partial aggregate
+    "q_llm_ann_pq_indexed": 30_000_000,
     "q_llm_ann_ivfpq": 300_000_000,       # 98 MB — codes + cluster means
+    "q_llm_ann_ivfpq_indexed": 30_000_000,
     "q_llm_decontaminate": 200_000_000,   # 60 MB — doc-gram hits
     # The pipeline's pair tier is the verified LSH join (above) plus
     # the CC rounds and the gate/pack windows over the kept corpus —
@@ -92,6 +109,13 @@ CORPUS_CEILING = {
     "q_llm_corpus_pipeline": 4_000_000_000,
     "q_llm_token_count": 5_000_000,       # 1.2 MB — per-doc counts
     "q_llm_langid": 120_000_000,          # 39 MB — per-doc votes
+    # multimodal (r7 calibration): phash dedup shuffles the 4-band
+    # fingerprint rows on both join sides — fingerprints, never blobs;
+    # the decode/frame queries are pure per-row pipelines (no shuffle,
+    # ceilings are noise floors)
+    "q_mm_phash_dedup": 1_500_000_000,
+    "q_mm_png_decode": 50_000_000,
+    "q_mm_frame_sample": 50_000_000,
 }
 
 

@@ -39,6 +39,15 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
     # the materialized IVF index must prune at the directory level —
     # the nprobe cluster IN-list has to reach the scan's PartitionFilters
     "q_llm_ann_ivf_indexed": (["PartitionFilters: [cluster"], ["SortMergeJoin"]),
+    # the materialized PQ index: ADC scans the integer codes table and
+    # joins the broadcast LUT — never a shuffled join, never a sort
+    "q_llm_ann_pq_indexed": (["BroadcastHashJoin"], ["SortMergeJoin", "CartesianProduct"]),
+    # IVF-PQ index: the nprobe IN-list prunes code directories at the
+    # scan, ADC is a broadcast join over codes
+    "q_llm_ann_ivfpq_indexed": (
+        ["PartitionFilters: [cluster", "BroadcastHashJoin"],
+        ["SortMergeJoin"],
+    ),
     "q_scan_projection": (["ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint,l_quantity:double>"], []),
     "q_filter_range": (["PushedFilters: [IsNotNull"], []),
     "q_filter_eq": (["PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)"], []),
@@ -297,6 +306,10 @@ BNLJ_ALLOWED: dict[str, str] = {
     "the same re-rank probe broadcast as q_llm_ann_pq",
     "q_llm_ann_ivf_indexed": "centroid + 1-row probe broadcast over the "
     "partition-pruned index scan",
+    "q_llm_ann_pq_indexed": "same 1-row re-rank probe broadcast as "
+    "q_llm_ann_pq; codes come from the materialized index",
+    "q_llm_ann_ivfpq_indexed": "same probe/centroid-scoring broadcasts as "
+    "q_llm_ann_ivfpq over the partition-pruned code scan",
     "q_llm_semdedup": "centroid-table broadcast for the cluster assignment",
     "q_llm_semdedup_capped": "same centroid-table broadcast as q_llm_semdedup",
     "q_llm_ann_recall": "embeds the ivf/topk probe broadcasts + 1-row probe-bucket broadcast",
@@ -336,7 +349,13 @@ BROADCAST_BOUNDED: dict[str, dict[str, str]] = {
     "api.py": {
         "bench_grams": "benchmark/eval n-gram set (MBs by design — eval "
         "sets are fixed even when the corpus is 100 TB; documented in "
-        "Engine.decontaminate)"
+        "Engine.decontaminate)",
+        "min_row": "one-row min-group count (facade mixture_sample — "
+        "same shape as llm/prep.py)",
+        "rates": "per-group rate table (group-set cardinality, a fixed "
+        "enum — facade mixture_sample)",
+        "top": "one-row learned BPE merge rule (facade bpe_learn_merge "
+        "— same shape as llm/textstats.py)",
     },
     "llm/prep.py": {
         "n": "one-row corpus count",

@@ -285,17 +285,23 @@ def gen_tables(
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    # flags removed BY INDEX (flag + its value), never by string
+    # equality: 'gen_sf.py out 100 --corpus 100' must not drop the
+    # positional SF argument that happens to equal the flag value
+    argv = list(sys.argv[1:])
     skew = None
-    if "--skew" in sys.argv:
-        skew = sys.argv[sys.argv.index("--skew") + 1]
-        args = [a for a in args if a != skew]
+    if "--skew" in argv:
+        j = argv.index("--skew")
+        skew = argv[j + 1]
+        del argv[j : j + 2]
         if skew != "zipf":
             raise SystemExit(f"unknown --skew mode {skew!r} (have: zipf)")
     corpus_sf = None
-    if "--corpus" in sys.argv:
-        corpus_sf = float(sys.argv[sys.argv.index("--corpus") + 1])
-        args = [a for a in args if a != str(sys.argv[sys.argv.index("--corpus") + 1])]
+    if "--corpus" in argv:
+        j = argv.index("--corpus")
+        corpus_sf = float(argv[j + 1])
+        del argv[j : j + 2]
+    args = [a for a in argv if not a.startswith("--")]
     out = args[0] if args else "/root/repo/.localdata/sf1"
     sf = float(args[1]) if len(args) > 1 else 1.0
     from iceberg_twist_spark.session import get_spark
