@@ -183,6 +183,8 @@ SHUFFLE_CEILING_SF1 = {  # bytes at sf1: measured (r5) → ceiling
     "q_scan_dpp": 5_000,              # 972 B (r5 plan: broadcast dim + real DPP)
     "q_llm_line_dedup": 25_000_000,   # 10.1 MB
     "q_llm_ann_pq": 20_000_000,       # 8.05 MB
+    "q_llm_minhash_verified": 15_000_000,  # 5.62 MB (r7)
+    "q_llm_corpus_pipeline": 32_000_000,   # 12.6 MB (r7)
 }
 
 # ceilings enforced per SF; other SFs report but don't gate

@@ -872,18 +872,25 @@ def _pq_assign(
     def d2(e):
         return r4(sv2 - 2 * _dot(sv, e["cw"]) + e["c2"])
 
-    # array_min over (d, code) structs, not a when-fold: HOF lambdas get
-    # no common-subexpression elimination, so the fold's when-predicate
-    # + replacement struct evaluated d2 TWICE per replacing codeword;
-    # one transform evaluates it exactly once per codeword, and the
-    # struct's lexicographic min — smallest d, then smallest code — IS
-    # the oracle's (d2, code) row_number order, including the
-    # keep-lowest-code tie rule the strict-< fold encoded.
-    best = F.array_min(
-        F.transform(
-            F.element_at(F.col("cbarr"), F.col("m").cast("int") + 1),
-            lambda e: F.struct(d2(e).alias("d"), e["code"].alias("code")),
-        )
+    # A when-fold, NOT array_min(transform(..., e -> struct(d2, code))):
+    # the transform form evaluates d2 exactly once per codeword but
+    # allocates a PQ_K-struct array per subvector row — at K=256 that
+    # is 256 short-lived structs × |vecs|×M rows, and the r7 corpus
+    # twin measured it ~2× SLOWER end-to-end (ann_pq 79 s → 165 s at
+    # 100k vectors) with enough extra GC pressure to destabilize the
+    # suite. The fold's only redundancy is re-evaluating d2 when a
+    # codeword REPLACES the accumulator (~log K times expected), which
+    # is noise next to K allocations. Ties keep the LOWEST code:
+    # codewords iterate code-ascending and only a strictly smaller
+    # r4(d2) replaces the accumulator — the oracle's (d2, code)
+    # row_number order.
+    best = F.aggregate(
+        F.element_at(F.col("cbarr"), F.col("m").cast("int") + 1),
+        F.struct(F.lit(float("inf")).alias("d"), F.lit(-1).alias("code")),
+        lambda acc, e: F.when(
+            d2(e) < acc["d"],
+            F.struct(d2(e).alias("d"), e["code"].alias("code")),
+        ).otherwise(acc),
     )
     return (
         sub.withColumn("__sv2", _dot(sv, sv))

@@ -155,13 +155,12 @@ def _load_all_modules() -> None:
 # round's newly-covered ids to DRIVER_CHECKED from
 # CORRECTNESS_r{N}.json.
 REVERIFY_FIRST = (
-    # new in r7 (materialized ANN indexes)
+    # new in r7 (materialized ANN indexes). The rest of the PQ family
+    # is plan-identical to its last driver check: an array_min rewrite
+    # of the assignment fold was tried and REVERTED in-round (2×
+    # slower at PQ_K=256 — see _pq_assign).
     "q_llm_ann_pq_indexed",
     "q_llm_ann_ivfpq_indexed",
-    # plan changed r7: _pq_assign argmin fold → array_min(transform)
-    "q_llm_ann_pq",
-    "q_llm_ann_ivfpq",
-    "q_llm_ann_recall",
     # plan changed r7: layout capture gated on the shuffle regime
     "q_graph_pagerank",
     # rewritten r6 AFTER their last driver check (r5/r3/r3)

@@ -97,9 +97,9 @@ CORPUS_CEILING = {
     "q_llm_ann_pq": 200_000_000,          # 66 MB — |vecs|×M code rows
     # indexed ANN: training/encoding live in the offline build, so the
     # query's only shuffle is the per-vector ADC partial aggregate
-    "q_llm_ann_pq_indexed": 30_000_000,
+    "q_llm_ann_pq_indexed": 80_000_000,   # 27.6 MB measured r7
     "q_llm_ann_ivfpq": 300_000_000,       # 98 MB — codes + cluster means
-    "q_llm_ann_ivfpq_indexed": 30_000_000,
+    "q_llm_ann_ivfpq_indexed": 80_000_000,  # 27.5 MB measured r7
     "q_llm_decontaminate": 200_000_000,   # 60 MB — doc-gram hits
     # The pipeline's pair tier is the verified LSH join (above) plus
     # the CC rounds and the gate/pack windows over the kept corpus —
@@ -113,7 +113,7 @@ CORPUS_CEILING = {
     # fingerprint rows on both join sides — fingerprints, never blobs;
     # the decode/frame queries are pure per-row pipelines (no shuffle,
     # ceilings are noise floors)
-    "q_mm_phash_dedup": 1_500_000_000,
+    "q_mm_phash_dedup": 500_000_000,  # 184.5 MB measured r7
     "q_mm_png_decode": 50_000_000,
     "q_mm_frame_sample": 50_000_000,
 }
@@ -138,7 +138,18 @@ def main() -> int:
     seen: set = set()
     REGISTRY["q_llm_token_count"].builder(spark, corpus_dir).count()  # warm-up
     _stage_metrics(spark, seen)
+    import gc
+
     for name in CORPUS_HEADLINE:
+        # Release prior queries' localCheckpoint RDD blocks before the
+        # next headliner: checkpointed blocks are freed by the
+        # ContextCleaner only after the Python DataFrame refs die, and
+        # at corpus scale the deferred cleanup accumulated enough GB-
+        # sized shingle/code blocks to OOM the shared 8g JVM late in
+        # the suite (r7). A deployment runs each query in its own job;
+        # the collect here only makes the shared-session harness match
+        # that isolation.
+        gc.collect()
         per_run: list[float] = []
         for attempt in range(2):
             t0 = time.perf_counter()

@@ -49,16 +49,21 @@ JOBS = (
 )
 
 # Max state rows (max over micro-batches of numRowsTotal summed across
-# state operators) at sf1 = 1M events. Calibrated r7; ~2.5× headroom.
-# The load-bearing claims: queue/dedup/throttle state is keyed by
-# user/window (bounded by live-key cardinality, NOT event count), and
-# the stream-stream join buffers only the watermark-live interval.
+# state operators) at sf1 = 1M events. Calibrated r7 (measured →
+# ~2.5× headroom). The load-bearing claims: queue state is keyed by
+# USER (15k rows at 1M events — live-key cardinality, not event
+# count); dedup/throttle state is keyed by (key, window) and bounded
+# by one watermark interval's arrivals (~250k = one replay chunk —
+# the watermark advances each batch and closes everything older); the
+# stream-stream join buffers only the 1h-interval-live rows of both
+# sides (101k at 1M). A watermark/timeout regression makes these
+# track the CORPUS (1M+) instead and trips the gate.
 STATE_ROW_CEILING = {
-    "q_stream_queue_ttl": 30_000,        # ≤ |users| (10k at sf1)
-    "q_stream_stream_join": 1_300_000,   # both sides' watermark-live buffer
-    "q_stream_dedup_watermark": 2_600_000,  # dedup keys within watermark
-    "q_stream_late_drop": 30_000,        # open windows × keys
-    "q_stream_throttle": 30_000,         # 1s windows live per batch
+    "q_stream_queue_ttl": 40_000,        # 15,000 measured = |users|
+    "q_stream_stream_join": 260_000,     # 100,909 measured
+    "q_stream_dedup_watermark": 650_000,  # 250,480 measured
+    "q_stream_late_drop": 1_000,         # 118 measured — closed windows drop
+    "q_stream_throttle": 650_000,        # 250,085 measured
     "q_stream_enrich_join": 1,           # stream-static: no state
 }
 
