@@ -98,15 +98,10 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast in the loop moves 8-byte ints, and the string form is
     # reconstructed only in the final projection (r5: ~35% off the
     # whole query at sf0.1).
-    # Eagerly materialized: the distinct pair set feeds THREE consumers
-    # (the node-count gate below, and both halves of the edge union) —
-    # without the checkpoint each would re-run the lineitem scan +
-    # distinct shuffle. |pairs| rows of 2 longs is the graph itself;
-    # materializing it once is the cheapest thing in the query.
     pairs = li.select(
         (F.col("l_partkey").cast("long") * 2).alias("p"),
         (F.col("l_suppkey").cast("long") * 2 + 1).alias("s"),
-    ).distinct().localCheckpoint(eager=True)
+    ).distinct()
     # NO distinct after the union: `pairs` is already distinct and the
     # two halves are disjoint by src parity (even=p / odd=s), so the
     # union cannot produce duplicates — the r4 shape paid a full extra
@@ -134,14 +129,27 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver all run queries serially); a concurrent query on the
     # same session could observe AQE disabled mid-flight — use a
     # dedicated session if concurrent builders are ever needed.
-    n_nodes = max(
-        pairs.agg(
-            (F.count_distinct("p") + F.count_distinct("s")).alias("n")
-        ).collect()[0][0],
-        1,
-    )
+    # The REGIME gate uses an approximate node count (one pass over
+    # two pruned int columns, HLL sketches merged map-side — ~KB of
+    # shuffle); the EXACT |V| that feeds the rank arithmetic is
+    # counted after the checkpoint below, where it is one cheap agg
+    # over materialized blocks (the r6 placement). Exact gate forms
+    # were all measurably worse at the sf10 twin (r7): two exact
+    # distinct-count jobs added ~10 s / 230 MB shuffle, a single-agg
+    # multi-distinct doubles 24M pair rows through Expand and OOMs the
+    # 8g JVM, and an eager pairs checkpoint holds GBs of deserialized
+    # blocks alongside the distinct's hash maps. A ±2% HLL wobble can
+    # flip the regime only when |V| straddles the cap — and the two
+    # regimes are pinned result-identical (test_pagerank_regimes_agree),
+    # so the gate needs magnitude, not exactness.
+    approx_nodes = li.agg(
+        (
+            F.approx_count_distinct("l_partkey")
+            + F.approx_count_distinct("l_suppkey")
+        ).alias("n")
+    ).collect()[0][0]
     deg_win = F.count("*").over(Window.partitionBy("src"))
-    if n_nodes <= _pagerank_bcast_cap():
+    if approx_nodes <= _pagerank_bcast_cap():
         # broadcast regime: plain checkpoint, AQE on (coalesced window
         # exchange) — the captured layout would never be reused
         edges_deg = edges.withColumn("deg", deg_win).localCheckpoint(eager=True)
@@ -168,6 +176,11 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
     nodes = edges_deg.select(F.col("src").alias("node")).distinct()
+    # EXACT |V| for the rank arithmetic — one cheap agg over the
+    # checkpointed edges (the regime gate above used the HLL estimate;
+    # this count is what 1/|V| and the teleport term divide by, so it
+    # must match the oracle's exactly).
+    n_nodes = max(nodes.count(), 1)
     # both divisions replicate the oracle's SQL expressions bit-for-bit
     # (IEEE double division of identical operands)
     inv_n = 1.0 / n_nodes
@@ -175,7 +188,10 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = nodes.select("node", F.lit(inv_n).alias("rank"))
     for _ in range(N_ITER):
         ranks_src = ranks.withColumnRenamed("node", "src")
-        if n_nodes <= _pagerank_bcast_cap():
+        # same gate as the checkpoint form above — the captured layout
+        # is only useful if the loop actually shuffles, so the two
+        # decisions must agree
+        if approx_nodes <= _pagerank_bcast_cap():
             # broadcast-iterate: the checkpointed edge list never
             # moves — each iteration ships only the ranks frame, which
             # the measured count PROVES is ≤ the cap (unlike the r4
