@@ -78,6 +78,10 @@ HEADLINE = (
     # shows in BENCH deltas, not only at the 1M-doc rehearsal
     "q_llm_minhash_verified",
     "q_llm_corpus_pipeline",
+    # the materialized-PQ scale path next to its in-query-training
+    # baseline (the one-time index build bills to the first warm-up
+    # attempt; shuffle keeps the last attempt's query-only delta)
+    "q_llm_ann_pq_indexed",
 )
 
 # Queries whose result set is large: execute via the noop sink so the
@@ -136,6 +140,8 @@ SHUFFLE_CEILING_SF01 = {  # bytes at sf0.1: measured (r4 calibration) → ceilin
     "q_llm_line_dedup": 9_000_000,    # 3.39 MB — digests + one corpus rewrite
     "q_llm_ann_pq": 10_000_000,       # 4.05 MB — encode argmin partials
                                       # (|vecs|×M code rows, never floats)
+    "q_llm_ann_pq_indexed": 1_500_000,     # 558 KB (r7) — ADC partials
+                                      # served from the on-disk index
     "q_llm_minhash_verified": 4_500_000,   # 1.72 MB (r7) — banded
                                       # signatures + one shingle-array
                                       # row per doc on each verify side
@@ -183,6 +189,7 @@ SHUFFLE_CEILING_SF1 = {  # bytes at sf1: measured (r5) → ceiling
     "q_scan_dpp": 5_000,              # 972 B (r5 plan: broadcast dim + real DPP)
     "q_llm_line_dedup": 25_000_000,   # 10.1 MB
     "q_llm_ann_pq": 20_000_000,       # 8.05 MB
+    "q_llm_ann_pq_indexed": 4_500_000,     # 1.75 MB (r7)
     "q_llm_minhash_verified": 15_000_000,  # 5.62 MB (r7)
     "q_llm_corpus_pipeline": 32_000_000,   # 12.6 MB (r7)
 }

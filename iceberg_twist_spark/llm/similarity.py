@@ -806,18 +806,25 @@ ORDER BY cos_sim DESC, s.vec_id LIMIT {RECALL_K}
 
 
 def _pq_subspaces(
-    df: DataFrame, vec_col: str = "embedding", extra: tuple[str, ...] = ()
+    df: DataFrame,
+    vec_col: str = "embedding",
+    extra: tuple[str, ...] = (),
+    n_m: int = PQ_M,
+    sub: int = PQ_SUB,
 ) -> DataFrame:
-    """(vec_id, *extra, m, sv): each vector split into PQ_M double
-    subvectors. ``extra`` carries pass-through columns (IVF-PQ keeps
-    the cluster id alongside each subvector)."""
+    """(vec_id, *extra, m, sv): each vector split into ``n_m`` double
+    subvectors of ``sub`` dims (defaults: the registered queries'
+    fixed 8×8 geometry over the 64-dim fixture; the
+    Engine.build_pq_ann_index facade passes the geometry inferred
+    from the user's vectors). ``extra`` carries pass-through columns
+    (IVF-PQ keeps the cluster id alongside each subvector)."""
     return df.select(
         "vec_id",
         *extra,
         F.expr(
-            f"""explode(transform(sequence(0, {PQ_M - 1}),
+            f"""explode(transform(sequence(0, {n_m - 1}),
                 m -> struct(m as m,
-                            transform(slice({vec_col}, m * {PQ_SUB} + 1, {PQ_SUB}),
+                            transform(slice({vec_col}, m * {sub} + 1, {sub}),
                                       x -> cast(x as double)) as sv)))"""
         ).alias("s"),
     ).select("vec_id", *extra, F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
@@ -899,25 +906,15 @@ def _pq_assign(
     )
 
 
-def pq_encode(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    """(codes, codebook): train a 1-Lloyd-round PQ codebook and encode.
-
-    The update step (per-code subvector means) aggregates onto
-    PQ_M×PQ_K×PQ_SUB groups — the shuffle IS the codebook; the corpus
-    never moves. Means are r4-rounded on both engines so the refined
-    codewords (and every downstream argmin) are bit-identical."""
-    emb = spread(load_tables(spark, sf_dir)["embeddings"], "vec_id")
-    # the subvector frame feeds FOUR consumers (codebook init, the
-    # init assignment, the Lloyd-update join, the final encode) — lazy
-    # checkpoint so the scan + subspace explode runs once, and the
-    # init codebook is a filter over the same checkpoint instead of a
-    # second full scan
-    sub = _pq_subspaces(emb).localCheckpoint(eager=False)
-    cb0 = sub.filter(F.col("vec_id") < PQ_K).select(
-        F.col("vec_id").alias("code"), "m", F.col("sv").alias("cw")
-    )
-    codes0 = _pq_assign(sub, cb0)
-    cb1 = (
+def _lloyd_update(codes0: DataFrame, sub: DataFrame) -> DataFrame:
+    """One Lloyd codebook update: per-(m, code) r4-rounded subvector
+    means, rebuilt into codeword arrays. The aggregate's group count
+    is PQ_M×PQ_K×PQ_SUB — map-side combined, constant size; the
+    shuffle IS the codebook, the corpus never moves. Shared by
+    pq_encode, ivfpq_encode, and the Engine.build_pq_ann_index facade
+    so the refinement arithmetic cannot drift between the
+    oracle-checked queries and the user API."""
+    return (
         codes0.join(sub, ["vec_id", "m"])
         .select("m", "code", F.posexplode("sv").alias("p0", "val"))
         .groupBy("m", "code", (F.col("p0") + 1).alias("pos"))
@@ -930,6 +927,25 @@ def pq_encode(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
             ).alias("cw")
         )
     )
+
+
+def pq_encode(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(codes, codebook): train a 1-Lloyd-round PQ codebook and encode.
+
+    Means are r4-rounded on both engines so the refined codewords (and
+    every downstream argmin) are bit-identical."""
+    emb = spread(load_tables(spark, sf_dir)["embeddings"], "vec_id")
+    # the subvector frame feeds FOUR consumers (codebook init, the
+    # init assignment, the Lloyd-update join, the final encode) — lazy
+    # checkpoint so the scan + subspace explode runs once, and the
+    # init codebook is a filter over the same checkpoint instead of a
+    # second full scan
+    sub = _pq_subspaces(emb).localCheckpoint(eager=False)
+    cb0 = sub.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("code"), "m", F.col("sv").alias("cw")
+    )
+    codes0 = _pq_assign(sub, cb0)
+    cb1 = _lloyd_update(codes0, sub)
     return _pq_assign(sub, cb1), cb1
 
 
@@ -1242,19 +1258,7 @@ def ivfpq_encode(
         .select(F.col("vec_id").alias("code"), "m", F.col("sv").alias("cw"))
     )
     codes0 = _pq_assign(sub, cb0)
-    cb1 = (
-        codes0.join(sub, ["vec_id", "m"])
-        .select("m", "code", F.posexplode("sv").alias("p0", "val"))
-        .groupBy("m", "code", (F.col("p0") + 1).alias("pos"))
-        .agg(r4(F.avg("val")).alias("cv"))
-        .groupBy("m", "code")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
-                lambda s: s["cv"],
-            ).alias("cw")
-        )
-    )
+    cb1 = _lloyd_update(codes0, sub)
     return _pq_assign(rsub, cb1, keys=("vec_id", "cluster")), cb1, cmean
 
 

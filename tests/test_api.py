@@ -572,6 +572,48 @@ def test_scrub_pii_general_patterns(spark):
     assert out[2].text == "alt: <PHONE> and <PHONE> and plain <PHONE>"
 
 
+def test_pq_ann_index_facade(spark, tmp_path):
+    """build_pq_ann_index + pq_ann_search on a user DataFrame (sparse,
+    non-dense keys): the PQ search's top-1 must be the vector most
+    similar to the probe, and re-ranked cosines must equal the exact
+    brute-force values for the ids it returns."""
+    import math
+
+    from iceberg_twist_spark.api import Engine
+
+    # 300 deterministic 16-dim vectors around 3 centers, sparse keys
+    rows = []
+    for i in range(300):
+        c = i % 3
+        vec = [
+            math.sin(0.1 * d + c * 2.1) + 0.01 * ((i * 37 + d * 11) % 97)
+            for d in range(16)
+        ]
+        rows.append((i * 10 + 7, vec))
+    df = spark.createDataFrame(rows, "id long, v array<float>")
+    path = Engine.build_pq_ann_index(df, "v", "id", str(tmp_path / "pqidx"))
+    probe = [float(x) for x in rows[30][1]]  # an existing center-0 vector
+    got = Engine.pq_ann_search(spark, path, probe, k=5).collect()
+    assert len(got) == 5
+    # the noise term wraps mod 97, so ids at i-spacing 21 are near-
+    # identical vectors and tie at cos 1.0 after rounding — the
+    # probe's own row must be in that tied head group
+    assert got[0].cos_sim == 1.0
+    assert rows[30][0] in {r.vec_id for r in got if r.cos_sim == 1.0}
+    # exact cosines for the returned ids match brute force
+    brute = {
+        r.vec_id: r.cos_sim
+        for r in Engine.cosine_topk(
+            df.selectExpr("id as vec_id", "v as embedding"), "embedding", probe, k=300
+        ).selectExpr(
+            "vec_id",
+            "floor(cos_sim * 10000 + 0.5) / 10000 as cos_sim",
+        ).collect()
+    }
+    for r in got:
+        assert abs(r.cos_sim - brute[r.vec_id]) < 1e-9
+
+
 def test_scrub_pii_counts_match_replacements(spark):
     """A phone-shaped digit run inside an email local-part is consumed
     by the <EMAIL> replacement and must NOT be billed as a phone:

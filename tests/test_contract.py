@@ -76,6 +76,45 @@ def test_ivf_indexed_matches_inplan_ivf(spark, sf_dir):
     assert os.path.getmtime(os.path.join(path, "_SUCCESS")) == mtime  # reused
 
 
+def test_pq_indexed_matches_inplan_pq(spark, sf_dir):
+    """The materialized PQ index must return the exact same top-10 as
+    the in-plan training form (deterministic encode, array<double>
+    codewords round-trip parquet exactly), and a second build call
+    must reuse the on-disk index (marker check, no rebuild)."""
+    import os
+
+    from iceberg_twist_spark.llm.similarity import _pq_index_dir, build_pq_index
+    from iceberg_twist_spark.registry import REGISTRY, _load_all_modules
+
+    _load_all_modules()
+    inplan = [tuple(r) for r in REGISTRY["q_llm_ann_pq"].builder(spark, sf_dir).collect()]
+    indexed = [tuple(r) for r in REGISTRY["q_llm_ann_pq_indexed"].builder(spark, sf_dir).collect()]
+    assert indexed == inplan
+    path = _pq_index_dir(sf_dir)
+    mtime = os.path.getmtime(os.path.join(path, "_COMPLETE"))
+    assert build_pq_index(spark, sf_dir) == path
+    assert os.path.getmtime(os.path.join(path, "_COMPLETE")) == mtime  # reused
+
+
+def test_ivfpq_indexed_matches_inplan_and_prunes(spark, sf_dir):
+    """IVFADC over the materialized index: same answer as in-plan
+    training, and the codes layout carries hive-style cluster=N
+    directories — the directory-level pruning mechanism the query's
+    IN-list relies on."""
+    import os
+
+    from iceberg_twist_spark.llm.similarity import build_ivfpq_index
+    from iceberg_twist_spark.registry import REGISTRY, _load_all_modules
+
+    _load_all_modules()
+    inplan = [tuple(r) for r in REGISTRY["q_llm_ann_ivfpq"].builder(spark, sf_dir).collect()]
+    indexed = [tuple(r) for r in REGISTRY["q_llm_ann_ivfpq_indexed"].builder(spark, sf_dir).collect()]
+    assert indexed == inplan
+    path = build_ivfpq_index(spark, sf_dir)
+    parts = [d for d in os.listdir(os.path.join(path, "codes")) if d.startswith("cluster=")]
+    assert len(parts) > 1, f"expected hive partition dirs, got {parts[:5]}"
+
+
 def test_ivf_index_layout_is_cluster_partitioned(spark, sf_dir):
     """The index directory layout IS the pruning mechanism — assert the
     hive-style cluster=N directories exist so PartitionFilters has

@@ -356,6 +356,14 @@ BROADCAST_BOUNDED: dict[str, dict[str, str]] = {
         "enum — facade mixture_sample)",
         "top": "one-row learned BPE merge rule (facade bpe_learn_merge "
         "— same shape as llm/textstats.py)",
+        "seed_map": "PQ_K-row codebook seed mapping (constant — facade "
+        "build_pq_ann_index)",
+        "psub": "probe subvectors (PQ_M rows, constant — facade "
+        "pq_ann_search)",
+        "dt": "ADC distance table (PQ_M×PQ_K rows, constant — facade "
+        "pq_ann_search)",
+        "shortlist": "ADC top-rerank ids for exact re-ranking (constant "
+        "rows per query — facade pq_ann_search)",
     },
     "llm/prep.py": {
         "n": "one-row corpus count",
