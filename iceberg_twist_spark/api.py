@@ -450,6 +450,35 @@ class Engine:
         return base
 
     @staticmethod
+    def pq_index_append(
+        df: DataFrame, vec_col: str, key_col: str, path: str
+    ) -> str:
+        """Append NEW vectors to an existing ``build_pq_ann_index``
+        layout: encode them with the index's FROZEN codebook (no
+        retraining) and append codes + norm-carrying vectors — the
+        incremental-maintenance path that keeps a 100 TB index
+        serving while the corpus grows. The quantization error for a
+        drifting distribution is the documented trade: appended
+        vectors are coded against the snapshot's codebook, so rebuild
+        the index (retrain) per major corpus snapshot, append between
+        snapshots. The exact re-rank in ``pq_ann_search`` is
+        unaffected either way — it reads raw vectors."""
+        from iceberg_twist_spark.llm import similarity as S
+
+        base = path.rstrip("/")
+        cb = df.sparkSession.read.parquet(base + "/codebook")
+        sub_dim = len(cb.select("cw").head()[0])
+        emb = df.select(
+            F.col(key_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+        )
+        sub = S._pq_subspaces(emb, sub=sub_dim)
+        S._pq_assign(sub, cb).write.mode("append").parquet(base + "/codes")
+        S.with_norm(emb, "embedding").write.mode("append").parquet(
+            base + "/vectors"
+        )
+        return base
+
+    @staticmethod
     def pq_ann_search(
         spark: SparkSession,
         path: str,

@@ -614,6 +614,35 @@ def test_pq_ann_index_facade(spark, tmp_path):
         assert abs(r.cos_sim - brute[r.vec_id]) < 1e-9
 
 
+def test_pq_index_append_serves_new_vectors(spark, tmp_path):
+    """Incremental index maintenance: vectors appended AFTER the build
+    are encoded with the frozen codebook and become searchable — a
+    probe equal to an appended vector finds it at cos 1.0."""
+    import math
+
+    from iceberg_twist_spark.api import Engine
+
+    def vec(i):
+        return [
+            math.sin(0.17 * d * (1 + i % 5)) + 0.05 * ((i * 31 + d * 7) % 83)
+            for d in range(16)
+        ]
+
+    base_rows = [(i, vec(i)) for i in range(200)]
+    new_rows = [(1000 + i, vec(1000 + i)) for i in range(50)]
+    df = spark.createDataFrame(base_rows, "id long, v array<float>")
+    path = Engine.build_pq_ann_index(df, "v", "id", str(tmp_path / "pqidx2"))
+    df2 = spark.createDataFrame(new_rows, "id long, v array<float>")
+    assert Engine.pq_index_append(df2, "v", "id", path) == path
+    probe = [float(x) for x in new_rows[7][1]]
+    got = Engine.pq_ann_search(spark, path, probe, k=3).collect()
+    hits = {r.vec_id for r in got if r.cos_sim == 1.0}
+    assert new_rows[7][0] in hits
+    # the index now serves both generations
+    n_codes = spark.read.parquet(path + "/codes").select("vec_id").distinct().count()
+    assert n_codes == 250
+
+
 def test_scrub_pii_counts_match_replacements(spark):
     """A phone-shaped digit run inside an email local-part is consumed
     by the <EMAIL> replacement and must NOT be billed as a phone:
