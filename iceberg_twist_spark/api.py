@@ -140,6 +140,129 @@ class Engine:
         cand = band_pairs(minhash_signatures(docs), n_bands=n_bands)
         return _verify_jaccard(cand, docs, tau)
 
+    @staticmethod
+    def build_minhash_index(
+        df: DataFrame, text_col: str, key_col: str, path: str, tau: float = 0.2
+    ) -> str:
+        """Persist the LSH dedup index for a corpus snapshot: the
+        (doc_id, band_idx, band_hash) banding rows (tau-derived
+        banding, same lsh_params as near_dup_pairs) plus each doc's
+        distinct shingle array for exact verification. At 100 TB this
+        is what makes DAILY incremental dedup linear in the increment:
+        a new batch's bands join against these stored rows instead of
+        re-signing (or re-reading) the corpus. Banding metadata rides
+        along so queries/appends cannot use a mismatched band count."""
+        import json
+
+        from iceberg_twist_spark.llm.dedup import (
+            band_rows,
+            lsh_params,
+            minhash_signatures,
+            shingle_arrays,
+        )
+
+        docs = df.select(
+            F.col(key_col).alias("doc_id"), F.col(text_col).alias("text")
+        )
+        n_bands, _ = lsh_params(tau)
+        base = path.rstrip("/")
+        band_rows(minhash_signatures(docs), n_bands=n_bands).write.mode(
+            "overwrite"
+        ).parquet(base + "/bands")
+        shingle_arrays(docs, 3).write.mode("overwrite").parquet(base + "/arrays")
+        df.sparkSession.createDataFrame(
+            [(json.dumps({"n_bands": n_bands, "tau": tau}),)], "meta string"
+        ).coalesce(1).write.mode("overwrite").parquet(base + "/meta")
+        return base
+
+    @staticmethod
+    def minhash_index_append(
+        df: DataFrame, text_col: str, key_col: str, path: str
+    ) -> str:
+        """Append a new batch's banding rows + shingle arrays to an
+        existing ``build_minhash_index`` layout (band count read from
+        the stored metadata — appends cannot drift from the build)."""
+        import json
+
+        from iceberg_twist_spark.llm.dedup import (
+            band_rows,
+            minhash_signatures,
+            shingle_arrays,
+        )
+
+        base = path.rstrip("/")
+        meta = json.loads(
+            df.sparkSession.read.parquet(base + "/meta").head()[0]
+        )
+        docs = df.select(
+            F.col(key_col).alias("doc_id"), F.col(text_col).alias("text")
+        )
+        band_rows(minhash_signatures(docs), n_bands=meta["n_bands"]).write.mode(
+            "append"
+        ).parquet(base + "/bands")
+        shingle_arrays(docs, 3).write.mode("append").parquet(base + "/arrays")
+        return base
+
+    @staticmethod
+    def near_dup_pairs_against_index(
+        df: DataFrame,
+        text_col: str,
+        key_col: str,
+        path: str,
+        tau: float | None = None,
+    ) -> DataFrame:
+        """Verified near-dup pairs of a NEW batch against a stored
+        ``build_minhash_index`` corpus, plus within the batch itself —
+        the incremental-dedup query: candidate mass is (new bands ⋈
+        stored bands) + (new bands self-join), both banding-bounded
+        and LINEAR in the increment; the stored corpus is read, never
+        re-signed. Returns (doc_a, doc_b, jaccard) with doc_a < doc_b,
+        every pair exactly verified at ``tau`` (default: the tau the
+        index was built for). New keys must not collide with stored
+        keys."""
+        import json
+
+        from iceberg_twist_spark.llm.dedup import (
+            _verify_jaccard_arrays,
+            band_pairs,
+            band_rows,
+            minhash_signatures,
+            shingle_arrays,
+        )
+
+        base = path.rstrip("/")
+        sp = df.sparkSession
+        meta = json.loads(sp.read.parquet(base + "/meta").head()[0])
+        tau = meta["tau"] if tau is None else tau
+        docs = df.select(
+            F.col(key_col).alias("doc_id"), F.col(text_col).alias("text")
+        )
+        sig = minhash_signatures(docs)
+        # new-batch banding feeds the cross join AND the self-join —
+        # checkpoint so the signature pipeline runs once
+        nb = band_rows(sig, n_bands=meta["n_bands"]).localCheckpoint(eager=False)
+        stored = sp.read.parquet(base + "/bands")
+        cross = (
+            nb.alias("n")
+            .join(
+                stored.alias("s"),
+                (F.col("n.band_idx") == F.col("s.band_idx"))
+                & (F.col("n.band_hash") == F.col("s.band_hash")),
+            )
+            .select(
+                F.least(F.col("n.doc_id"), F.col("s.doc_id")).alias("doc_a"),
+                F.greatest(F.col("n.doc_id"), F.col("s.doc_id")).alias("doc_b"),
+            )
+            .filter(F.col("doc_a") != F.col("doc_b"))
+            .distinct()
+        )
+        new_arrs = shingle_arrays(docs, 3).localCheckpoint(eager=False)
+        both_arrs = sp.read.parquet(base + "/arrays").unionByName(new_arrs)
+        within = band_pairs(sig, n_bands=meta["n_bands"])
+        return _verify_jaccard_arrays(
+            cross.unionByName(within).distinct(), both_arrs, both_arrs, tau
+        )
+
     def frame_split(self, df: DataFrame, payload_col: str) -> DataFrame:
         """Delimiter frame split (A5) over binary payloads."""
         from iceberg_twist_spark.ingest.frames import split_frames_map_in_pandas

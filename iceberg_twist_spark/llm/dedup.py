@@ -141,27 +141,25 @@ WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.2
 JACCARD_TAU = 0.2
 
 
-def _verify_jaccard(cand: DataFrame, docs: DataFrame, tau: float) -> DataFrame:
-    """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs.
-
-    Each side's distinct shingle SET rides along as one array column
-    (shingle_arrays — built narrowly, never exploded), so verification
+def _verify_jaccard_arrays(
+    cand: DataFrame,
+    arrs_a: DataFrame,
+    arrs_b: DataFrame,
+    tau: float,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs
+    given each side's (doc_id, shs) shingle-array frame. Verification
     is two hash joins moving one row per document plus the candidates,
     and the intersection is a single JVM array_intersect per pair —
     linear in candidate count, independent of shingle frequency skew.
-
-    The array frame is lazily checkpointed: it feeds BOTH join sides,
-    and without the checkpoint each side re-runs the gram transform
-    over the whole corpus (the same double-subplan cost the MinHash
-    band join pays without its checkpoint — ~2× measured there).
-    """
-    arrs = shingle_arrays(docs, 3).localCheckpoint(eager=False)
-    a = arrs.select(
+    The sides may be DIFFERENT frames (the incremental facade joins a
+    new increment's arrays against a stored corpus index's)."""
+    a = arrs_a.select(
         F.col("doc_id").alias("doc_a"),
         F.col("shs").alias("sa"),
         F.size("shs").alias("na"),
     )
-    b = arrs.select(
+    b = arrs_b.select(
         F.col("doc_id").alias("doc_b"),
         F.col("shs").alias("sb"),
         F.size("shs").alias("nb"),
@@ -174,6 +172,19 @@ def _verify_jaccard(cand: DataFrame, docs: DataFrame, tau: float) -> DataFrame:
         .filter(jac >= tau)
         .select("doc_a", "doc_b", r4(jac).alias("jaccard"))
     )
+
+
+def _verify_jaccard(cand: DataFrame, docs: DataFrame, tau: float) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs drawn from ONE
+    document frame (both sides of every pair).
+
+    The array frame is lazily checkpointed: it feeds BOTH join sides,
+    and without the checkpoint each side re-runs the gram transform
+    over the whole corpus (the same double-subplan cost the MinHash
+    band join pays without its checkpoint — ~2× measured there).
+    """
+    arrs = shingle_arrays(docs, 3).localCheckpoint(eager=False)
+    return _verify_jaccard_arrays(cand, arrs, arrs, tau)
 
 
 @register("q_llm_ngram_jaccard", oracle=_JACCARD_ORACLE, tags=("llm", "dedup"))
@@ -321,6 +332,32 @@ def lsh_params(
     return best
 
 
+def band_rows(
+    sig: DataFrame, n_perm: int = N_MINHASH, n_bands: int = LSH_BANDS
+) -> DataFrame:
+    """(doc_id, band_idx, band_hash) banding rows from a signature
+    frame — the storable half of the LSH index: band_pairs self-joins
+    these in one pass, and Engine.build_minhash_index persists them so
+    later increments join new rows against the stored corpus without
+    re-signing it."""
+    rpb = n_perm // n_bands
+    return sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat(
+                            *[F.col(f"mh{b * rpb + r}") for r in range(rpb)]
+                        )
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+
+
 def band_pairs(
     sig: DataFrame, n_perm: int = N_MINHASH, n_bands: int = LSH_BANDS
 ) -> DataFrame:
@@ -345,22 +382,7 @@ def band_pairs(
     checkpoint is tiny (|docs| × n_bands rows) and keeps the join
     plan flat.
     """
-    rpb = n_perm // n_bands
-    bands = sig.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.md5(
-                        F.concat(
-                            *[F.col(f"mh{b * rpb + r}") for r in range(rpb)]
-                        )
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band_idx", "band_hash"),
-    ).localCheckpoint(eager=False)
+    bands = band_rows(sig, n_perm, n_bands).localCheckpoint(eager=False)
     a = bands.alias("a")
     b = bands.alias("b")
     return (

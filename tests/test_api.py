@@ -448,6 +448,45 @@ def test_near_dup_pairs_tau_derived_banding(spark):
     assert hi == {(3, 4)}  # the J≈0.58 pair fails exact verification
 
 
+def test_minhash_index_incremental_dedup(spark, tmp_path):
+    """The incremental-dedup lifecycle: build an index on corpus A,
+    query a new batch B against it — a B-doc near-duplicating an
+    A-doc pairs across generations, a planted pair within B pairs
+    too, unrelated docs never pair; then append B and a later batch C
+    finds its near-dup against the APPENDED doc."""
+    from iceberg_twist_spark.api import Engine
+
+    base = " ".join(f"w{i}" for i in range(40))
+    near = " ".join(f"w{i}" if i != 20 else "CHANGED" for i in range(40))
+    other = " ".join(f"z{i}" for i in range(40))
+    a_rows = [(1, base), (2, other)]
+    dfa = spark.createDataFrame(a_rows, "k long, text string")
+    path = Engine.build_minhash_index(dfa, "text", "k", str(tmp_path / "mh"))
+
+    b1 = " ".join(f"y{i}" for i in range(40))
+    b2 = " ".join(f"y{i}" if i != 5 else "EDIT" for i in range(40))
+    b_rows = [(10, near), (11, b1), (12, b2)]
+    dfb = spark.createDataFrame(b_rows, "k long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in Engine.near_dup_pairs_against_index(dfb, "text", "k", path).collect()
+    }
+    assert (1, 10) in got       # new-vs-stored, J = 35/41
+    assert abs(got[(1, 10)] - 35 / 41) < 1e-3
+    assert (11, 12) in got      # within-batch pair
+    assert all(2 not in pair for pair in got)  # unrelated never pairs
+
+    # append B; a later batch near-dups an APPENDED doc
+    Engine.minhash_index_append(dfb, "text", "k", path)
+    c = " ".join(f"y{i}" if i != 30 else "LATER" for i in range(40))
+    dfc = spark.createDataFrame([(20, c)], "k long, text string")
+    got_c = {
+        (r.doc_a, r.doc_b)
+        for r in Engine.near_dup_pairs_against_index(dfc, "text", "k", path).collect()
+    }
+    assert (11, 20) in got_c and (12, 20) in got_c
+
+
 def test_mixture_sample_facade(spark):
     """Every group downsamples toward the rarest group's count; the
     rarest group survives whole; the result is key-deterministic."""
