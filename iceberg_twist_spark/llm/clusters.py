@@ -235,3 +235,59 @@ def q_llm_dedup_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rn") == 1).alias("is_kept"),
         "keeper_id",
     )
+
+
+# ------------------------------------------- leakage-safe splitting
+# The classic eval-contamination leak: a hash split on doc_id sends
+# near-duplicate documents to DIFFERENT splits, so val/test contain
+# soft copies of training docs and benchmark numbers inflate. The
+# group-aware fix assigns the dup CLUSTER, not the document: every doc
+# maps to its component root (singletons root at themselves), the
+# 80/10/10 hash gate runs on the ROOT id, and the whole cluster
+# inherits the root's split. Scale shape: the cluster labels are the
+# iterative-CC output the pipeline already computes; the split itself
+# is a pure projection — one left join beyond q_llm_dup_clusters.
+
+_LEAKAGE_SPLIT_CASE = (
+    "CASE WHEN substr(md5(cast(root AS varchar)), 1, 2) < 'cc' THEN 'train' "
+    "WHEN substr(md5(cast(root AS varchar)), 1, 2) < 'e6' THEN 'val' "
+    "ELSE 'test' END"
+)
+
+_LEAKAGE_SAFE_ORACLE = f"""
+WITH {_cc_label_sql(_VERIFIED_ORACLE)},
+rooted AS (
+    SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS root
+    FROM documents d
+    LEFT JOIN (SELECT doc_id, cluster_id FROM labels) l USING (doc_id)
+)
+SELECT doc_id, root, {_LEAKAGE_SPLIT_CASE} AS split
+FROM rooted
+"""
+
+
+@register(
+    "q_llm_split_leakage_safe",
+    oracle=_LEAKAGE_SAFE_ORACLE,
+    tags=("llm", "sample", "dedup"),
+)
+def q_llm_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware train/val/test assignment: near-duplicates never
+    straddle splits. Each document's split is a pure function of its
+    dup-cluster ROOT (min doc_id of its component; itself when it has
+    no near-dups), using the same 80/10/10 md5 gate as
+    q_llm_split_assign — so adding documents never moves existing
+    clusters between splits, and an entire near-dup family lands in
+    one split by construction."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    clusters = q_llm_dup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    rooted = (
+        docs.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select("doc_id", F.coalesce("cluster_id", "doc_id").alias("root"))
+    )
+    bucket = F.substring(F.md5(F.col("root").cast("string")), 1, 2)
+    split = (
+        F.when(bucket < "cc", "train").when(bucket < "e6", "val").otherwise("test")
+    )
+    return rooted.select("doc_id", "root", split.alias("split"))

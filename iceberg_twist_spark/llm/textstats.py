@@ -606,6 +606,129 @@ def q_llm_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------- BPE train loop
+# The full tokenizer-training outer loop: N merge ROUNDS, each
+# re-counting adjacent pairs over the CURRENT (already-merged) token
+# streams and applying the winner — merged symbols from round k are
+# pair candidates in round k+1, which is what makes BPE build
+# multi-token units. Same a ≠ b positional-merge discipline as
+# q_llm_bpe_apply; the oracle unrolls the identical N rounds (the
+# pagerank/CC unrolling pattern).
+
+N_BPE_ROUNDS = 3
+
+
+def _bpe_train_oracle(rounds: int = N_BPE_ROUNDS) -> str:
+    sql = f"""WITH toks1 AS MATERIALIZED (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_TOKEN_PATTERN}') AS t
+  FROM documents WHERE length(text) > 0)"""
+    for r in range(1, rounds + 1):
+        sql += f""",
+top{r} AS MATERIALIZED (
+  SELECT a, b, n FROM (
+    SELECT t[CAST(u.i AS INT)] AS a, t[CAST(u.i + 1 AS INT)] AS b,
+           count(*) AS n
+    FROM toks{r}, LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)
+    WHERE t[CAST(u.i AS INT)] <> t[CAST(u.i + 1 AS INT)]
+    GROUP BY 1, 2)
+  ORDER BY n DESC, a, b LIMIT 1)"""
+        if r < rounds:
+            sql += f""",
+toks{r + 1} AS MATERIALIZED (
+  SELECT doc_id,
+         list_filter(
+             list_transform(generate_series(1, len(t)), i ->
+                 CASE WHEN list_contains(occ, i) THEN a || b
+                      WHEN list_contains(occ, i - 1) THEN NULL
+                      ELSE t[CAST(i AS INT)] END),
+             x -> x IS NOT NULL) AS t
+  FROM (
+    SELECT doc_id, t, a, b,
+           CASE WHEN len(t) >= 2 THEN
+             list_filter(generate_series(1, len(t) - 1),
+                 i -> t[CAST(i AS INT)] = a AND t[CAST(i + 1 AS INT)] = b)
+           ELSE [] END AS occ
+    FROM toks{r}, top{r}))"""
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS INT) AS round, a, b, CAST(n AS BIGINT) AS n FROM top{r}"
+        for r in range(1, rounds + 1)
+    )
+    return sql + "\n" + unions
+
+
+@register("q_llm_bpe_train", oracle=_bpe_train_oracle(), tags=("llm", "text", "agg"))
+def q_llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N_BPE_ROUNDS rounds of BPE training: the learned merge table
+    (round, a, b, n) where n is the pair's corpus count at selection
+    time and round k counts over the streams already rewritten by
+    merges 1..k-1.
+
+    Scale shape per round: rule selection is one pair-count aggregate
+    (map-side combined, TakeOrderedAndProject — pair counts move, the
+    corpus doesn't) whose 1-row winner is a bounded driver scalar
+    (the pagerank count convention); application is a zero-shuffle
+    HOF rewrite. The token streams are lazily checkpointed each round
+    so round k's plan starts from round k-1's result instead of
+    replaying the whole chain (the pagerank per-iteration pattern).
+    """
+    docs = spread(
+        load_tables(spark, sf_dir)["documents"].filter(F.length("text") > 0),
+        "doc_id",
+    )
+    toks = docs.select(
+        "doc_id",
+        F.regexp_extract_all(F.lower("text"), F.lit(_TOKEN_PATTERN), 0).alias("t"),
+    )
+    t = F.col("t")
+    merges: list[tuple[int, str, str, int]] = []
+    for rnd in range(1, N_BPE_ROUNDS + 1):
+        toks = toks.localCheckpoint(eager=False)
+        cand = toks.select(
+            F.explode(
+                F.when(
+                    F.size(t) >= 2,
+                    F.expr(
+                        "transform(sequence(1, size(t) - 1), "
+                        "i -> struct(element_at(t, i) as a, element_at(t, i + 1) as b))"
+                    ),
+                ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+            ).alias("p")
+        ).select("p.a", "p.b")
+        top = (
+            cand.filter(F.col("a") != F.col("b"))
+            .groupBy("a", "b")
+            .count()
+            .orderBy(F.col("count").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )[0]
+        merges.append((rnd, top.a, top.b, int(top["count"])))
+        a, b = F.lit(top.a), F.lit(top.b)
+        occ = F.when(
+            F.size(t) >= 2,
+            F.filter(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: (F.element_at(t, i) == a) & (F.element_at(t, i + 1) == b),
+            ),
+        ).otherwise(F.array().cast("array<int>"))
+        with_occ = toks.withColumn("occ", occ)
+        oc = F.col("occ")
+        merged = F.when(
+            F.size(t) >= 1,
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(t)),
+                    lambda i: F.when(F.array_contains(oc, i), F.concat(a, b))
+                    .when(F.array_contains(oc, i - 1), F.lit(None).cast("string"))
+                    .otherwise(F.element_at(t, i)),
+                ),
+                lambda x: x.isNotNull(),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        toks = with_occ.select("doc_id", merged.alias("t"))
+    return spark.createDataFrame(merges, "round int, a string, b string, n long")
+
+
 # ------------------------------------------------------- PII scrubbing
 # Redaction is a mandatory pass over any crawl-derived corpus. The
 # fixture text carries no PII, so the query PLANTS deterministic
