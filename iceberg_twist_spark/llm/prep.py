@@ -340,3 +340,78 @@ def q_llm_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.max("rate")).alias("rate"),
         )
     )
+
+
+# ----------------------------------------- temperature mixture sampling
+# The standard multilingual data-mixing method (UNIMAX / mT5-style
+# sampling temperature): post-sample counts ∝ n_l^(1/T), flattening
+# the language distribution without collapsing it to the rarest
+# language's count. Keep-rate r_l = (n_min / n_l)^(1 - 1/T): rarest
+# language kept whole, hot languages downsampled, T→∞ degenerates to
+# q_llm_mixture_sample's equal counts and T=1 keeps everything. Fixed
+# at T = 2 — the exponent becomes 1/2 and the rate is sqrt(n_min/n_l):
+# IEEE sqrt is CORRECTLY ROUNDED on every platform (libm pow is not),
+# so the rate doubles are bit-identical across engines and the hash
+# gate stays exactly verifiable — T=2 is the exactly-portable point of
+# the temperature family.
+
+_MIXT_FRAC = (
+    "(CAST(('0x' || substr(md5('mixt-' || CAST(doc_id AS VARCHAR)), 1, 6)) "
+    "AS BIGINT) / 16777216.0)"
+)
+
+_MIXTURE_T_ORACLE = f"""
+WITH counts AS (
+  SELECT lang, count(*) AS n_total FROM documents GROUP BY lang
+), rates AS (
+  SELECT lang, n_total,
+         sqrt((SELECT min(n_total) FROM counts) / CAST(n_total AS DOUBLE))
+             AS rate
+  FROM counts
+)
+SELECT d.lang,
+       CAST(max(r.n_total) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN {_MIXT_FRAC} < r.rate THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept,
+       floor(max(r.rate) * 10000 + 0.5) / 10000 AS rate
+FROM documents d JOIN rates r USING (lang)
+GROUP BY d.lang
+"""
+
+
+@register("q_llm_mixture_temperature", oracle=_MIXTURE_T_ORACLE, tags=("llm", "sample"))
+def q_llm_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (T=2) language-mixture sampling: keep-rate
+    sqrt(n_min/n_l) per language — post-sample counts ∝ sqrt(n_l),
+    the standard flatten-without-equalizing mix. Same deterministic
+    per-document hash gate and broadcast rate table as
+    q_llm_mixture_sample (language-set cardinality, fixed at 100 TB);
+    see the module comment for why T=2 is the exactly-portable
+    temperature."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_total"))
+    min_row = counts.agg(F.min("n_total").alias("min_n"))
+    rates = counts.crossJoin(F.broadcast(min_row)).select(
+        "lang",
+        "n_total",
+        F.sqrt(F.col("min_n") / F.col("n_total").cast("double")).alias("rate"),
+    )
+    frac = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mixt-"), F.col("doc_id").cast("string"))), 1, 6
+            ),
+            16,
+            10,
+        ).cast("long")
+        / 16777216.0
+    )
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .groupBy("lang")
+        .agg(
+            F.max("n_total").cast("long").alias("n_total"),
+            F.sum((frac < F.col("rate")).cast("int")).cast("long").alias("n_kept"),
+            r4(F.max("rate")).alias("rate"),
+        )
+    )

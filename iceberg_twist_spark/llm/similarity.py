@@ -206,6 +206,59 @@ def q_llm_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------- semantic decontamination
+# The embedding-space sibling of q_llm_decontaminate: n-gram overlap
+# misses paraphrased eval contamination, so production corpus hygiene
+# ALSO flags documents semantically close to the benchmark set. The
+# eval set is tiny by nature (fixed benchmarks, even at a 100 TB
+# corpus), so it broadcasts and the corpus is scanned once — the
+# knn-join shape with a contamination threshold instead of top-k.
+
+SEMDECON_N_EVAL = 10
+SEMDECON_TAU = 0.35
+
+_SEMDECON_ORACLE = f"""
+WITH probes AS (
+  SELECT vec_id AS eval_id, embedding AS p FROM embeddings
+  WHERE vec_id < {SEMDECON_N_EVAL}
+), sims AS (
+  SELECT e.vec_id,
+         floor(({_DUCK_COS.format(a='e.embedding', b='probes.p')}) * 10000 + 0.5) / 10000 AS s
+  FROM embeddings e CROSS JOIN probes
+  WHERE e.vec_id >= {SEMDECON_N_EVAL}
+)
+SELECT vec_id, max(s) AS max_eval_sim,
+       (max(s) >= {SEMDECON_TAU}) AS is_contaminated
+FROM sims GROUP BY vec_id
+"""
+
+
+@register(
+    "q_llm_semantic_decontam", oracle=_SEMDECON_ORACLE, tags=("llm", "similarity", "dedup")
+)
+def q_llm_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag corpus vectors semantically close to the eval set: each
+    non-eval vector's max cosine over the {SEMDECON_N_EVAL}-vector
+    eval set, thresholded at {SEMDECON_TAU}. The eval probes
+    broadcast (benchmark sets are fixed-size even at 100 TB); per-row
+    work is |eval| interpreted dot products with the corpus-side norm
+    computed once — the q_llm_knn_join scan shape with a threshold
+    instead of a top-k."""
+    emb = with_norm(spread(load_tables(spark, sf_dir)["embeddings"], "vec_id"), "embedding")
+    probes = emb.filter(F.col("vec_id") < SEMDECON_N_EVAL).select(
+        F.col("embedding").alias("p"), F.col("nrm").alias("pn")
+    )
+    pair_sim = _dot(F.col("embedding"), F.col("p")) / (F.col("nrm") * F.col("pn"))
+    return (
+        emb.filter(F.col("vec_id") >= SEMDECON_N_EVAL)
+        .crossJoin(F.broadcast(probes))
+        .select("vec_id", r4(pair_sim).alias("s"))
+        .groupBy("vec_id")
+        .agg(F.max("s").alias("max_eval_sim"))
+        .withColumn("is_contaminated", F.col("max_eval_sim") >= SEMDECON_TAU)
+    )
+
+
 # ------------------------------------------------------------- IVF
 # Inverted-file ANN: partition the corpus into K clusters around
 # centroids, search only the probe's nprobe nearest clusters. A real

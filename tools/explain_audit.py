@@ -285,6 +285,8 @@ BNLJ_ALLOWED: dict[str, str] = {
     "q_agg_histogram": "1-row min/max bounds broadcast",
     "q_llm_mixture_sample": "1-row min-language-count broadcast onto the "
     "|langs|-row rate table",
+    "q_llm_mixture_temperature": "same 1-row min-count broadcast as "
+    "q_llm_mixture_sample (sqrt rate)",
     "q_llm_bpe_apply": "1-row learned merge-rule broadcast",
     "q_agg_histogram_eqdepth": "1-row decile-edge array broadcast",
     "q_cdc_upsert": "1-row max(o_orderkey) insert-offset broadcast",
@@ -298,6 +300,8 @@ BNLJ_ALLOWED: dict[str, str] = {
     "q_llm_cosine_pairs": "bounded candidate-block broadcast",
     "q_llm_knn_join": "probe-set broadcast (|probes| ≪ corpus)",
     "q_llm_hybrid_search": "probe-vector + idf-model broadcast",
+    "q_llm_semantic_decontam": "fixed eval-probe-set broadcast "
+    "(benchmark sets are constant-size even at 100 TB)",
     "q_llm_ann_ivf": "centroid-table broadcast (nlist rows)",
     "q_llm_ann_pq": "1-row probe broadcast for the exact re-ranking "
     "of the constant ADC shortlist",
