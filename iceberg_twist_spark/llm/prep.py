@@ -415,3 +415,72 @@ def q_llm_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.max("rate")).alias("rate"),
         )
     )
+
+
+# ------------------------------------------- per-source token budgets
+# The third mixing primitive after rarest-count and temperature
+# sampling: a TOKEN budget per source — "take at most B tokens from
+# each domain", the way pretraining mixes are actually specced (token
+# counts, not document counts). Documents are admitted in a
+# deterministic hash order (stable as the corpus grows — a new doc
+# never evicts an already-admitted one unless it hashes earlier), and
+# a source stops admitting once its cumulative token count passes the
+# budget. One window per source; the corpus moves once.
+
+SOURCE_TOKEN_BUDGET = 1_500
+
+
+_BUDGET_ORACLE = f"""
+WITH toks AS (
+  SELECT source, doc_id, len(string_split(text, ' ')) AS tokens,
+         md5('budget-' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+), cum AS (
+  SELECT source, doc_id, tokens,
+         sum(tokens) OVER (
+             PARTITION BY source ORDER BY h, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM toks
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS docs_total,
+       CAST(sum(CASE WHEN c <= {SOURCE_TOKEN_BUDGET} THEN 1 ELSE 0 END) AS BIGINT)
+           AS docs_kept,
+       CAST(sum(CASE WHEN c <= {SOURCE_TOKEN_BUDGET} THEN tokens ELSE 0 END) AS BIGINT)
+           AS tokens_kept
+FROM cum
+GROUP BY source
+"""
+
+
+@register("q_llm_token_budget", oracle=_BUDGET_ORACLE, tags=("llm", "sample", "window"))
+def q_llm_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget admission: keep each source's documents
+    in deterministic hash order until the cumulative whitespace-token
+    count passes SOURCE_TOKEN_BUDGET; report per-source totals. The
+    admission order is a pure function of doc_id, so the kept set is
+    reproducible on any cluster layout and stable under corpus growth;
+    the plan is one partitioned running-sum window + one aggregate —
+    both shuffle on the source key only."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).alias("tokens"),
+        F.md5(F.concat(F.lit("budget-"), F.col("doc_id").cast("string"))).alias("h"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = toks.withColumn("c", F.sum("tokens").over(w))
+    kept = F.col("c") <= SOURCE_TOKEN_BUDGET
+    return (
+        cum.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("docs_total"),
+            F.sum(kept.cast("int")).cast("long").alias("docs_kept"),
+            F.sum(F.when(kept, F.col("tokens")).otherwise(0)).cast("long").alias("tokens_kept"),
+        )
+    )
