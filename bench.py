@@ -197,6 +197,56 @@ SHUFFLE_CEILING_SF1 = {  # bytes at sf1: measured (r5) → ceiling
 # ceilings enforced per SF; other SFs report but don't gate
 SHUFFLE_CEILINGS = {0.1: SHUFFLE_CEILING_SF01, 1.0: SHUFFLE_CEILING_SF1}
 
+# ---------------------------------------------------------------------------
+# Per-query TIME bands (BASELINE.md §2.1): [min, max] best-of-N seconds
+# observed across every recorded round (BENCH_r01–r07) at sf0.1. Single
+# runs on this shared sandbox swing more than many real regressions
+# (q_agg_group 1.6→4.5 s historically, with no code change), so the
+# regression gate reads bands, not last round's number: a query FAILS
+# the bench when its best-of-N exceeds band_hi × 1.75 + 0.5 s — beyond
+# the worst historical swing, so a trip is a plan/code regression.
+# Single-record entries (first benched r7) carry the same rule; the
+# +0.5 s absolute cushion keeps sub-second queries off the noise floor.
+# Re-derive after adding rounds: min/max over BENCH_r*.json "queries".
+TIME_BANDS_SF01: dict[str, tuple[float, float]] = {
+    "q_agg_group": (1.118, 1.59),
+    "q_graph_pagerank": (3.174, 9.108),
+    "q_join_bucketed": (0.197, 0.24),
+    "q_join_interval_overlap": (0.928, 1.11),
+    "q_join_multiway": (1.105, 2.072),
+    "q_llm_ann_lsh": (1.203, 1.539),
+    "q_llm_ann_pq": (3.125, 5.557),
+    "q_llm_ann_pq_indexed": (1.413, 1.413),
+    "q_llm_corpus_pipeline": (6.733, 6.733),
+    "q_llm_cosine_topk": (0.935, 1.406),
+    "q_llm_decontaminate": (1.411, 5.805),
+    "q_llm_exact_dedup": (0.816, 2.265),
+    "q_llm_knn_join": (1.1, 1.565),
+    "q_llm_line_dedup": (1.144, 1.498),
+    "q_llm_minhash_dedup": (1.39, 4.782),
+    "q_llm_minhash_verified": (2.517, 2.517),
+    "q_profile_table": (2.175, 2.504),
+    "q_scan_dpp": (0.455, 0.618),
+    "q_scd2_build": (0.92, 1.454),
+    "q_seq_pattern": (0.923, 0.997),
+    "q_stream_tumble": (0.772, 1.262),
+    "q_topk": (0.711, 0.935),
+    "q_tpch_q01": (0.908, 1.245),
+    "q_tpch_q05": (1.422, 2.012),
+    "q_tpch_q09": (1.033, 1.54),
+    "q_tpch_q18": (1.119, 1.85),
+    "q_win_lag": (0.917, 1.211),
+    "q_win_rank": (0.907, 1.722),
+    "q_win_running": (0.878, 1.316),
+}
+
+
+def time_limit(name: str) -> float | None:
+    band = TIME_BANDS_SF01.get(name)
+    if band is None:
+        return None
+    return band[1] * 1.75 + 0.5
+
 
 def _stage_metrics(spark, seen: set) -> tuple[int, int, int]:
     """(shuffle_read, shuffle_write, peak_exec_mem) summed over stages
@@ -245,6 +295,7 @@ def main() -> int:
     timings: dict[str, float] = {}
     shuffle: dict[str, dict[str, int]] = {}
     violations: dict[str, str] = {}
+    time_regressions: dict[str, str] = {}
     seen_stages: set = set()
     _stage_metrics(spark, seen_stages)  # absorb warm-up stages
     for name in HEADLINE:
@@ -277,6 +328,12 @@ def main() -> int:
             violations[name] = (
                 f"shuffle write {shuffle[name]['write']} > ceiling {ceil}"
             )
+        limit = time_limit(name) if sf == 0.1 else None
+        if limit is not None and timings[name] > limit:
+            time_regressions[name] = (
+                f"best-of-N {timings[name]}s > band limit {round(limit, 2)}s "
+                f"(observed band {TIME_BANDS_SF01[name]})"
+            )
         print(
             f"# {name}: {timings[name]:.3f}s best-of-{len(per_run)} "
             f"(runs={[round(t, 3) for t in per_run]}, {n} rows, "
@@ -284,10 +341,13 @@ def main() -> int:
             file=sys.stderr,
         )
 
-    for line in emit_lines(timings, shuffle, violations, sf):
+    for line in emit_lines(timings, shuffle, violations, sf, time_regressions):
         print(line)
     if violations:
         print(f"# SHUFFLE GATE FAILED: {violations}", file=sys.stderr)
+        return 1
+    if time_regressions:
+        print(f"# TIME BAND GATE FAILED: {time_regressions}", file=sys.stderr)
         return 1
     return 0
 
@@ -297,6 +357,7 @@ def emit_lines(
     shuffle: dict[str, dict[str, int]],
     violations: dict[str, str],
     sf: float,
+    time_regressions: dict[str, str] | None = None,
 ) -> list[str]:
     """Stdout framing for the driver contract.
 
@@ -317,6 +378,9 @@ def emit_lines(
             # execution memory (first run, AppStatusStore)
             "shuffle": shuffle,
             "shuffle_violations": violations,
+            # per-query times exceeding the historical noise band
+            # (BASELINE.md §2.1 / TIME_BANDS_SF01; empty = all within)
+            "time_regressions": time_regressions or {},
             "sf": sf,
         }
     )

@@ -219,12 +219,20 @@ class Engine:
         re-signed. Returns (doc_a, doc_b, jaccard) with doc_a < doc_b,
         every pair exactly verified at ``tau`` (default: the tau the
         index was built for). New keys must not collide with stored
-        keys."""
+        keys.
+
+        ``tau`` may only TIGHTEN the threshold: the stored banding was
+        derived from the build-time tau, so its S-curve bounds recall
+        for any lower threshold (an index built at tau=0.9 uses 4×4
+        bands, which detect a true J=0.2 pair with probability ~0.006
+        — the fixed-banding bug class). Querying with tau below
+        ``meta['tau']`` raises instead of silently under-recalling;
+        rebuild the index at the lower tau."""
         import json
 
         from iceberg_twist_spark.llm.dedup import (
             _verify_jaccard_arrays,
-            band_pairs,
+            band_pairs_from_rows,
             band_rows,
             minhash_signatures,
             shingle_arrays,
@@ -233,13 +241,23 @@ class Engine:
         base = path.rstrip("/")
         sp = df.sparkSession
         meta = json.loads(sp.read.parquet(base + "/meta").head()[0])
+        if tau is not None and tau < meta["tau"]:
+            raise ValueError(
+                f"tau={tau} is below the index's build tau={meta['tau']}: "
+                "the stored banding bounds recall for any lower threshold "
+                "(it would silently miss true pairs near the new tau). "
+                "Rebuild the index with build_minhash_index(tau="
+                f"{tau}) instead."
+            )
         tau = meta["tau"] if tau is None else tau
         docs = df.select(
             F.col(key_col).alias("doc_id"), F.col(text_col).alias("text")
         )
         sig = minhash_signatures(docs)
-        # new-batch banding feeds the cross join AND the self-join —
-        # checkpoint so the signature pipeline runs once
+        # new-batch banding feeds the cross join AND the within-batch
+        # self-join from ONE checkpoint — band_pairs(sig) here would
+        # rebuild its own banding from the un-checkpointed sig and run
+        # the dominant shingle+permutation pipeline a second time
         nb = band_rows(sig, n_bands=meta["n_bands"]).localCheckpoint(eager=False)
         stored = sp.read.parquet(base + "/bands")
         cross = (
@@ -258,7 +276,7 @@ class Engine:
         )
         new_arrs = shingle_arrays(docs, 3).localCheckpoint(eager=False)
         both_arrs = sp.read.parquet(base + "/arrays").unionByName(new_arrs)
-        within = band_pairs(sig, n_bands=meta["n_bands"])
+        within = band_pairs_from_rows(nb)
         return _verify_jaccard_arrays(
             cross.unionByName(within).distinct(), both_arrs, both_arrs, tau
         )
@@ -591,9 +609,19 @@ class Engine:
         base = path.rstrip("/")
         cb = df.sparkSession.read.parquet(base + "/codebook")
         sub_dim = len(cb.select("cw").head()[0])
+        n_sub = cb.agg(F.max("m")).head()[0] + 1
         emb = df.select(
             F.col(key_col).alias("vec_id"), F.col(vec_col).alias("embedding")
         )
+        # a mismatched width would be silently sliced/zip-truncated by
+        # the encode expressions — wrong codes, not an error — so pin
+        # the geometry here, mirroring build_pq_ann_index's check
+        dim = len(emb.select("embedding").head()[0])
+        if dim != n_sub * sub_dim:
+            raise ValueError(
+                f"vector dim {dim} does not match the index geometry "
+                f"({n_sub} subspaces × {sub_dim} dims = {n_sub * sub_dim})"
+            )
         sub = S._pq_subspaces(emb, sub=sub_dim)
         S._pq_assign(sub, cb).write.mode("append").parquet(base + "/codes")
         S.with_norm(emb, "embedding").write.mode("append").parquet(
@@ -625,8 +653,16 @@ class Engine:
         vectors = spark.read.parquet(base + "/vectors")
         p = F.array(*[F.lit(float(x)) for x in probe])
         # recover the index's subspace geometry from the codebook
-        # (sub_dim = codeword width) so the LUT matches the encode
+        # (sub_dim = codeword width) so the LUT matches the encode; a
+        # wrong-width probe would be silently sliced into wrong LUT
+        # entries, so validate rather than mis-rank
         sub_dim = len(cb.select("cw").head()[0])
+        n_sub = cb.agg(F.max("m")).head()[0] + 1
+        if len(probe) != n_sub * sub_dim:
+            raise ValueError(
+                f"probe dim {len(probe)} does not match the index geometry "
+                f"({n_sub} subspaces × {sub_dim} dims = {n_sub * sub_dim})"
+            )
         psub = S._pq_subspaces(
             spark.range(1).select(F.lit(0).alias("vec_id"), p.alias("embedding")),
             sub=sub_dim,

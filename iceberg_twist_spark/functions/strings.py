@@ -132,9 +132,9 @@ def q_str_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EXTRACT_ALL_ORACLE = """
 SELECT p_partkey,
-       regexp_extract_all(p_name, '[a-z]+') AS words,
+       array_to_string(regexp_extract_all(p_name, '[a-z]+'), ' ') AS words,
        CAST(len(regexp_extract_all(p_name, '[a-z]+')) AS BIGINT) AS n_words,
-       regexp_extract_all(p_brand, '[0-9]+') AS brand_nums
+       array_to_string(regexp_extract_all(p_brand, '[0-9]+'), ' ') AS brand_nums
 FROM part
 """
 
@@ -144,11 +144,16 @@ def q_str_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """regexp_extract_all: every match as an array (words from p_name,
     digit runs from p_brand) — the multi-capture companion to
     q_str_regexp's single-group extract. Character-class patterns keep
-    Java regex and RE2 in exact agreement."""
+    Java regex and RE2 in exact agreement. Array outputs are serialized
+    with array_join per the registry convention (see q_agg_collect) —
+    the driver's canonicalizer sorts a pandas frame over all columns and
+    cannot hash raw list cells (the one red row of CORRECTNESS_r07)."""
     p = load_tables(spark, sf_dir)["part"]
+    words = F.regexp_extract_all("p_name", F.lit("[a-z]+"), F.lit(0))
+    nums = F.regexp_extract_all("p_brand", F.lit("[0-9]+"), F.lit(0))
     return p.select(
         "p_partkey",
-        F.regexp_extract_all("p_name", F.lit("[a-z]+"), F.lit(0)).alias("words"),
-        F.size(F.regexp_extract_all("p_name", F.lit("[a-z]+"), F.lit(0))).cast("long").alias("n_words"),
-        F.regexp_extract_all("p_brand", F.lit("[0-9]+"), F.lit(0)).alias("brand_nums"),
+        F.array_join(words, " ").alias("words"),
+        F.size(words).cast("long").alias("n_words"),
+        F.array_join(nums, " ").alias("brand_nums"),
     )

@@ -21,7 +21,7 @@ AQE reuses that exchange.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from iceberg_twist_spark.catalog import load_tables
@@ -76,8 +76,20 @@ def q_llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     One plan end to end: the survivor set (itself candidates →
     connected components → quality survivorship) semi-joins the
     corpus, the gate re-ranks within language, and the packer
-    running-sums on the same ``lang`` partitioning.
+    running-sums per language. Both the gate's percent_rank and the
+    packer's running sum use the two-phase bucketed form
+    (operators/windows.py) — ``lang`` is a bounded enum, so the naive
+    per-lang windows would each serialize a language's whole corpus
+    through one task at 100 TB (explain-audit invariant (e)). The
+    bucketing min/max rows are 1-row broadcasts, so composition stays
+    one Catalyst plan with no driver collect.
     """
+    from iceberg_twist_spark.operators.windows import (
+        attach_range_bucket,
+        two_phase_cumsum,
+        two_phase_percent_rank,
+    )
+
     docs = load_tables(spark, sf_dir)["documents"]
     survivors = (
         q_llm_dedup_survivor(spark, sf_dir).filter(F.col("is_kept")).select("doc_id")
@@ -86,20 +98,18 @@ def q_llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "text",
         r4(F.col("n_chars") * F.lit(1.0) / F.size(F.split("text", " "))).alias("score"),
     )
-    w_gate = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("doc_id"))
+    gb = attach_range_bucket(kept, "score", descending=True)
     gated = (
-        kept.withColumn("pr", r4(F.percent_rank().over(w_gate)))
+        two_phase_percent_rank(gb, ["lang"], [F.desc("score"), F.asc("doc_id")], "pr")
+        .withColumn("pr", r4(F.col("pr")))
         .filter(F.col("pr") <= 0.5)
         .select("doc_id", "lang", "text")
     )
-    w_pack = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    packed = gated.select(
+    toks = gated.select(
         "lang", "doc_id", F.size(F.split("text", " ")).alias("tokens")
-    ).withColumn("cum_tokens", F.sum("tokens").over(w_pack))
+    )
+    pb = attach_range_bucket(toks, "doc_id")
+    packed = two_phase_cumsum(pb, ["lang"], ["doc_id"], "tokens", "cum_tokens")
     return (
         packed.groupBy(
             "lang",

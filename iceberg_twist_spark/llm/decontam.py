@@ -218,15 +218,28 @@ def q_llm_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Percentile cutoffs per language are how real pipelines normalize
     quality thresholds across languages with different score
-    distributions. One window per lang partition; rank ordering
-    carries a doc_id tiebreak and the filter applies to the *rounded*
-    rank so the boundary is engine-independent.
+    distributions. Rank ordering carries a doc_id tiebreak (a UNIQUE
+    total order, so percent_rank ≡ (row_number−1)/(n−1)) and the
+    filter applies to the *rounded* rank so the boundary is
+    engine-independent. ``lang`` is a bounded enum, so the naive
+    per-lang window would sort a language's whole corpus in ONE task
+    at 100 TB — the rank is two-phased instead (score-range-bucketed
+    parallel windows + broadcast offsets; explain-audit invariant (e)).
     """
+    from iceberg_twist_spark.operators.windows import (
+        attach_range_bucket,
+        two_phase_percent_rank,
+    )
+
     docs = load_tables(spark, sf_dir)["documents"]
     score = r4(F.col("n_chars") * F.lit(1.0) / F.size(F.split("text", " ")))
-    w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("doc_id"))
+    scored = docs.select("doc_id", "lang", score.alias("score"))
+    b = attach_range_bucket(scored, "score", descending=True)
+    ranked = two_phase_percent_rank(
+        b, ["lang"], [F.desc("score"), F.asc("doc_id")], "pr"
+    )
     return (
-        docs.select("doc_id", "lang", score.alias("score"))
-        .withColumn("pr", r4(F.percent_rank().over(w)))
+        ranked.withColumn("pr", r4(F.col("pr")))
         .filter(F.col("pr") <= 0.5)
+        .select("doc_id", "lang", "score", "pr")
     )

@@ -383,6 +383,15 @@ def band_pairs(
     plan flat.
     """
     bands = band_rows(sig, n_perm, n_bands).localCheckpoint(eager=False)
+    return band_pairs_from_rows(bands)
+
+
+def band_pairs_from_rows(bands: DataFrame) -> DataFrame:
+    """The banded self-join half of ``band_pairs``, over ALREADY
+    materialized (doc_id, band_idx, band_hash) rows — callers that hold
+    a checkpointed/stored banding frame (the incremental-index path)
+    reuse it directly instead of re-running the signature pipeline
+    through ``band_pairs(sig)``."""
     a = bands.alias("a")
     b = bands.alias("b")
     return (

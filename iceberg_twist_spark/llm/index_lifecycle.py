@@ -1,0 +1,202 @@
+"""Incremental-index lifecycle as ORACLE-CHECKED queries.
+
+``Engine.build_minhash_index`` / ``minhash_index_append`` and
+``build_pq_ann_index`` / ``pq_index_append`` (api.py) are the 100 TB
+daily-ingest story: a new batch is signed/encoded and appended, the
+stored corpus is read but never re-signed. Until r8 they were only
+unit-tested; these two queries put the whole lifecycle under the
+driver's hash gate by asserting the equivalence each append API
+guarantees, computed end-to-end through the REAL facade:
+
+- MinHash: append(base, delta) ≡ rebuild(base ∪ delta) EXACTLY — band
+  hashing is a pure per-document function, so the banded pair set of
+  the appended index must hash-match DuckDB banding the full corpus.
+- PQ: the codebook is trained on the BASE snapshot and FROZEN; append
+  encodes the delta against it (the documented trade — retrain per
+  major snapshot, append between). The oracle replicates exactly that:
+  codebook trained on base, every vector encoded against it, ADC +
+  exact re-rank for the standard probe.
+
+Both queries follow the q_mv_incremental pattern (assert the
+incremental path against the from-scratch oracle on the same fixture).
+Index directories are fingerprint-keyed temp dirs (llm.similarity.
+_source_fingerprint), so a regenerated fixture can never serve a stale
+index, and a _COMPLETE marker skips the rebuild on re-runs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_twist_spark.catalog import load_tables
+from iceberg_twist_spark.llm.dedup import (
+    LSH_BANDS,
+    _minhash_oracle,
+    band_pairs_from_rows,
+)
+from iceberg_twist_spark.llm.similarity import (
+    PQ_K,
+    PQ_M,
+    PQ_RERANK,
+    PQ_SUB,
+    RECALL_K,
+    _DUCK_COS,
+    _PQ_D2,
+    _source_fingerprint,
+)
+from iceberg_twist_spark.registry import register
+
+# delta = every DELTA_MOD-th key (includes key 0 — the standard probe
+# arrives in the APPENDED batch, exercising the frozen-codebook path)
+DELTA_MOD = 5
+
+# tau = 0.9 derives the 4×4 banding (lsh_params), which is exactly the
+# registered queries' default — so the rebuild oracle IS the proven
+# q_llm_minhash_dedup SQL.
+MINHASH_APPEND_TAU = 0.9
+
+_LIFECYCLE_VERSION = 1
+
+
+def _lifecycle_dir(kind: str, sf_dir: str) -> str:
+    import tempfile
+
+    key = _source_fingerprint(sf_dir)
+    return os.path.join(
+        tempfile.gettempdir(), f"itws_{kind}_append_v{_LIFECYCLE_VERSION}_{key}"
+    )
+
+
+@register(
+    "q_llm_minhash_index_append",
+    oracle=_minhash_oracle(n_bands=LSH_BANDS),
+    tags=("llm", "dedup", "source"),
+)
+def q_llm_minhash_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """append(base, delta) ≡ rebuild(base ∪ delta) for the MinHash/LSH
+    index: build the index over 80% of the corpus, append the other
+    20% through ``Engine.minhash_index_append`` (band count read from
+    the stored metadata), then self-join the STORED banding rows — the
+    resulting candidate pairs must hash-match DuckDB banding the full
+    corpus from scratch. Exercises the real facade write path; the
+    query side reads only the on-disk index (the daily-ingest shape:
+    sign the increment, never re-sign the corpus)."""
+    from iceberg_twist_spark.api import Engine
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    path = _lifecycle_dir("minhash", sf_dir)
+    marker = os.path.join(path, "_COMPLETE")
+    if not os.path.exists(marker):
+        base = docs.filter(F.col("doc_id") % DELTA_MOD != 0)
+        delta = docs.filter(F.col("doc_id") % DELTA_MOD == 0)
+        Engine.build_minhash_index(
+            base, "text", "doc_id", path, tau=MINHASH_APPEND_TAU
+        )
+        Engine.minhash_index_append(delta, "text", "doc_id", path)
+        with open(marker, "w") as f:
+            f.write("ok")
+    stored = spark.read.parquet(path + "/bands")
+    return band_pairs_from_rows(stored)
+
+
+def _pqa_assign_sql(cb: str, src: str) -> str:
+    """argmin-codeword assignment of ``src`` subvectors vs codebook
+    ``cb`` — the q_llm_ann_pq oracle's assignment block with the
+    subvector source parameterized (base-only for training, full for
+    the encode that build+append jointly produce)."""
+    return f"""(
+  SELECT vec_id, m, code FROM (
+    SELECT s.vec_id, s.m, {cb}.code,
+           row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+             floor({_PQ_D2.format(a='s.sv', b=cb + '.cw')} * 10000 + 0.5) / 10000,
+             {cb}.code) AS rn
+    FROM {src} s JOIN {cb} USING (m)) WHERE rn = 1)"""
+
+
+# The q_llm_ann_pq oracle with the TRAINING restricted to the base
+# snapshot (vec_id % DELTA_MOD != 0): seed codewords are the base's
+# PQ_K smallest keys coded dense 0..K-1 in key order (the facade's
+# seed_map), the Lloyd update averages base subvectors only, and the
+# final encode covers EVERY vector against that frozen codebook —
+# precisely the state build(base) + append(delta) leaves on disk.
+_PQA_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), ms AS (
+  SELECT unnest(generate_series(0, {PQ_M - 1})) AS m
+), sub AS (
+  SELECT vec_id, m,
+         emb[m * {PQ_SUB} + 1 : (m + 1) * {PQ_SUB}] AS sv
+  FROM e, ms
+), bsub AS (
+  SELECT * FROM sub WHERE vec_id % {DELTA_MOD} != 0
+), seeds AS (
+  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+  FROM (SELECT DISTINCT vec_id FROM bsub ORDER BY vec_id LIMIT {PQ_K})
+), cb0 AS (
+  SELECT seeds.code, s.m, s.sv AS cw
+  FROM seeds JOIN bsub s USING (vec_id)
+), codes0 AS {_pqa_assign_sql('cb0', 'bsub')}
+, flat0 AS (
+  SELECT c.m, c.code, t.i AS pos, s.sv[t.i] AS val
+  FROM codes0 c JOIN bsub s ON c.vec_id = s.vec_id AND c.m = s.m,
+       LATERAL (SELECT unnest(generate_series(1, {PQ_SUB})) AS i) t
+), cb1 AS (
+  SELECT m, code, list(cv ORDER BY pos) AS cw FROM (
+    SELECT m, code, pos, floor(avg(val) * 10000 + 0.5) / 10000 AS cv
+    FROM flat0 GROUP BY 1, 2, 3
+  ) GROUP BY 1, 2
+), codes AS {_pqa_assign_sql('cb1', 'sub')}
+, dt AS (
+  SELECT cb1.m, cb1.code,
+         CAST(floor({_PQ_D2.format(a='p.sv', b='cb1.cw')} * 10000 + 0.5) AS BIGINT)
+             AS pd2i
+  FROM cb1 JOIN (SELECT m, sv FROM sub WHERE vec_id = 0) p USING (m)
+), adc AS (
+  SELECT c.vec_id, sum(dt.pd2i) / 10000.0 AS adc_dist
+  FROM codes c JOIN dt ON c.m = dt.m AND c.code = dt.code
+  GROUP BY c.vec_id
+), shortlist AS (
+  SELECT vec_id FROM adc
+  ORDER BY adc_dist, vec_id LIMIT {PQ_RERANK}
+)
+SELECT s.vec_id,
+       floor(({_DUCK_COS.format(a='e2.embedding', b='pr.p')}) * 10000 + 0.5) / 10000 AS cos_sim
+FROM shortlist s
+JOIN embeddings e2 ON s.vec_id = e2.vec_id
+CROSS JOIN (SELECT embedding AS p FROM embeddings WHERE vec_id = 0) pr
+ORDER BY cos_sim DESC, s.vec_id LIMIT {RECALL_K}
+"""
+
+
+@register(
+    "q_llm_pq_index_append",
+    oracle=_PQA_ORACLE,
+    tags=("llm", "similarity", "source"),
+)
+def q_llm_pq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ index append under the hash gate: build the index over 80%
+    of the vectors (codebook trained on that snapshot), append the
+    other 20% — probe included — through ``Engine.pq_index_append``
+    (frozen codebook, geometry validated against the stored one), then
+    answer the standard probe with ``Engine.pq_ann_search`` reading
+    only the on-disk index. The oracle trains on the same base and
+    encodes everything against it, so any drift in the append path
+    (retraining, geometry slip, missed rows) breaks the hash."""
+    from iceberg_twist_spark.api import Engine
+
+    emb = load_tables(spark, sf_dir)["embeddings"].select("vec_id", "embedding")
+    path = _lifecycle_dir("pq", sf_dir)
+    marker = os.path.join(path, "_COMPLETE")
+    if not os.path.exists(marker):
+        base = emb.filter(F.col("vec_id") % DELTA_MOD != 0)
+        delta = emb.filter(F.col("vec_id") % DELTA_MOD == 0)
+        Engine.build_pq_ann_index(base, "embedding", "vec_id", path)
+        Engine.pq_index_append(delta, "embedding", "vec_id", path)
+        with open(marker, "w") as f:
+            f.write("ok")
+    probe = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()[1]]
+    return Engine.pq_ann_search(spark, path, probe, k=RECALL_K, rerank=PQ_RERANK)

@@ -148,20 +148,26 @@ def q_llm_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Contiguous-fill packing: documents stream in key order and a bin
     closes when the running token count crosses the budget —
-    ``bin = floor((cumsum - 1) / budget)``. One window (= one shuffle
-    on ``lang``) computes every bin boundary; no iterative driver loop,
-    which is what makes this formulation work on a 100 TB corpus.
+    ``bin = floor((cumsum - 1) / budget)``. No iterative driver loop,
+    and — since ``lang`` is a bounded enum — no per-language serial
+    sort either: the running sum is the two-phase
+    ``two_phase_cumsum`` shape (doc_id range-bucketed parallel
+    windows + broadcast cumulative offsets; explain-audit invariant
+    (e) forbids the naive single-window form over raw fact rows).
     Returns per-bin document counts and token totals.
     """
-    docs = load_tables(spark, sf_dir)["documents"]
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    from iceberg_twist_spark.operators.windows import (
+        attach_range_bucket,
+        two_phase_cumsum,
     )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "lang", "doc_id", F.size(F.split("text", " ")).alias("tokens")
+    )
+    b = attach_range_bucket(toks, "doc_id")
     return (
-        docs.select("lang", "doc_id", F.size(F.split("text", " ")).alias("tokens"))
-        .withColumn("cum_tokens", F.sum("tokens").over(w))
+        two_phase_cumsum(b, ["lang"], ["doc_id"], "tokens", "cum_tokens")
         .withColumn(
             "bin_id", F.floor((F.col("cum_tokens") - 1) / PACK_BUDGET).cast("long")
         )
@@ -453,28 +459,47 @@ GROUP BY source
 """
 
 
+# Hex-prefix bucket count for the two-phase running sum below: 2 hex
+# chars → 256 parallel sort buckets per source. At 100 TB raise to 3–4
+# chars (4096/65536 buckets); the offsets frame stays |sources|×buckets
+# rows — broadcast-sized either way.
+_BUDGET_BUCKET_HEX = 2
+
+
 @register("q_llm_token_budget", oracle=_BUDGET_ORACLE, tags=("llm", "sample", "window"))
 def q_llm_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source token-budget admission: keep each source's documents
     in deterministic hash order until the cumulative whitespace-token
     count passes SOURCE_TOKEN_BUDGET; report per-source totals. The
     admission order is a pure function of doc_id, so the kept set is
-    reproducible on any cluster layout and stable under corpus growth;
-    the plan is one partitioned running-sum window + one aggregate —
-    both shuffle on the source key only."""
+    reproducible on any cluster layout and stable under corpus growth.
+
+    The running sum is TWO-PHASE (the ``_global_rank`` shape,
+    operators/windows.py): a naive
+    ``Window.partitionBy(source).orderBy(h)`` funnels every document
+    of a source through ONE task's sort — with a handful of sources
+    that is a single-reducer in disguise at 100 TB. Instead the md5
+    admission key's first ``_BUDGET_BUCKET_HEX`` hex chars range-bucket
+    each source into 256 contiguous slices of the (h, doc_id) order
+    (the hex prefix is monotone in the string order of h, so bucket k's
+    rows all precede bucket k+1's); per-(source, bucket) running sums
+    run in parallel, and the ≤ |sources|×256-row per-bucket totals
+    re-enter as broadcast cumulative offsets. global cumsum =
+    bucket offset + local running sum — hash-identical to the serial
+    window, no per-source serial sort anywhere."""
+    from iceberg_twist_spark.operators.windows import two_phase_cumsum
+
     docs = load_tables(spark, sf_dir)["documents"]
     toks = docs.select(
         "source",
         "doc_id",
         F.size(F.split("text", " ")).alias("tokens"),
         F.md5(F.concat(F.lit("budget-"), F.col("doc_id").cast("string"))).alias("h"),
+    ).withColumn(
+        "__bucket",
+        F.conv(F.substring("h", 1, _BUDGET_BUCKET_HEX), 16, 10).cast("int"),
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("h", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = toks.withColumn("c", F.sum("tokens").over(w))
+    cum = two_phase_cumsum(toks, ["source"], ["h", "doc_id"], "tokens", "c")
     kept = F.col("c") <= SOURCE_TOKEN_BUDGET
     return (
         cum.groupBy("source")

@@ -381,12 +381,34 @@ def q_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_INDEX_VERSION = 1
 
 
-def _ivf_index_dir(sf_dir: str) -> str:
+def _source_fingerprint(sf_dir: str) -> str:
+    """Content fingerprint of the embeddings source the cached indexes
+    are built from: (relpath, mtime_ns, size) of every parquet part.
+    Folded into the index directory key so regenerating a fixture IN
+    PLACE gets a fresh index instead of silently serving stale
+    codes/codebook (the abspath-only key's hazard)."""
     import hashlib
+    import os
+
+    src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    h = hashlib.md5(src.encode())
+    if os.path.isdir(src):
+        for root, _dirs, files in sorted(os.walk(src)):
+            for fn in sorted(files):
+                st = os.stat(os.path.join(root, fn))
+                h.update(f"{os.path.relpath(os.path.join(root, fn), src)}:"
+                         f"{st.st_mtime_ns}:{st.st_size};".encode())
+    elif os.path.exists(src):
+        st = os.stat(src)
+        h.update(f"{st.st_mtime_ns}:{st.st_size}".encode())
+    return h.hexdigest()[:12]
+
+
+def _ivf_index_dir(sf_dir: str) -> str:
     import os
     import tempfile
 
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    key = _source_fingerprint(sf_dir)
     return os.path.join(
         tempfile.gettempdir(), f"itws_ivf_index_v{_IVF_INDEX_VERSION}_{key}"
     )
@@ -1081,11 +1103,10 @@ _PQ_INDEX_VERSION = 1
 
 
 def _pq_index_dir(sf_dir: str) -> str:
-    import hashlib
     import os
     import tempfile
 
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    key = _source_fingerprint(sf_dir)
     return os.path.join(
         tempfile.gettempdir(), f"itws_pq_index_v{_PQ_INDEX_VERSION}_{key}"
     )
@@ -1395,11 +1416,10 @@ _IVFPQ_INDEX_VERSION = 1
 
 
 def _ivfpq_index_dir(sf_dir: str) -> str:
-    import hashlib
     import os
     import tempfile
 
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    key = _source_fingerprint(sf_dir)
     return os.path.join(
         tempfile.gettempdir(), f"itws_ivfpq_index_v{_IVFPQ_INDEX_VERSION}_{key}"
     )

@@ -694,14 +694,22 @@ def q_llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
             ).alias("p")
         ).select("p.a", "p.b")
-        top = (
+        winners = (
             cand.filter(F.col("a") != F.col("b"))
             .groupBy("a", "b")
             .count()
             .orderBy(F.col("count").desc(), "a", "b")
             .limit(1)
             .collect()
-        )[0]
+        )
+        if not winners:
+            # no eligible adjacent pair left (all streams < 2 tokens,
+            # or every pair is a == b): training has converged — stop
+            # merging. The unrolled oracle agrees for free: an empty
+            # top{r} contributes no union row and empties every later
+            # round's stream.
+            break
+        top = winners[0]
         merges.append((rnd, top.a, top.b, int(top["count"])))
         a, b = F.lit(top.a), F.lit(top.b)
         occ = F.when(

@@ -202,6 +202,113 @@ def _global_rank(
     return ranked, total
 
 
+def attach_range_bucket(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int = 256,
+    descending: bool = False,
+    bucket_col: str = "__bucket",
+) -> DataFrame:
+    """Attach an int bucket id that is monotone non-decreasing in the
+    (value_col asc|desc) order — i.e. bucket k's rows all precede
+    bucket k+1's — so per-bucket windows + cumulative offsets
+    reconstruct a global per-partition order (the ``_global_rank``
+    shape, kept fully IN-PLAN: the min/max is a 1-row broadcast
+    cross join, no driver collect, so composed pipelines stay one
+    Catalyst plan). NULL values take bucket 0 ascending (NULLS FIRST)
+    and the last bucket descending (desc() is NULLS LAST)."""
+    mm = df.agg(F.min(value_col).alias("__lo"), F.max(value_col).alias("__hi"))
+    v = F.col(value_col).cast("double")
+    lo, hi = F.col("__lo").cast("double"), F.col("__hi").cast("double")
+    span = hi - lo
+    pos = F.when(span <= 0, F.lit(0.0)).otherwise(
+        ((hi - v) if descending else (v - lo)) / span
+    )
+    b = F.least(F.lit(n_buckets - 1), F.floor(pos * n_buckets)).cast("int")
+    null_bucket = F.lit(n_buckets - 1 if descending else 0).cast("int")
+    b = F.when(F.col(value_col).isNull(), null_bucket).otherwise(b)
+    return (
+        df.crossJoin(F.broadcast(mm)).withColumn(bucket_col, b).drop("__lo", "__hi")
+    )
+
+
+def two_phase_cumsum(
+    df: DataFrame,
+    part_cols: list[str],
+    order_cols: list,
+    value_col: str,
+    out_col: str,
+    bucket_col: str = "__bucket",
+) -> DataFrame:
+    """Running sum of ``value_col`` over (part_cols, order_cols) without
+    a per-partition serial sort: ``df`` must already carry
+    ``bucket_col`` — an int monotone in the order within each partition
+    (see ``attach_range_bucket``). Phase 1 runs parallel per-(part,
+    bucket) running sums; phase 2 broadcasts the ≤ |parts|×buckets-row
+    per-bucket totals back as cumulative offsets. Hash-identical to
+    ``Window.partitionBy(part).orderBy(order)`` with a fraction of one
+    task's sort — the shape a bounded-cardinality partition key needs
+    at 100 TB (explain-audit invariant (e))."""
+    w_local = (
+        Window.partitionBy(*part_cols, bucket_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = df.withColumn(out_col, F.sum(value_col).over(w_local))
+    w_off = (
+        Window.partitionBy(*part_cols)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = (
+        df.groupBy(*part_cols, bucket_col)
+        .agg(F.sum(value_col).alias("__bt"))
+        .withColumn("__cumoff", F.coalesce(F.sum("__bt").over(w_off), F.lit(0)))
+        .drop("__bt")
+    )
+    return (
+        local.join(F.broadcast(off), [*part_cols, bucket_col])
+        .withColumn(out_col, F.col(out_col) + F.col("__cumoff"))
+        .drop("__cumoff")
+    )
+
+
+def two_phase_percent_rank(
+    df: DataFrame,
+    part_cols: list[str],
+    order_cols: list,
+    out_col: str,
+    bucket_col: str = "__bucket",
+) -> DataFrame:
+    """percent_rank over (part_cols, order_cols) without a per-partition
+    serial sort — requires a UNIQUE total order (a tiebreak column in
+    ``order_cols``, so percent_rank ≡ (row_number-1)/(n-1)) and a
+    pre-attached order-monotone ``bucket_col``. Same two-phase shape as
+    ``two_phase_cumsum``; the per-partition row counts ride the same
+    tiny offsets frame."""
+    w_local = Window.partitionBy(*part_cols, bucket_col).orderBy(*order_cols)
+    local = df.withColumn("__rn", F.row_number().over(w_local).cast("long"))
+    w_off = (
+        Window.partitionBy(*part_cols)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = Window.partitionBy(*part_cols)
+    off = (
+        df.groupBy(*part_cols, bucket_col)
+        .agg(F.count("*").alias("__bn"))
+        .withColumn("__cumoff", F.coalesce(F.sum("__bn").over(w_off), F.lit(0)))
+        .withColumn("__n", F.sum("__bn").over(w_tot))
+        .drop("__bn")
+    )
+    pr = (F.col("__cumoff") + F.col("__rn") - 1) / (F.col("__n") - 1)
+    return (
+        local.join(F.broadcast(off), [*part_cols, bucket_col])
+        .withColumn(out_col, F.when(F.col("__n") > 1, pr).otherwise(F.lit(0.0)))
+        .drop("__rn", "__cumoff", "__n")
+    )
+
+
 _NTILE_ORACLE = """
 SELECT c_custkey, c_acctbal,
        CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS quartile

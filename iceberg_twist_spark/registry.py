@@ -127,6 +127,7 @@ def _load_all_modules() -> None:
     import iceberg_twist_spark.llm.clusters  # noqa: F401
     import iceberg_twist_spark.llm.decontam  # noqa: F401
     import iceberg_twist_spark.llm.corpus_pipeline  # noqa: F401
+    import iceberg_twist_spark.llm.index_lifecycle  # noqa: F401
     import iceberg_twist_spark.operators.anomaly  # noqa: F401
     import iceberg_twist_spark.operators.cdc  # noqa: F401
     import iceberg_twist_spark.operators.profiling  # noqa: F401
@@ -155,24 +156,19 @@ def _load_all_modules() -> None:
 # round's newly-covered ids to DRIVER_CHECKED from
 # CORRECTNESS_r{N}.json.
 REVERIFY_FIRST = (
-    # new in r7 (materialized ANN indexes). The rest of the PQ family
-    # is plan-identical to its last driver check: an array_min rewrite
-    # of the assignment fold was tried and REVERTED in-round (2×
-    # slower at PQ_K=256 — see _pq_assign).
-    "q_llm_ann_pq_indexed",
-    "q_llm_ann_ivfpq_indexed",
-    # plan changed r7: layout capture gated on the shuffle regime
-    "q_graph_pagerank",
-    # rewritten r6 AFTER their last driver check (r5/r3/r3)
-    "q_llm_minhash_dedup",
-    "q_llm_ngram_jaccard",
-    "q_llm_dup_clusters",
-    # banding extracted into a shared helper r7 (plan-identical, but
-    # the oracle-checked query must witness the refactor)
-    "q_llm_minhash_verified",
-    # semantics changed r7: Hamming radius 7→3 with 16-bit bands (the
-    # quadratic-bucket fix; oracle changed identically)
-    "q_mm_phash_dedup",
+    # r7's ONE red row: raw array<string> output broke the driver's
+    # pandas canonicalizer (unhashable list). Fixed r8 by array_join
+    # per the q_agg_collect convention; tools/check.py now rejects any
+    # registered query whose final schema carries ArrayType/MapType.
+    "q_str_extract_all",
+    # plan rewritten r8: per-source running token sum two-phased on
+    # the _global_rank pattern (was a single-task window sort per
+    # source — the r7 verdict's scale-watch item). Output unchanged.
+    "q_llm_token_budget",
+    # new in r8: incremental index lifecycle as oracle-checked queries
+    # (append(base, delta) ≡ rebuild(base ∪ delta)).
+    "q_llm_minhash_index_append",
+    "q_llm_pq_index_append",
 )
 
 DRIVER_CHECKED = frozenset({
@@ -223,6 +219,22 @@ DRIVER_CHECKED = frozenset({
     "q_sample_stratified", "q_sample_systematic", "q_sample_weighted",
     "q_tpch_q12", "q_ts_rollup_cascade", "q_ts_sessionize",
     "q_vec_quantize",
+    # round 7 (CORRECTNESS_r07.json; q_str_extract_all FAILED there —
+    # deliberately absent so the r8 rotation re-witnesses the fix)
+    "q_llm_ann_pq_indexed", "q_llm_ann_ivfpq_indexed", "q_llm_bpe_train",
+    "q_llm_mixture_temperature", "q_llm_semantic_decontam",
+    "q_llm_split_leakage_safe", "q_llm_token_budget", "q_scalar_try",
+    "q_scan_binary", "q_scan_dpp", "q_scan_parquet", "q_scan_projection",
+    "q_scd2_build", "q_schema_evolution", "q_seq_pattern", "q_set_except",
+    "q_set_intersect", "q_set_union", "q_sink_partitioned",
+    "q_sketch_bloom", "q_sketch_countmin", "q_sketch_hll_merge",
+    "q_sort_multi", "q_source_binaryfile", "q_source_bz2_split",
+    "q_source_csv_roundtrip", "q_source_gzip_text",
+    "q_source_json_roundtrip", "q_source_orc_roundtrip", "q_source_pyds",
+    "q_source_xml_roundtrip", "q_str_funcs", "q_str_hex", "q_str_mask",
+    "q_str_regexp", "q_str_split", "q_stream_dedup_watermark",
+    "q_stream_enrich_join", "q_stream_late_drop", "q_stream_observe",
+    "q_stream_pyds", "q_stream_queue_ttl", "q_stream_rate_frames",
 })
 
 

@@ -698,3 +698,67 @@ def test_scrub_pii_counts_match_replacements(spark):
     assert r.n_phones == 1  # only the real phone, not the local-part
     assert r.text == "reach <EMAIL> or <PHONE>"
     assert r.text.count("<PHONE>") == r.n_phones
+
+
+def test_readme_daily_ingest_recipe(spark, sf_dir, tmp_path):
+    """Executes the README's 'Daily ingest at scale' code block
+    VERBATIM (extracted from the fenced block tagged
+    ``# recipe: daily-ingest``), so the worked example cannot rot out
+    of sync with the facade. Inputs are small synthetic frames; the
+    assertions check the recipe's observable outcomes: appended docs
+    are banded under the stored banding, appended vectors are
+    searchable, and the known near-dup batch doc is dropped."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    readme = os.path.join(os.path.dirname(os.path.dirname(__file__)), "README.md")
+    with open(readme, encoding="utf-8") as fh:
+        m = re.search(r"```python\n# recipe: daily-ingest\n(.*?)```", fh.read(), re.S)
+    assert m, "README daily-ingest recipe block not found"
+    code = m.group(1)
+
+    texts = [
+        (i, " ".join(f"w{(i * 7 + j) % 23}" for j in range(30))) for i in range(40)
+    ]
+    corpus = spark.createDataFrame(texts, "doc_id long, text string")
+    # batch doc 100 duplicates corpus doc 3 verbatim; 101 is fresh
+    batch = spark.createDataFrame(
+        [(100, texts[3][1]), (101, " ".join(f"x{j}" for j in range(30)))],
+        "doc_id long, text string",
+    )
+    import math
+
+    def vec(i):
+        return [math.sin(0.13 * d * (1 + i % 7)) + 0.01 * i for d in range(16)]
+
+    vectors = spark.createDataFrame(
+        [(i, vec(i)) for i in range(60)], "vec_id long, embedding array<float>"
+    )
+    new_vectors = spark.createDataFrame(
+        [(500 + i, vec(500 + i)) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    probe = [float(x) for x in vec(505)]
+    ns = {
+        "spark": spark,
+        "corpus": corpus,
+        "batch": batch,
+        "vectors": vectors,
+        "new_vectors": new_vectors,
+        "probe": probe,
+        "idx": str(tmp_path / "lsh_idx"),
+        "vec_idx": str(tmp_path / "pq_idx"),
+    }
+    exec(code, ns)  # noqa: S102 — the README block IS the test subject
+    # the duplicate batch doc was dropped, the fresh one survived+banded
+    kept_ids = {r.doc_id for r in ns["keep"].select("doc_id").collect()}
+    assert kept_ids == {101}
+    banded = {
+        r.doc_id
+        for r in spark.read.parquet(ns["idx"] + "/bands").select("doc_id").distinct().collect()
+    }
+    assert 101 in banded and 100 not in banded
+    # the appended vector is searchable at cos 1.0
+    hits = ns["hits"].collect()
+    assert any(r.vec_id == 505 and r.cos_sim == 1.0 for r in hits)

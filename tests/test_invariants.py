@@ -292,3 +292,58 @@ def test_pagerank_regimes_agree(spark, sf_dir, monkeypatch):
     monkeypatch.setenv("ITWS_PAGERANK_BCAST_CAP", "0")
     shuf = {(r.node): r.pr_rank for r in build(spark, sf_dir).collect()}
     assert bcast == shuf
+
+
+def test_two_phase_cumsum_equals_naive_window(spark):
+    """two_phase_cumsum / two_phase_percent_rank must be value-identical
+    to the naive single-window forms they replace (explain-audit
+    invariant (e) forbids the naive form over raw fact rows) — checked
+    on a synthetic frame with ties, skewed partitions, a one-row
+    partition, and bucket-boundary collisions."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from iceberg_twist_spark.operators.windows import (
+        attach_range_bucket,
+        two_phase_cumsum,
+        two_phase_percent_rank,
+    )
+
+    rows = []
+    rid = 0
+    for part, n in (("a", 137), ("b", 61), ("c", 1)):
+        for i in range(n):
+            # values with heavy ties and a skewed range
+            rows.append((part, rid, (i * 7919) % 23, float((i * 31) % 11)))
+            rid += 1
+    df = spark.createDataFrame(rows, "p string, k long, v long, score double")
+
+    b = attach_range_bucket(df, "k", n_buckets=8)
+    got = {
+        (r.p, r.k): r.c
+        for r in two_phase_cumsum(b, ["p"], ["k"], "v", "c").collect()
+    }
+    w = (
+        Window.partitionBy("p")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        (r.p, r.k): r.c
+        for r in df.withColumn("c", F.sum("v").over(w)).collect()
+    }
+    assert got == want
+
+    b2 = attach_range_bucket(df, "score", n_buckets=8, descending=True)
+    got_pr = {
+        (r.p, r.k): round(r.pr, 9)
+        for r in two_phase_percent_rank(
+            b2, ["p"], [F.desc("score"), F.asc("k")], "pr"
+        ).collect()
+    }
+    w2 = Window.partitionBy("p").orderBy(F.desc("score"), F.asc("k"))
+    want_pr = {
+        (r.p, r.k): round(r.pr, 9)
+        for r in df.withColumn("pr", F.percent_rank().over(w2)).collect()
+    }
+    assert got_pr == want_pr

@@ -207,10 +207,35 @@ def _compare_approx(
 _FAST = os.environ.get("ITWS_FAST_COMPARE") == "1"
 
 
+def assert_hashable_schema(name: str, sdf) -> None:
+    """No ORACLE-CHECKED query may return a top-level Array/Map/Struct
+    column: the driver's canonicalizer sorts a pandas frame over all
+    columns and dies on unhashable cells (q_str_extract_all, the one
+    red row of CORRECTNESS_r07 — the builder's _norm_cell stringifies
+    lists and masked it for seven rounds). Serialize with array_join /
+    explode per the q_agg_collect convention instead. Enforced here so
+    the builder's canonicalizer can never be more permissive than the
+    driver's."""
+    from pyspark.sql import types as T
+
+    bad = [
+        f.name
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    if bad:
+        raise TypeError(
+            f"{name}: oracle-checked query returns non-hashable column(s) "
+            f"{bad} — serialize (array_join/explode/to_json) before return"
+        )
+
+
 def compare(name: str, spark, con, sf_dir: str) -> tuple[bool, str, float]:
     spec = REGISTRY[name]
     t0 = time.time()
     sdf = spec.builder(spark, sf_dir)
+    if spec.oracle is not None or spec.approx_oracle is not None:
+        assert_hashable_schema(name, sdf)
     if _FAST and spec.oracle is not None:
         d_pdf = con.execute(spec.oracle).df()
         # the fast path is deliberately one notch looser (integral

@@ -57,6 +57,16 @@ CORPUS_HEADLINE = (
     "q_mm_phash_dedup",
     "q_mm_png_decode",
     "q_mm_frame_sample",
+    # r8: the r7 sampling/hygiene family — hash-checked at sf1/sf1skew
+    # but never measured at 1M docs (r7 verdict item 5).
+    # split_leakage_safe inherits the whole CC chain's cost;
+    # semantic_decontam is the broadcast-eval-set × corpus product;
+    # bpe_train checkpoints the token streams across N rounds.
+    "q_llm_token_budget",
+    "q_llm_mixture_temperature",
+    "q_llm_semantic_decontam",
+    "q_llm_split_leakage_safe",
+    "q_llm_bpe_train",
 )
 
 # Large result sets execute via the noop sink so timing measures engine
@@ -71,6 +81,8 @@ _NOOP_SINK = frozenset(
         "q_mm_phash_dedup",
         "q_mm_png_decode",
         "q_mm_frame_sample",
+        "q_llm_semantic_decontam",
+        "q_llm_split_leakage_safe",
     }
 )
 
@@ -116,6 +128,20 @@ CORPUS_CEILING = {
     "q_mm_phash_dedup": 500_000_000,  # 184.5 MB measured r7
     "q_mm_png_decode": 50_000_000,
     "q_mm_frame_sample": 50_000_000,
+    # r8 calibration targets: token_budget moves each doc's
+    # (source, tokens, h, bucket) row through the two-phase window
+    # exchange once — ids and counts, never text; mixture_temperature
+    # and semantic_decontam shuffle only per-group / per-vector partial
+    # aggregates (the corpus/vectors stay map-side against broadcasts);
+    # split_leakage_safe inherits the CC chain + one doc-keyed join
+    # (corpus_pipeline's bound without the gate/pack tail); bpe_train's
+    # per-round shuffle is the DISTINCT-pair count (vocab-bounded), the
+    # corpus rewrite is a zero-shuffle projection.
+    "q_llm_token_budget": 400_000_000,
+    "q_llm_mixture_temperature": 50_000_000,
+    "q_llm_semantic_decontam": 100_000_000,
+    "q_llm_split_leakage_safe": 3_000_000_000,
+    "q_llm_bpe_train": 200_000_000,
 }
 
 

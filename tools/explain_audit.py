@@ -288,6 +288,12 @@ BNLJ_ALLOWED: dict[str, str] = {
     "q_llm_mixture_temperature": "same 1-row min-count broadcast as "
     "q_llm_mixture_sample (sqrt rate)",
     "q_llm_bpe_apply": "1-row learned merge-rule broadcast",
+    "q_llm_pack_greedy": "1-row doc_id min/max broadcast (two-phase "
+    "cumsum range bucketing, attach_range_bucket)",
+    "q_llm_quality_gate": "1-row score min/max broadcast (two-phase "
+    "percent_rank range bucketing)",
+    "q_llm_corpus_pipeline": "1-row min/max broadcasts for the gate's "
+    "and packer's two-phase windows",
     "q_agg_histogram_eqdepth": "1-row decile-edge array broadcast",
     "q_cdc_upsert": "1-row max(o_orderkey) insert-offset broadcast",
     "q_join_bloom_prune": "1-row bloom bit-set broadcast onto fact scan",
@@ -335,6 +341,27 @@ GLOBAL_WINDOW_ALLOWED: dict[str, str] = {
 # CartesianProduct: never. (Even q_join_cross compiles to a broadcast
 # nested loop, not an unpartitioned cartesian.)
 CARTESIAN_ALLOWED: dict[str, str] = {}
+
+# Invariant (e): a Window over RAW fact rows whose partition spec is
+# ONLY bounded-enum columns is a single-reducer in disguise — hash
+# exchange, not SinglePartition, so invariant (c) can't see it, but at
+# 100 TB every row of an enum value flows through one task's sort
+# (q_llm_token_budget's original per-source running sum — the r7
+# verdict's scale-watch item). Columns whose cardinality is a fixed
+# enum in the schema, independent of SF:
+BOUNDED_ENUM_COLUMNS = frozenset({
+    "source", "lang", "event_type", "split",
+    "l_returnflag", "l_linestatus", "l_shipmode", "l_shipinstruct",
+    "o_orderstatus", "o_orderpriority",
+    "r_regionkey", "r_name", "n_regionkey",
+    "p_brand", "p_container", "p_mfgr",
+    "c_mktsegment",
+})
+# A window IS allowed over a post-aggregate frame (row count bounded by
+# a group-by cardinality) — detected structurally (an Aggregate between
+# the Window and every scan). Anything else must be allowlisted here
+# with a reason:
+ENUM_WINDOW_ALLOWED: dict[str, str] = {}
 
 # ---------------------------------------------------------------------------
 # Invariant (d): no explicit ``F.broadcast`` hint on an input whose row
@@ -407,7 +434,9 @@ BROADCAST_BOUNDED: dict[str, dict[str, str]] = {
         "bloom": "one-row collected bloom sketch",
     },
     "operators/windows.py": {
-        "off": "≤ n_buckets (64) cumulative offsets",
+        "off": "≤ |parts|×n_buckets cumulative offsets (_global_rank, "
+        "two_phase_cumsum, two_phase_percent_rank)",
+        "mm": "1-row min/max bucketing bounds (attach_range_bucket)",
         't["nation"]': "25-row dimension",
         't["region"]': "5-row dimension",
     },
@@ -530,6 +559,68 @@ def single_partition_windows(plan: str) -> int:
     return hits
 
 
+def _window_partition_cols(ln: str) -> list[str] | None:
+    """Base column names of a Window plan line's partition spec (the
+    second top-level bracket group: ``Window [fns], [part], [order]``),
+    or None if the line isn't parseable as a Window node."""
+    start = ln.find("Window [")
+    if start < 0:
+        return None
+    groups, depth, cur = [], 0, []
+    for ch in ln[start + len("Window ") :]:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                cur = []
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append("".join(cur))
+                if len(groups) == 2:
+                    break
+                continue
+        if depth >= 1:
+            cur.append(ch)
+    if len(groups) < 2:
+        return None
+    cols = re.findall(r"([A-Za-z_][A-Za-z0-9_]*)#\d+", groups[1])
+    return cols
+
+
+def enum_partitioned_fact_windows(plan: str) -> list[str]:
+    """Invariant (e): Window nodes whose partition columns are ALL in
+    BOUNDED_ENUM_COLUMNS and whose subtree reaches a scan WITHOUT an
+    intervening aggregate — i.e. every fact row of an enum value is
+    sorted by one task. Post-aggregate frames (bounded row counts) are
+    structurally exempt."""
+    lines = plan.splitlines()
+    hits = []
+    for i, ln in enumerate(lines):
+        if "WindowGroupLimit" in ln:
+            continue
+        cols = _window_partition_cols(ln)
+        if not cols or any(c not in BOUNDED_ENUM_COLUMNS for c in cols):
+            continue
+        d = _tree_depth(ln)
+        # walk the subtree: an Aggregate on the path to every scan
+        # bounds the window's input; a bare scan means fact-scale rows
+        agg_depths: list[int] = []
+        raw_scan = False
+        for j in range(i + 1, len(lines)):
+            dj = _tree_depth(lines[j])
+            if dj <= d:
+                break
+            agg_depths = [a for a in agg_depths if a < dj]
+            if "HashAggregate" in lines[j] or "SortAggregate" in lines[j]:
+                agg_depths.append(dj)
+            elif ("FileScan" in lines[j] or "BatchScan" in lines[j]) and not agg_depths:
+                raw_scan = True
+        if raw_scan:
+            hits.append(f"Window partitioned only by enum cols {cols} over raw scan")
+    return hits
+
+
 def invariant_violations(name: str, plan: str) -> list[str]:
     errs = []
     if "CartesianProduct" in plan and name not in CARTESIAN_ALLOWED:
@@ -538,6 +629,8 @@ def invariant_violations(name: str, plan: str) -> list[str]:
         errs.append("BroadcastNestedLoopJoin (not allowlisted)")
     if name not in GLOBAL_WINDOW_ALLOWED and single_partition_windows(plan):
         errs.append("single-partition Window")
+    if name not in ENUM_WINDOW_ALLOWED:
+        errs.extend(enum_partitioned_fact_windows(plan))
     return errs
 
 
@@ -568,6 +661,17 @@ def main() -> int:
             continue
         # layer 2: registry-wide invariants
         errs = invariant_violations(name, plan)
+        # invariant (f): oracle-checked output schemas must be hashable
+        # by the driver's pandas canonicalizer (the q_str_extract_all
+        # failure class — see tools/check.py assert_hashable_schema)
+        spec = REGISTRY[name]
+        if spec.oracle is not None or spec.approx_oracle is not None:
+            try:
+                from tools.check import assert_hashable_schema
+
+                assert_hashable_schema(name, df)
+            except TypeError as exc:
+                errs.append(str(exc))
         if errs:
             sweep_failures.append(name)
             print(f"FAIL  {name:28s} invariants: {errs}")
