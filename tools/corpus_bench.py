@@ -128,20 +128,22 @@ CORPUS_CEILING = {
     "q_mm_phash_dedup": 500_000_000,  # 184.5 MB measured r7
     "q_mm_png_decode": 50_000_000,
     "q_mm_frame_sample": 50_000_000,
-    # r8 calibration targets: token_budget moves each doc's
-    # (source, tokens, h, bucket) row through the two-phase window
-    # exchange once — ids and counts, never text; mixture_temperature
-    # and semantic_decontam shuffle only per-group / per-vector partial
-    # aggregates (the corpus/vectors stay map-side against broadcasts);
-    # split_leakage_safe inherits the CC chain + one doc-keyed join
-    # (corpus_pipeline's bound without the gate/pack tail); bpe_train's
-    # per-round shuffle is the DISTINCT-pair count (vocab-bounded), the
-    # corpus rewrite is a zero-shuffle projection.
-    "q_llm_token_budget": 400_000_000,
-    "q_llm_mixture_temperature": 50_000_000,
-    "q_llm_semantic_decontam": 100_000_000,
-    "q_llm_split_leakage_safe": 3_000_000_000,
-    "q_llm_bpe_train": 200_000_000,
+    # r8 measured → ceilings (~2.5× headroom): token_budget moves each
+    # doc's (source, tokens, h, bucket) row through the two-phase
+    # window exchange once — ids and counts, never text (54.8 MB);
+    # mixture_temperature shuffles only the per-lang count partials
+    # (23 KB); semantic_decontam the per-vector max-sim partials
+    # against the broadcast eval set (26.6 MB); split_leakage_safe
+    # inherits the CC chain + one doc-keyed join (2.35 GB —
+    # corpus_pipeline's bound without the gate/pack tail); bpe_train's
+    # per-round shuffle is the distinct-pair count + the checkpointed
+    # token streams' exchange (173.8 MB over 3 rounds), the corpus
+    # rewrite itself is a zero-shuffle projection.
+    "q_llm_token_budget": 140_000_000,
+    "q_llm_mixture_temperature": 1_000_000,
+    "q_llm_semantic_decontam": 70_000_000,
+    "q_llm_split_leakage_safe": 6_000_000_000,
+    "q_llm_bpe_train": 450_000_000,
 }
 
 
