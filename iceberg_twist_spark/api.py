@@ -505,6 +505,35 @@ class Engine:
         return path
 
     @staticmethod
+    def ann_index_append(
+        df: DataFrame, vec_col: str, key_col: str, path: str
+    ) -> str:
+        """Append NEW vectors to an existing ``build_ann_index``
+        layout: assign them to the index's FROZEN centroids (no
+        re-clustering — the same snapshot/increment trade as
+        ``pq_index_append``) and append into the cluster-partitioned
+        directories, so ``ann_search``'s PartitionFilters pruning
+        keeps working over the grown corpus. Dimensionality is
+        validated against a stored centroid (a mismatched width would
+        silently zip-truncate into wrong assignments)."""
+        from iceberg_twist_spark.llm.similarity import ivf_assign, with_norm
+
+        centroids = df.sparkSession.read.parquet(path.rstrip("/") + "_centroids")
+        cdim = len(centroids.select("embedding").head()[0])
+        emb = with_norm(
+            df.select(F.col(key_col).alias("vec_id"), F.col(vec_col).alias("embedding")),
+            "embedding",
+        )
+        dim = len(emb.select("embedding").head()[0])
+        if dim != cdim:
+            raise ValueError(
+                f"vector dim {dim} does not match the index's centroid dim {cdim}"
+            )
+        clustered = ivf_assign(emb, centroids)
+        clustered.write.mode("append").partitionBy("cluster").parquet(path)
+        return path
+
+    @staticmethod
     def ann_search(
         spark: SparkSession,
         path: str,

@@ -38,12 +38,15 @@ from iceberg_twist_spark.llm.dedup import (
     band_pairs_from_rows,
 )
 from iceberg_twist_spark.llm.similarity import (
+    IVF_K,
+    IVF_NPROBE,
     PQ_K,
     PQ_M,
     PQ_RERANK,
     PQ_SUB,
     RECALL_K,
     _DUCK_COS,
+    _DUCK_R4COS,
     _PQ_D2,
     _source_fingerprint,
 )
@@ -200,3 +203,147 @@ def q_llm_pq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             f.write("ok")
     probe = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()[1]]
     return Engine.pq_ann_search(spark, path, probe, k=RECALL_K, rerank=PQ_RERANK)
+
+
+# ------------------------------------------------------------------
+# The incremental dedup QUERY path: near_dup_pairs_against_index is
+# the API a daily-ingest pipeline actually calls (new batch vs stored
+# corpus + within-batch, exactly verified) — the rebuild-equivalence
+# query above checks the stored BANDS; this one checks the verified
+# PAIR SET the facade returns. Built at the default near-dup tau
+# (0.2 → 16×1 banding from lsh_params), so the oracle is the proven
+# q_llm_minhash_verified SQL with (a) the 16-band banding and (b) the
+# pair set restricted to pairs touching the delta batch — the facade
+# never emits base×base pairs (the stored corpus was deduped at build
+# time).
+
+MINHASH_QUERY_TAU = 0.2
+
+_MINHASH_QUERY_ORACLE = f"""
+WITH cand0 AS ({_minhash_oracle(n_bands=16)}),
+cand AS (
+    SELECT doc_a, doc_b FROM cand0
+    WHERE doc_a % {DELTA_MOD} = 0 OR doc_b % {DELTA_MOD} = 0
+),
+arrs AS (
+    SELECT doc_id,
+           list_distinct(list_transform(range(0, len(w) - 2),
+               i -> w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3])) AS shs
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+          WHERE len(string_split(text, ' ')) >= 3)
+)
+SELECT doc_a, doc_b,
+       floor((c * 1.0 / (na + nb - c)) * 10000 + 0.5) / 10000 AS jaccard
+FROM (
+    SELECT cand.doc_a, cand.doc_b,
+           len(list_intersect(a.shs, b.shs)) AS c,
+           len(a.shs) AS na, len(b.shs) AS nb
+    FROM cand
+    JOIN arrs a ON cand.doc_a = a.doc_id
+    JOIN arrs b ON cand.doc_b = b.doc_id
+)
+WHERE c * 1.0 / (na + nb - c) >= {MINHASH_QUERY_TAU}
+"""
+
+
+@register(
+    "q_llm_minhash_index_query",
+    oracle=_MINHASH_QUERY_ORACLE,
+    tags=("llm", "dedup", "source"),
+)
+def q_llm_minhash_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily-ingest dedup lookup under the hash gate: build the
+    LSH index over 80% of the corpus at tau={MINHASH_QUERY_TAU}
+    (16×1 banding via lsh_params), then run
+    ``Engine.near_dup_pairs_against_index`` for the other 20% — banded
+    candidates from (new bands ⋈ stored bands) + the within-batch
+    self-join, every emitted pair exactly Jaccard-verified. The
+    stored corpus is read, never re-signed: candidate and verify work
+    is linear in the increment. The oracle is the full-corpus
+    verified-pair SQL restricted to pairs touching the delta."""
+    from iceberg_twist_spark.api import Engine
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    path = _lifecycle_dir("minhashq", sf_dir)
+    marker = os.path.join(path, "_COMPLETE")
+    if not os.path.exists(marker):
+        base = docs.filter(F.col("doc_id") % DELTA_MOD != 0)
+        Engine.build_minhash_index(
+            base, "text", "doc_id", path, tau=MINHASH_QUERY_TAU
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    delta = docs.filter(F.col("doc_id") % DELTA_MOD == 0)
+    return Engine.near_dup_pairs_against_index(delta, "text", "doc_id", path)
+
+
+# The IVF oracle with the centroid set restricted to the base
+# snapshot's smallest IVF_K keys (build_ann_index's deterministic
+# centroids over base) — assignment of EVERY vector against those
+# frozen centroids is precisely the state build(base) + append(delta)
+# leaves in the cluster-partitioned layout, and ann_search's
+# nprobe-directory scan must return the same top-k over the grown
+# corpus. No vec_id <> 0 filter: Engine.ann_search ranks the probe's
+# own (appended) vector too.
+_IVFA_ORACLE = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS c FROM embeddings
+  WHERE vec_id % {DELTA_MOD} != 0 ORDER BY vec_id LIMIT {IVF_K}
+), csims AS (
+  SELECT e.vec_id, cent.cid,
+         {_DUCK_R4COS.format(a='e.embedding', b='cent.c')} AS csim
+  FROM embeddings e CROSS JOIN cent
+), clusters AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+    FROM csims
+  ) WHERE rn = 1
+), probe_clusters AS (
+  SELECT cid FROM (
+    SELECT cid, row_number() OVER (ORDER BY csim DESC, cid) AS rn
+    FROM csims WHERE vec_id = 0
+  ) WHERE rn <= {IVF_NPROBE}
+), probe AS (
+  SELECT embedding AS p FROM embeddings WHERE vec_id = 0
+)
+SELECT e.vec_id,
+       {_DUCK_R4COS.format(a='e.embedding', b='probe.p')} AS cos_sim
+FROM embeddings e
+JOIN clusters cl ON e.vec_id = cl.vec_id
+JOIN probe_clusters pc ON cl.cid = pc.cid
+CROSS JOIN probe
+ORDER BY cos_sim DESC, e.vec_id
+LIMIT {RECALL_K}
+"""
+
+
+@register(
+    "q_llm_ivf_index_append",
+    oracle=_IVFA_ORACLE,
+    tags=("llm", "similarity", "source"),
+)
+def q_llm_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index append under the hash gate: build the
+    cluster-partitioned index over 80% of the vectors (centroids
+    frozen from that snapshot), append the other 20% — probe included
+    — through ``Engine.ann_index_append`` (assign to frozen centroids,
+    append into the partition directories), then answer the standard
+    probe with ``Engine.ann_search`` whose nprobe IN-list still prunes
+    at the directory level over the grown corpus. The oracle assigns
+    every vector against the base-snapshot centroids — exactly the
+    on-disk state the append must produce."""
+    from iceberg_twist_spark.api import Engine
+
+    emb = load_tables(spark, sf_dir)["embeddings"].select("vec_id", "embedding")
+    path = _lifecycle_dir("ivf", sf_dir)
+    marker = path.rstrip("/") + "_COMPLETE"
+    if not os.path.exists(marker):
+        base = emb.filter(F.col("vec_id") % DELTA_MOD != 0)
+        delta = emb.filter(F.col("vec_id") % DELTA_MOD == 0)
+        Engine.build_ann_index(base, "embedding", "vec_id", path)
+        Engine.ann_index_append(delta, "embedding", "vec_id", path)
+        with open(marker, "w") as f:
+            f.write("ok")
+    probe = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()[1]]
+    return Engine.ann_search(spark, path, probe, k=RECALL_K, nprobe=IVF_NPROBE)

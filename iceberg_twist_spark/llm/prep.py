@@ -203,23 +203,34 @@ def q_llm_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This is the standard seeded corpus shuffle (epoch order must be
     reproducible across re-runs and cluster sizes — same property as
-    the hash sampling suite). Sharding keeps every rank window
-    partitioned: no global single-partition sort at 100 TB; training
-    order is (shard, pos), and each shard can be written/read as an
-    independent file group.
+    the hash sampling suite). Training order is (shard, pos), and each
+    shard can be written/read as an independent file group. 16 shards
+    is a FORMAT constant, not a parallelism knob — at 100 TB a
+    per-shard serial rank is 1/16th of a single-reducer, still one
+    task sorting terabytes — so pos is the two-phase row_number
+    (operators/windows.py): the key's NEXT two hex chars range-bucket
+    each shard into 256 contiguous slices of the (shuffle_key, doc_id)
+    order, ranks run per (shard, bucket) in parallel, and the
+    ≤ 16×256-row count frame broadcasts back as offsets. Exactly the
+    q_llm_token_budget shape (explain-audit invariant (e) flags the
+    naive form via the 'shard' enum entry).
     """
+    from iceberg_twist_spark.operators.windows import two_phase_row_number
+
     docs = load_tables(spark, sf_dir)["documents"]
     keyed = docs.select(
         "doc_id",
         F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":42"))).alias(
             "shuffle_key"
         ),
+    ).withColumn("shard", F.ascii(F.substring("shuffle_key", 1, 1)))
+    b = keyed.withColumn(
+        "__bucket",
+        F.conv(F.substring("shuffle_key", 2, 2), 16, 10).cast("int"),
     )
-    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
-    return (
-        keyed.withColumn("shard", F.ascii(F.substring("shuffle_key", 1, 1)))
-        .withColumn("pos", F.row_number().over(w).cast("long"))
-    )
+    return two_phase_row_number(
+        b, ["shard"], ["shuffle_key", "doc_id"], "pos"
+    ).select("doc_id", "shuffle_key", "shard", "pos")
 
 
 NEG_K = 3

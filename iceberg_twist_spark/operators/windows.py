@@ -273,6 +273,38 @@ def two_phase_cumsum(
     )
 
 
+def two_phase_row_number(
+    df: DataFrame,
+    part_cols: list[str],
+    order_cols: list,
+    out_col: str,
+    bucket_col: str = "__bucket",
+) -> DataFrame:
+    """row_number over (part_cols, order_cols) without a per-partition
+    serial sort — requires a pre-attached order-monotone ``bucket_col``
+    (see ``attach_range_bucket`` / hash-prefix bucketing). Same
+    two-phase shape as ``two_phase_cumsum`` with COUNTS as the bucket
+    totals."""
+    w_local = Window.partitionBy(*part_cols, bucket_col).orderBy(*order_cols)
+    local = df.withColumn(out_col, F.row_number().over(w_local).cast("long"))
+    w_off = (
+        Window.partitionBy(*part_cols)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = (
+        df.groupBy(*part_cols, bucket_col)
+        .agg(F.count("*").alias("__bn"))
+        .withColumn("__cumoff", F.coalesce(F.sum("__bn").over(w_off), F.lit(0)))
+        .drop("__bn")
+    )
+    return (
+        local.join(F.broadcast(off), [*part_cols, bucket_col])
+        .withColumn(out_col, F.col(out_col) + F.col("__cumoff"))
+        .drop("__cumoff")
+    )
+
+
 def two_phase_percent_rank(
     df: DataFrame,
     part_cols: list[str],

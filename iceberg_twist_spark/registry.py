@@ -166,9 +166,15 @@ REVERIFY_FIRST = (
     # source — the r7 verdict's scale-watch item). Output unchanged.
     "q_llm_token_budget",
     # new in r8: incremental index lifecycle as oracle-checked queries
-    # (append(base, delta) ≡ rebuild(base ∪ delta)).
+    # (append ≡ rebuild / frozen-codebook encode, plus the incremental
+    # QUERY path and the IVF append).
     "q_llm_minhash_index_append",
     "q_llm_pq_index_append",
+    "q_llm_minhash_index_query",
+    "q_llm_ivf_index_append",
+    # plan rewritten r8 AFTER its r6 driver check: per-shard rank
+    # two-phased (the 16-shard serial-sort fix, invariant (e)).
+    "q_llm_shuffle_shards",
 )
 
 DRIVER_CHECKED = frozenset({

@@ -762,3 +762,50 @@ def test_readme_daily_ingest_recipe(spark, sf_dir, tmp_path):
     # the appended vector is searchable at cos 1.0
     hits = ns["hits"].collect()
     assert any(r.vec_id == 505 and r.cos_sim == 1.0 for r in hits)
+
+
+def test_index_geometry_and_tau_guards(spark, tmp_path):
+    """The r8 hardening: mismatched vector/probe widths and a
+    recall-breaking tau override must RAISE instead of silently
+    producing wrong codes / under-recalled pairs (Spark slice/zip_with
+    truncate without error, so these are silent-wrong-answer classes)."""
+    import math
+
+    import pytest
+
+    from iceberg_twist_spark.api import Engine
+
+    def vec(i, d=16):
+        return [math.sin(0.17 * j * (1 + i % 5)) + 0.01 * i for j in range(d)]
+
+    df = spark.createDataFrame(
+        [(i, vec(i)) for i in range(300)], "id long, v array<float>"
+    )
+    pq = Engine.build_pq_ann_index(df, "v", "id", str(tmp_path / "pq"))
+    wrong = spark.createDataFrame(
+        [(900, vec(900, 24))], "id long, v array<float>"
+    )
+    with pytest.raises(ValueError, match="does not match the index geometry"):
+        Engine.pq_index_append(wrong, "v", "id", pq)
+    with pytest.raises(ValueError, match="does not match the index geometry"):
+        Engine.pq_ann_search(spark, pq, [0.0] * 24)
+
+    ivf = Engine.build_ann_index(df, "v", "id", str(tmp_path / "ivf"))
+    with pytest.raises(ValueError, match="centroid dim"):
+        Engine.ann_index_append(wrong, "v", "id", ivf)
+    # the happy path still appends and serves
+    ok = spark.createDataFrame([(901, vec(901))], "id long, v array<float>")
+    Engine.ann_index_append(ok, "v", "id", ivf)
+    got = Engine.ann_search(spark, ivf, [float(x) for x in vec(901)], k=3).collect()
+    assert any(r.vec_id == 901 and r.cos_sim == 1.0 for r in got)
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 3 + j) % 17}" for j in range(20))) for i in range(30)],
+        "doc_id long, text string",
+    )
+    idx = Engine.build_minhash_index(docs, "text", "doc_id", str(tmp_path / "mh"), tau=0.9)
+    batch = spark.createDataFrame([(100, "w0 w1 w2 w3 w4 w5")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="below the index's build tau"):
+        Engine.near_dup_pairs_against_index(batch, "text", "doc_id", idx, tau=0.2)
+    # tightening (tau above build tau) is allowed
+    Engine.near_dup_pairs_against_index(batch, "text", "doc_id", idx, tau=0.95).collect()

@@ -351,6 +351,10 @@ CARTESIAN_ALLOWED: dict[str, str] = {}
 # enum in the schema, independent of SF:
 BOUNDED_ENUM_COLUMNS = frozenset({
     "source", "lang", "event_type", "split",
+    # synthetic bounded keys: 'shard' is the 16-way training-shard id
+    # (a FORMAT constant — a per-shard serial rank is 1/16th of a
+    # single reducer, caught r8 in q_llm_shuffle_shards)
+    "shard",
     "l_returnflag", "l_linestatus", "l_shipmode", "l_shipinstruct",
     "o_orderstatus", "o_orderpriority",
     "r_regionkey", "r_name", "n_regionkey",
