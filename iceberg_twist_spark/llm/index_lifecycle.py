@@ -347,3 +347,103 @@ def q_llm_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             f.write("ok")
     probe = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()[1]]
     return Engine.ann_search(spark, path, probe, k=RECALL_K, nprobe=IVF_NPROBE)
+
+
+# ------------------------------------------------------------------
+# STREAMING index maintenance: the daily-ingest append loop as a live
+# Structured Streaming job. Documents replay as time-ordered file
+# micro-batches (the streaming/jobs.py harness pattern); every batch
+# appends its banding rows + shingle arrays into the SAME on-disk
+# index through the real facade (foreachBatch → minhash_index_append),
+# so the index genuinely grows across batches. Unlike the stateful
+# streaming family (rows-only + stream≡batch twins), this job carries
+# a FULL DuckDB hash oracle: the final stored band set must produce
+# exactly the banded pair set of the whole corpus, independent of
+# micro-batch boundaries — banding is a pure per-document function, so
+# any batch-boundary leakage (lost batch, double append, meta drift)
+# breaks the hash. At scale the same foreachBatch loop runs against a
+# Kafka/files source; only the replay staging is test harness.
+
+_DOCS_REPLAY_CACHE: dict[tuple[str, int], str] = {}
+
+DOC_STREAM_SCHEMA = "doc_id long, text string"
+
+
+def stage_docs_replay(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> str:
+    """Stage ``documents`` as ``n_chunks`` parquet files (doc_id mod
+    assignment — deterministic, no sort) with strictly ascending
+    mtimes so the file stream source replays them in the same order
+    every run."""
+    import shutil
+    import tempfile
+    import time
+
+    key = (sf_dir, n_chunks)
+    if key in _DOCS_REPLAY_CACHE and os.path.isdir(_DOCS_REPLAY_CACHE[key]):
+        return _DOCS_REPLAY_CACHE[key]
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    out = tempfile.mkdtemp(prefix="itws_docs_replay_")
+    base = time.time()
+    for k in range(n_chunks):
+        stage = os.path.join(out, f".stage_{k}")
+        (
+            docs.filter(F.col("doc_id") % n_chunks == k)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        part = next(f for f in sorted(os.listdir(stage)) if f.endswith(".parquet"))
+        dst = os.path.join(out, f"chunk_{k}.parquet")
+        shutil.move(os.path.join(stage, part), dst)
+        shutil.rmtree(stage, ignore_errors=True)
+        os.utime(dst, (base + k, base + k))
+    _DOCS_REPLAY_CACHE[key] = out
+    return out
+
+
+@register(
+    "q_stream_index_append",
+    oracle=_minhash_oracle(n_bands=LSH_BANDS),
+    tags=("streaming", "llm", "dedup", "source"),
+)
+def q_stream_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming LSH-index maintenance, hash-checked: an empty index
+    is created once (build on an empty base — metadata pins the
+    banding), then a file-replay stream of the corpus appends each
+    micro-batch through ``Engine.minhash_index_append``; after the
+    stream drains, the STORED banding rows self-join into candidate
+    pairs that must hash-match DuckDB banding the full corpus. A
+    fresh store per invocation keeps the query idempotent (re-runs
+    cannot double-append)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from iceberg_twist_spark.api import Engine
+
+    replay = stage_docs_replay(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="itws_mhstream_")
+    empty = spark.createDataFrame([], DOC_STREAM_SCHEMA)
+    Engine.build_minhash_index(empty, "text", "doc_id", path, tau=MINHASH_APPEND_TAU)
+
+    def append_batch(batch_df: DataFrame, batch_id: int) -> None:
+        Engine.minhash_index_append(batch_df, "text", "doc_id", path)
+
+    s = (
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+    )
+    ckpt = tempfile.mkdtemp(prefix="itws_ckpt_")
+    q = (
+        s.writeStream.foreachBatch(append_batch)
+        .queryName(f"itws_{uuid.uuid4().hex[:12]}")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return band_pairs_from_rows(spark.read.parquet(path + "/bands"))

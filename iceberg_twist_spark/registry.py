@@ -172,6 +172,7 @@ REVERIFY_FIRST = (
     "q_llm_pq_index_append",
     "q_llm_minhash_index_query",
     "q_llm_ivf_index_append",
+    "q_stream_index_append",
     # plan rewritten r8 AFTER its r6 driver check: per-shard rank
     # two-phased (the 16-shard serial-sort fix, invariant (e)).
     "q_llm_shuffle_shards",
