@@ -97,7 +97,10 @@ def q_llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = docs.join(survivors, "doc_id", "left_semi").select(
         "doc_id", "lang", "text",
         r4(F.col("n_chars") * F.lit(1.0) / F.size(F.split("text", " "))).alias("score"),
-    )
+    ).localCheckpoint(eager=False)  # feeds the gate's min/max AND the
+    # rank/pack main path — without this the survivor semi-join chain
+    # (everything past band_pairs' own checkpoint) re-executes for the
+    # 1-row bucketing bounds
     gb = attach_range_bucket(kept, "score", descending=True)
     gated = (
         two_phase_percent_rank(gb, ["lang"], [F.desc("score"), F.asc("doc_id")], "pr")
