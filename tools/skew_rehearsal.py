@@ -70,6 +70,16 @@ SKEW_FAMILY = [
     # fixture construction
     "q_llm_line_dedup",
     "q_llm_mixture_sample",
+    # r8: the two-phase window family (bounded-enum partition keys are
+    # exactly what a zipf source/lang distribution stresses — one hot
+    # enum value holding most rows) and the index lifecycle whose
+    # banded joins ride the same hot 30% near-dup component
+    "q_llm_token_budget",
+    "q_llm_pack_greedy",
+    "q_llm_quality_gate",
+    "q_llm_shuffle_shards",
+    "q_llm_minhash_index_query",
+    "q_stream_index_append",
 ]
 
 # Cluster-RESOLUTION queries: verified at the FULL sf1 twin since r5.
@@ -101,8 +111,15 @@ def ensure_twin(twin: str, sf: float) -> None:
 
 def run_checks(twin: str, names: list[str]) -> bool:
     print(f"# oracle harness over {len(names)} skew-family queries at {twin}")
+    env = dict(os.environ)
+    # the hot dedup queries emit ~10M pair rows at sf1skew — engage the
+    # vectorized multiset-hash comparator explicitly rather than
+    # depending on the caller's shell (the exact _canon path took
+    # 15+ min / 23 GB per such query before it existed)
+    env["ITWS_FAST_COMPARE"] = "1"
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "check.py"), twin] + names,
+        env=env,
     )
     return r.returncode == 0
 
