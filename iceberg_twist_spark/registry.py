@@ -173,6 +173,10 @@ REVERIFY_FIRST = (
     "q_llm_minhash_index_query",
     "q_llm_ivf_index_append",
     "q_stream_index_append",
+    # new in r8: snapshot-table maintenance verbs (rollback_to /
+    # expire_snapshots — metadata-only rollback, physical reclamation)
+    "q_iceberg_rollback",
+    "q_iceberg_expire",
     # plan rewritten r8 AFTER its r6 driver check: per-shard rank
     # two-phased (the 16-shard serial-sort fix, invariant (e)).
     "q_llm_shuffle_shards",

@@ -84,8 +84,15 @@ class SnapshotTable:
             return json.load(f)
 
     def snapshots(self) -> list[dict]:
-        """All manifests, oldest first (the ``.snapshots`` metadata table)."""
-        return [self._manifest(i) for i in range(1, self.current_snapshot_id() + 1)]
+        """All RETAINED manifests, oldest first (the ``.snapshots``
+        metadata table). Ids expired by ``expire_snapshots`` are
+        skipped — history is a chain of surviving manifests, exactly
+        like Iceberg's metadata after an expire pass."""
+        out = []
+        for i in range(1, self.current_snapshot_id() + 1):
+            if os.path.exists(os.path.join(self._meta, f"v{i}.json")):
+                out.append(self._manifest(i))
+        return out
 
     # ---- commits -----------------------------------------------------
     @staticmethod
@@ -280,6 +287,50 @@ class SnapshotTable:
         return self._commit(files, n, "delete", base.schema.json(), st)
 
     # ---- maintenance ---------------------------------------------------
+    def rollback_to(self, snapshot_id: int) -> int:
+        """Iceberg's ``rollback_to_snapshot``: commit a NEW snapshot
+        whose content is the target's file list — history stays
+        append-only (the bad commits remain inspectable and
+        time-travelable until expired) and readers flip atomically at
+        the version-hint swap, never mid-scan. No data is copied: at
+        100 TB a rollback is a metadata-only operation."""
+        m = self._manifest(snapshot_id)
+        return self._commit(
+            m["files"], m["n_records"], "rollback", m["schema"],
+            m.get("file_stats", {}),
+        )
+
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Iceberg's ``expire_snapshots``: drop manifests older than
+        the last ``keep_last`` retained ones and PHYSICALLY delete the
+        data files no retained snapshot references — the reclamation
+        half of copy-on-write (overwrite/delete/compact keep old files
+        alive for time travel until an expire pass). Reference
+        counting is manifest-level set arithmetic: a file is deletable
+        iff it appears in no retained manifest, so a file carried
+        forward by appends/rollbacks survives. Returns
+        ``{"expired": [ids], "deleted_files": n}``."""
+        cur = self.current_snapshot_id()
+        if cur == 0:
+            return {"expired": [], "deleted_files": 0}
+        all_ids = [
+            i for i in range(1, cur + 1)
+            if os.path.exists(os.path.join(self._meta, f"v{i}.json"))
+        ]
+        retained = set(all_ids[-max(1, keep_last):])
+        expired = [i for i in all_ids if i not in retained]
+        kept_files: set[str] = set()
+        for i in retained:
+            kept_files.update(self._manifest(i)["files"])
+        deleted = 0
+        for i in expired:
+            for fpath in self._manifest(i)["files"]:
+                if fpath not in kept_files and os.path.exists(fpath):
+                    os.remove(fpath)
+                    deleted += 1
+            os.remove(os.path.join(self._meta, f"v{i}.json"))
+        return {"expired": expired, "deleted_files": deleted}
+
     def rewrite_data_files(self, target_bytes: int = TARGET_FILE_BYTES) -> int:
         """Compaction: rewrite the current snapshot's files at a target
         size (Iceberg's ``rewrite_data_files`` procedure). Content is
@@ -552,4 +603,103 @@ def q_iceberg_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return spark.createDataFrame(
         rows, "snapshot_id int, operation string, n_records long"
+    )
+
+
+def _rollback_table(spark: SparkSession, sf_dir: str) -> SnapshotTable:
+    """Staged rollback scenario:
+
+    snapshot 1  overwrite  keys ≡ 0 (mod 3)      — the good state
+    snapshot 2  overwrite  keys ≡ 1 (mod 3)      — the bad deploy
+    snapshot 3  rollback   → snapshot 1's files  — metadata-only
+    """
+    key = f"snaprollback::{sf_dir}"
+    tbl = _TABLE_CACHE.get(key)
+    if tbl is not None and tbl.current_snapshot_id() >= 3:
+        return tbl
+    tbl = SnapshotTable(spark, tempfile.mkdtemp(prefix="itws_snaprb_"))
+    orders = load_tables(spark, sf_dir)["orders"].select(*_ORDER_COLS)
+    tbl.overwrite(orders.filter(F.col("o_orderkey") % 3 == 0))
+    tbl.overwrite(orders.filter(F.col("o_orderkey") % 3 == 1))
+    tbl.rollback_to(1)
+    _TABLE_CACHE[key] = tbl
+    return tbl
+
+
+_ROLLBACK_ORACLE = """
+SELECT o_orderkey, o_orderstatus,
+       floor(o_totalprice * 10000 + 0.5) / 10000 AS o_totalprice
+FROM orders WHERE o_orderkey % 3 = 0
+"""
+
+
+@register("q_iceberg_rollback", oracle=_ROLLBACK_ORACLE, tags=("iceberg", "maintenance"))
+def q_iceberg_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollback correctness: after a bad overwrite, ``rollback_to(1)``
+    commits a NEW snapshot re-pointing at snapshot 1's files (no data
+    copied, history append-only — the bad commit stays inspectable),
+    and the latest read must equal snapshot 1's content exactly. The
+    history shape [overwrite, overwrite, rollback] is asserted
+    in-plan; tests/test_snapshots.py pins that the rollback shares
+    snapshot 1's file list verbatim."""
+    tbl = _rollback_table(spark, sf_dir)
+    ops = [m["operation"] for m in tbl.snapshots()]
+    assert ops == ["overwrite", "overwrite", "rollback"], ops
+    return tbl.read().select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.floor(F.col("o_totalprice") * 10000 + F.lit(0.5)) / 10000).alias(
+            "o_totalprice"
+        ),
+    )
+
+
+def _expire_table(spark: SparkSession, sf_dir: str) -> SnapshotTable:
+    """Staged expire scenario:
+
+    snapshot 1  overwrite  keys ≡ 0 (mod 3)   — becomes unreferenced
+    snapshot 2  overwrite  keys ≡ 1 (mod 3)
+    snapshot 3  append     keys ≡ 2 (mod 3)   — carries v2's files
+    expire(keep_last=2) → v1's manifest dropped, v1's data files
+    physically deleted (no retained snapshot references them); v2's
+    files survive because v3's append manifest still lists them.
+    """
+    key = f"snapexpire::{sf_dir}"
+    tbl = _TABLE_CACHE.get(key)
+    if tbl is not None and tbl.current_snapshot_id() >= 3:
+        return tbl
+    tbl = SnapshotTable(spark, tempfile.mkdtemp(prefix="itws_snapexp_"))
+    orders = load_tables(spark, sf_dir)["orders"].select(*_ORDER_COLS)
+    tbl.overwrite(orders.filter(F.col("o_orderkey") % 3 == 0))
+    tbl.overwrite(orders.filter(F.col("o_orderkey") % 3 == 1))
+    tbl.append(orders.filter(F.col("o_orderkey") % 3 == 2))
+    res = tbl.expire_snapshots(keep_last=2)
+    assert res["expired"] == [1] and res["deleted_files"] > 0, res
+    _TABLE_CACHE[key] = tbl
+    return tbl
+
+
+_EXPIRE_ORACLE = """
+SELECT o_orderkey, o_orderstatus,
+       floor(o_totalprice * 10000 + 0.5) / 10000 AS o_totalprice
+FROM orders WHERE o_orderkey % 3 IN (1, 2)
+"""
+
+
+@register("q_iceberg_expire", oracle=_EXPIRE_ORACLE, tags=("iceberg", "maintenance"))
+def q_iceberg_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expire correctness: after ``expire_snapshots(keep_last=2)``
+    physically reclaimed snapshot 1's unreferenced files, the CURRENT
+    table must read back complete and unchanged (keys ≡ 1 and 2 mod 3
+    — the retained overwrite plus its append). Reclaiming must never
+    touch a file a retained manifest still lists; the
+    expired-time-travel failure and file-deletion accounting are
+    pinned in tests/test_snapshots.py."""
+    tbl = _expire_table(spark, sf_dir)
+    return tbl.read().select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.floor(F.col("o_totalprice") * 10000 + F.lit(0.5)) / 10000).alias(
+            "o_totalprice"
+        ),
     )

@@ -175,3 +175,44 @@ def test_file_stats_recorded_on_every_commit(spark):
         assert "id" in st and "v" in st
         lo, hi = st["v"]
         assert lo <= hi
+
+
+def test_rollback_is_metadata_only_and_history_append_only(spark, sf_dir):
+    """rollback_to must reuse the target snapshot's file list verbatim
+    (no data copied) and ADD a snapshot rather than rewriting history."""
+    from iceberg_twist_spark.sources.snapshots import _rollback_table
+
+    tbl = _rollback_table(spark, sf_dir)
+    snaps = {m["snapshot_id"]: m for m in tbl.snapshots()}
+    assert snaps[3]["operation"] == "rollback"
+    assert snaps[3]["files"] == snaps[1]["files"]  # shared, not copied
+    # the bad commit is still inspectable and time-travelable
+    assert snaps[2]["operation"] == "overwrite"
+    assert tbl.read(snapshot_id=2).count() == snaps[2]["n_records"]
+
+
+def test_expire_reclaims_only_unreferenced_files(spark, sf_dir):
+    """expire_snapshots must physically delete files ONLY when no
+    retained manifest references them, drop the expired manifest, and
+    make expired time travel fail loudly."""
+    import os
+
+    import pytest
+
+    from iceberg_twist_spark.sources.snapshots import _expire_table
+
+    tbl = _expire_table(spark, sf_dir)
+    ids = [m["snapshot_id"] for m in tbl.snapshots()]
+    assert ids == [2, 3]  # v1 expired
+    # every retained file still exists on disk
+    for m in tbl.snapshots():
+        for f in m["files"]:
+            assert os.path.exists(f), f
+    # v3's append carries v2's files — they must have survived
+    snaps = {m["snapshot_id"]: m for m in tbl.snapshots()}
+    assert set(snaps[2]["files"]) <= set(snaps[3]["files"])
+    with pytest.raises(FileNotFoundError):
+        tbl.read(snapshot_id=1)
+    # idempotent: a second expire finds nothing new to reclaim
+    res = tbl.expire_snapshots(keep_last=2)
+    assert res == {"expired": [], "deleted_files": 0}
