@@ -177,6 +177,7 @@ REVERIFY_FIRST = (
     # expire_snapshots — metadata-only rollback, physical reclamation)
     "q_iceberg_rollback",
     "q_iceberg_expire",
+    "q_iceberg_wap",
     # plan rewritten r8 AFTER its r6 driver check: per-shard rank
     # two-phased (the 16-shard serial-sort fix, invariant (e)).
     "q_llm_shuffle_shards",

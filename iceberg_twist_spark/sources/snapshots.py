@@ -84,15 +84,20 @@ class SnapshotTable:
             return json.load(f)
 
     def snapshots(self) -> list[dict]:
-        """All RETAINED manifests, oldest first (the ``.snapshots``
-        metadata table). Ids expired by ``expire_snapshots`` are
-        skipped — history is a chain of surviving manifests, exactly
-        like Iceberg's metadata after an expire pass."""
-        out = []
-        for i in range(1, self.current_snapshot_id() + 1):
-            if os.path.exists(os.path.join(self._meta, f"v{i}.json")):
-                out.append(self._manifest(i))
-        return out
+        """The COMMITTED history, oldest first (the ``.snapshots``
+        metadata table): the parent chain walked back from the current
+        pointer. Staged write-audit-publish snapshots that were never
+        published are not history (they hang off the chain until
+        expire/orphan maintenance), and ids expired by
+        ``expire_snapshots`` terminate the walk — exactly Iceberg's
+        metadata after an expire pass."""
+        chain: list[dict] = []
+        i = self.current_snapshot_id()
+        while i and os.path.exists(os.path.join(self._meta, f"v{i}.json")):
+            m = self._manifest(i)
+            chain.append(m)
+            i = m.get("parent_id") or 0
+        return list(reversed(chain))
 
     # ---- commits -----------------------------------------------------
     @staticmethod
@@ -147,10 +152,26 @@ class SnapshotTable:
         n = self.spark.read.parquet(*files).count() if files else 0
         return files, n, stats
 
+    def _all_manifest_ids(self) -> list[int]:
+        """Every manifest id on disk, INCLUDING staged (unpublished)
+        snapshots beyond the current pointer."""
+        out = []
+        for name in os.listdir(self._meta):
+            if name.startswith("v") and name.endswith(".json"):
+                try:
+                    out.append(int(name[1:-5]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
     def _commit(self, files: list[str], n_records: int, operation: str,
-                schema_json: str, file_stats: dict | None = None) -> int:
+                schema_json: str, file_stats: dict | None = None,
+                update_hint: bool = True) -> int:
         parent = self.current_snapshot_id()
-        snap = parent + 1
+        # allocate past EVERY existing manifest (staged WAP snapshots
+        # live beyond the pointer; a later commit must not collide)
+        ids = self._all_manifest_ids()
+        snap = (ids[-1] if ids else 0) + 1
         manifest = {
             "snapshot_id": snap,
             "parent_id": parent or None,
@@ -166,12 +187,16 @@ class SnapshotTable:
         mpath = os.path.join(self._meta, f"v{snap}.json")
         with open(mpath, "w") as f:
             json.dump(manifest, f)
-        # atomic pointer swap — the commit point
+        if update_hint:
+            # atomic pointer swap — the commit point
+            self._swap_hint(snap)
+        return snap
+
+    def _swap_hint(self, snap: int) -> None:
         tmp = os.path.join(self._meta, f".hint.{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             f.write(str(snap))
         os.replace(tmp, os.path.join(self._meta, "version-hint.text"))
-        return snap
 
     def create(self, df: DataFrame) -> int:
         return self.overwrite(df)
@@ -313,14 +338,20 @@ class SnapshotTable:
         cur = self.current_snapshot_id()
         if cur == 0:
             return {"expired": [], "deleted_files": 0}
-        all_ids = [
-            i for i in range(1, cur + 1)
-            if os.path.exists(os.path.join(self._meta, f"v{i}.json"))
+        chain_ids = [m["snapshot_id"] for m in self.snapshots()]
+        retained = set(chain_ids[-max(1, keep_last):])
+        # pending staged snapshots (ids beyond the pointer, not yet
+        # published) keep their manifests AND their files — a stage
+        # awaiting audit must never be reclaimed under it
+        pending = {i for i in self._all_manifest_ids() if i > cur}
+        # everything else on disk expires: aged-out chain members and
+        # stale failed-audit stages the pointer moved past
+        expired = [
+            i for i in self._all_manifest_ids()
+            if i not in retained and i not in pending
         ]
-        retained = set(all_ids[-max(1, keep_last):])
-        expired = [i for i in all_ids if i not in retained]
         kept_files: set[str] = set()
-        for i in retained:
+        for i in retained | pending:
             kept_files.update(self._manifest(i)["files"])
         deleted = 0
         for i in expired:
@@ -330,6 +361,50 @@ class SnapshotTable:
                     deleted += 1
             os.remove(os.path.join(self._meta, f"v{i}.json"))
         return {"expired": expired, "deleted_files": deleted}
+
+    # ---- write-audit-publish -------------------------------------------
+    def stage(self, df: DataFrame, operation: str = "wap-overwrite") -> int:
+        """Write-Audit-Publish, the WRITE half: commit a snapshot
+        manifest WITHOUT moving the main pointer (Iceberg's ``wap.id``
+        staged commits). The staged snapshot is fully readable by id
+        for auditing; main readers are untouched. At 100 TB this is
+        how an ingest pipeline validates a day's batch (row counts,
+        null keys, dedup rates) before any consumer can see it."""
+        files, n, st = self._write_files(df)
+        return self._commit(
+            files, n, operation, df.schema.json(), st, update_hint=False
+        )
+
+    def publish(self, snapshot_id: int) -> None:
+        """Write-Audit-Publish, the PUBLISH half: fast-forward the
+        main pointer to an audited staged snapshot — a metadata-only
+        atomic swap; an unpublished (failed-audit) staged snapshot is
+        simply never pointed at and is reclaimed by expire/orphan
+        maintenance."""
+        self._manifest(snapshot_id)  # must exist — raises otherwise
+        self._swap_hint(snapshot_id)
+
+    def remove_orphan_files(self) -> int:
+        """Iceberg's ``remove_orphan_files``: delete data files in the
+        table directory that NO surviving manifest references — the
+        debris of failed/interrupted writes (files staged before a
+        crash never made it into a manifest; the atomic pointer swap
+        means they were never visible). Complements expire_snapshots:
+        expire reclaims files that WERE committed and aged out; this
+        reclaims files that never were. A file is orphan only when NO
+        manifest on disk lists it — staged (unpublished) snapshots
+        have manifests, so their files are not orphans; stale stages
+        are expire_snapshots' job. Returns the count deleted."""
+        referenced: set[str] = set()
+        for i in self._all_manifest_ids():
+            referenced.update(self._manifest(i)["files"])
+        deleted = 0
+        for name in os.listdir(self._data):
+            path = os.path.join(self._data, name)
+            if name.endswith(".parquet") and path not in referenced:
+                os.remove(path)
+                deleted += 1
+        return deleted
 
     def rewrite_data_files(self, target_bytes: int = TARGET_FILE_BYTES) -> int:
         """Compaction: rewrite the current snapshot's files at a target
@@ -696,6 +771,80 @@ def q_iceberg_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
     expired-time-travel failure and file-deletion accounting are
     pinned in tests/test_snapshots.py."""
     tbl = _expire_table(spark, sf_dir)
+    return tbl.read().select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.floor(F.col("o_totalprice") * 10000 + F.lit(0.5)) / 10000).alias(
+            "o_totalprice"
+        ),
+    )
+
+
+def _wap_table(spark: SparkSession, sf_dir: str) -> SnapshotTable:
+    """Staged write-audit-publish scenario:
+
+    snapshot 1  overwrite       keys ≡ 0 (mod 3)   — live table
+    stage A     wap-overwrite   keys ≡ 1, 1% keys NULLED — audit FAILS,
+                                never published (manifest kept on disk)
+    stage B     wap-overwrite   keys ≡ 1, clean    — audit passes,
+                                published (atomic fast-forward)
+    """
+    key = f"snapwap::{sf_dir}"
+    tbl = _TABLE_CACHE.get(key)
+    if tbl is not None and tbl.current_snapshot_id() >= 3:
+        return tbl
+    tbl = SnapshotTable(spark, tempfile.mkdtemp(prefix="itws_snapwap_"))
+    orders = load_tables(spark, sf_dir)["orders"].select(*_ORDER_COLS)
+    tbl.overwrite(orders.filter(F.col("o_orderkey") % 3 == 0))
+    candidate = orders.filter(F.col("o_orderkey") % 3 == 1)
+    bad = candidate.withColumn(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 97 == 1, F.lit(None)).otherwise(
+            F.col("o_orderkey")
+        ),
+    )
+
+    def audit_passes(snapshot_id: int) -> bool:
+        staged = tbl.read(snapshot_id=snapshot_id)
+        row = staged.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_orderkey").isNull().cast("int")).alias("n_null"),
+        ).first()
+        return row.n > 0 and row.n_null == 0
+
+    bad_id = tbl.stage(bad)
+    assert not audit_passes(bad_id)  # never published
+    good_id = tbl.stage(candidate)
+    assert audit_passes(good_id)
+    tbl.publish(good_id)
+    _TABLE_CACHE[key] = tbl
+    return tbl
+
+
+_WAP_ORACLE = """
+SELECT o_orderkey, o_orderstatus,
+       floor(o_totalprice * 10000 + 0.5) / 10000 AS o_totalprice
+FROM orders WHERE o_orderkey % 3 = 1
+"""
+
+
+@register("q_iceberg_wap", oracle=_WAP_ORACLE, tags=("iceberg", "sink", "dq"))
+def q_iceberg_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish: two candidate batches are STAGED (manifests
+    committed, main pointer untouched), audited by reading the staged
+    snapshots (null-key + row-count expectations — the q_dq_checks
+    vocabulary), and only the passing one is published via an atomic
+    metadata fast-forward. The final read must equal the clean
+    candidate exactly; the failed stage is provably invisible (it
+    hangs off the history chain until expire/orphan maintenance). At
+    100 TB this is THE ingest gate: consumers can never observe an
+    unaudited batch, and a failed audit costs a pointer that never
+    moved."""
+    tbl = _wap_table(spark, sf_dir)
+    ops = [m["operation"] for m in tbl.snapshots()]
+    assert ops == ["overwrite", "wap-overwrite"], ops
+    # the failed stage exists on disk but is NOT history
+    assert len(tbl._all_manifest_ids()) == 3
     return tbl.read().select(
         "o_orderkey",
         "o_orderstatus",

@@ -216,3 +216,61 @@ def test_expire_reclaims_only_unreferenced_files(spark, sf_dir):
     # idempotent: a second expire finds nothing new to reclaim
     res = tbl.expire_snapshots(keep_last=2)
     assert res == {"expired": [], "deleted_files": 0}
+
+
+def test_wap_failed_stage_invisible_until_maintenance(spark, sf_dir):
+    """A staged snapshot must be readable by id for auditing, invisible
+    to main readers, excluded from history, and reclaimable: expire
+    removes a STALE failed stage (pointer moved past it) while a
+    pending stage beyond the pointer keeps its files."""
+    from iceberg_twist_spark.sources.snapshots import _wap_table
+
+    tbl = _wap_table(spark, sf_dir)
+    ids = tbl._all_manifest_ids()
+    assert len(ids) == 3  # v1 + failed stage + published stage
+    history = [m["snapshot_id"] for m in tbl.snapshots()]
+    failed = next(i for i in ids if i not in history)
+    # auditable by id, but not history and not the current read
+    assert tbl.read(snapshot_id=failed).count() > 0
+    assert tbl.current_snapshot_id() != failed
+    # a NEW pending stage must survive expire; the stale failed one
+    # (pointer already moved past it) must be reclaimed
+    import os
+
+    pending = tbl.stage(tbl.read().limit(10))
+    res = tbl.expire_snapshots(keep_last=2)
+    assert failed in res["expired"] and pending not in res["expired"]
+    for f in tbl._manifest(pending)["files"]:
+        assert os.path.exists(f)
+    tbl.publish(pending)
+    assert tbl.read().count() == 10
+    # rebuild next call: the cache key requires the original shape
+    from iceberg_twist_spark.sources import snapshots as S
+
+    S._TABLE_CACHE.pop(f"snapwap::{sf_dir}", None)
+
+
+def test_remove_orphan_files_spares_all_manifested_files(spark, sf_dir, tmp_path):
+    """Orphans = files NO manifest lists (failed-write debris). Files
+    of committed AND staged snapshots must survive."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from iceberg_twist_spark.sources.snapshots import SnapshotTable
+
+    tbl = SnapshotTable(spark, str(tmp_path / "t"))
+    df = spark.range(100).select(F.col("id").alias("k"))
+    tbl.overwrite(df)
+    staged = tbl.stage(df.limit(5))
+    # simulate failed-write debris: a parquet file never manifested
+    debris = os.path.join(str(tmp_path / "t"), "data", "deadbeef.parquet")
+    df.limit(1).write.mode("overwrite").parquet(str(tmp_path / "stage1"))
+    part = next(
+        f for f in os.listdir(str(tmp_path / "stage1")) if f.endswith(".parquet")
+    )
+    os.rename(os.path.join(str(tmp_path / "stage1"), part), debris)
+    assert tbl.remove_orphan_files() == 1
+    assert not os.path.exists(debris)
+    assert tbl.read().count() == 100
+    assert tbl.read(snapshot_id=staged).count() == 5
