@@ -447,3 +447,107 @@ def q_stream_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
     return band_pairs_from_rows(spark.read.parquet(path + "/bands"))
+
+
+# ------------------------------------------------------------------
+# STREAMING vector-index maintenance — the PQ side of
+# q_stream_index_append: the codebook trains ONCE on the base
+# snapshot (offline build), then the delta vectors arrive as file
+# micro-batches and each batch is encoded against the frozen codebook
+# and appended (foreachBatch → pq_index_append, geometry validated
+# per batch). The final on-disk state is identical to the one-shot
+# append, so the query shares _PQA_ORACLE verbatim — the hash breaks
+# if any micro-batch is lost, double-encoded, or drifts from the
+# stored geometry.
+
+_VEC_REPLAY_CACHE: dict[tuple[str, int], str] = {}
+
+VEC_STREAM_SCHEMA = "vec_id long, embedding array<float>"
+
+
+def stage_vecs_replay(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> str:
+    """Stage the DELTA vectors (vec_id ≡ 0 mod DELTA_MOD) as
+    ``n_chunks`` parquet files with ascending mtimes for deterministic
+    file-stream replay."""
+    import shutil
+    import tempfile
+    import time
+
+    key = (sf_dir, n_chunks)
+    if key in _VEC_REPLAY_CACHE and os.path.isdir(_VEC_REPLAY_CACHE[key]):
+        return _VEC_REPLAY_CACHE[key]
+    delta = (
+        load_tables(spark, sf_dir)["embeddings"]
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id") % DELTA_MOD == 0)
+    )
+    out = tempfile.mkdtemp(prefix="itws_vec_replay_")
+    base_t = time.time()
+    for k in range(n_chunks):
+        stage = os.path.join(out, f".stage_{k}")
+        (
+            delta.filter((F.col("vec_id") / DELTA_MOD % n_chunks).cast("int") == k)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        part = next(f for f in sorted(os.listdir(stage)) if f.endswith(".parquet"))
+        dst = os.path.join(out, f"chunk_{k}.parquet")
+        shutil.move(os.path.join(stage, part), dst)
+        shutil.rmtree(stage, ignore_errors=True)
+        os.utime(dst, (base_t + k, base_t + k))
+    _VEC_REPLAY_CACHE[key] = out
+    return out
+
+
+@register(
+    "q_stream_vec_index_append",
+    oracle=_PQA_ORACLE,
+    tags=("streaming", "llm", "similarity", "source"),
+)
+def q_stream_vec_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PQ-index maintenance, hash-checked: build the index
+    over the 80% base snapshot (codebook frozen there), replay the
+    delta vectors as file micro-batches appending through
+    ``Engine.pq_index_append``, then answer the standard probe —
+    which itself arrived mid-stream — via ``Engine.pq_ann_search``
+    over the grown index. Shares the one-shot append's DuckDB oracle:
+    the stream must leave byte-identical codes on disk."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from iceberg_twist_spark.api import Engine
+
+    emb = load_tables(spark, sf_dir)["embeddings"].select("vec_id", "embedding")
+    path = _lifecycle_dir("pqstream", sf_dir)
+    marker = os.path.join(path, "_COMPLETE")
+    if not os.path.exists(marker):
+        base = emb.filter(F.col("vec_id") % DELTA_MOD != 0)
+        Engine.build_pq_ann_index(base, "embedding", "vec_id", path)
+        replay = stage_vecs_replay(spark, sf_dir)
+
+        def append_batch(batch_df: DataFrame, batch_id: int) -> None:
+            Engine.pq_index_append(batch_df, "embedding", "vec_id", path)
+
+        s = (
+            spark.readStream.schema(VEC_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(replay)
+        )
+        ckpt = tempfile.mkdtemp(prefix="itws_ckpt_")
+        q = (
+            s.writeStream.foreachBatch(append_batch)
+            .queryName(f"itws_{uuid.uuid4().hex[:12]}")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            shutil.rmtree(ckpt, ignore_errors=True)
+        with open(marker, "w") as f:
+            f.write("ok")
+    probe = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()[1]]
+    return Engine.pq_ann_search(spark, path, probe, k=RECALL_K, rerank=PQ_RERANK)

@@ -173,6 +173,7 @@ REVERIFY_FIRST = (
     "q_llm_minhash_index_query",
     "q_llm_ivf_index_append",
     "q_stream_index_append",
+    "q_stream_vec_index_append",
     # new in r8: snapshot-table maintenance verbs (rollback_to /
     # expire_snapshots — metadata-only rollback, physical reclamation)
     "q_iceberg_rollback",
