@@ -156,32 +156,20 @@ def _load_all_modules() -> None:
 # round's newly-covered ids to DRIVER_CHECKED from
 # CORRECTNESS_r{N}.json.
 REVERIFY_FIRST = (
-    # r7's ONE red row: raw array<string> output broke the driver's
-    # pandas canonicalizer (unhashable list). Fixed r8 by array_join
-    # per the q_agg_collect convention; tools/check.py now rejects any
-    # registered query whose final schema carries ArrayType/MapType.
-    "q_str_extract_all",
-    # plan rewritten r8: per-source running token sum two-phased on
-    # the _global_rank pattern (was a single-task window sort per
-    # source — the r7 verdict's scale-watch item). Output unchanged.
-    "q_llm_token_budget",
-    # new in r8: incremental index lifecycle as oracle-checked queries
-    # (append ≡ rebuild / frozen-codebook encode, plus the incremental
-    # QUERY path and the IVF append).
-    "q_llm_minhash_index_append",
-    "q_llm_pq_index_append",
-    "q_llm_minhash_index_query",
-    "q_llm_ivf_index_append",
-    "q_stream_index_append",
-    "q_stream_vec_index_append",
-    # new in r8: snapshot-table maintenance verbs (rollback_to /
-    # expire_snapshots — metadata-only rollback, physical reclamation)
-    "q_iceberg_rollback",
-    "q_iceberg_expire",
-    "q_iceberg_wap",
-    # plan rewritten r8 AFTER its r6 driver check: per-shard rank
-    # two-phased (the 16-shard serial-sort fix, invariant (e)).
-    "q_llm_shuffle_shards",
+    # new in r9: index RETRACTION — the third lifecycle verb. Oracle:
+    # remove(append(base, delta), delta) ≡ rebuild(base).
+    "q_llm_minhash_index_remove",
+    "q_llm_pq_index_remove",
+    # new in r9: orphan-file reclamation as a checked query (planted
+    # stale WAP stage; post-reclaim contents ≡ pre-reclaim contents).
+    "q_iceberg_orphan",
+    # r8 `no_oracle` streaming ids promoted to SQL-oracle-checked in
+    # r9 (interval join / throttle window are both SQL-expressible).
+    "q_stream_stream_join",
+    "q_stream_throttle",
+    # plan changed r9 AFTER its r7 driver check: batched disjoint-pair
+    # merge rounds (parallel-BPE) replace the 1-job-per-merge loop.
+    "q_llm_bpe_train",
 )
 
 DRIVER_CHECKED = frozenset({
@@ -248,6 +236,22 @@ DRIVER_CHECKED = frozenset({
     "q_str_regexp", "q_str_split", "q_stream_dedup_watermark",
     "q_stream_enrich_join", "q_stream_late_drop", "q_stream_observe",
     "q_stream_pyds", "q_stream_queue_ttl", "q_stream_rate_frames",
+    # round 8 (CORRECTNESS_r08.json — all 47 oracle rows pass; the 3
+    # `no_oracle` streaming ids counted as witnessed rows-only)
+    "q_str_extract_all", "q_llm_minhash_index_append",
+    "q_llm_pq_index_append", "q_llm_minhash_index_query",
+    "q_llm_ivf_index_append", "q_stream_index_append",
+    "q_stream_vec_index_append", "q_iceberg_rollback", "q_iceberg_expire",
+    "q_iceberg_wap", "q_stream_session", "q_stream_slide",
+    "q_stream_stream_join", "q_stream_throttle", "q_stream_tumble",
+    "q_stream_upsert_sink", "q_subq_corr_scalar", "q_subq_exists",
+    "q_subq_in", "q_subq_not_exists", "q_subq_scalar",
+    "q_telemetry_pipeline", "q_topk", "q_tpch_q01", "q_tpch_q02",
+    "q_tpch_q03", "q_tpch_q04", "q_tpch_q05", "q_tpch_q06", "q_tpch_q07",
+    "q_tpch_q08", "q_tpch_q09", "q_tpch_q10", "q_tpch_q11", "q_tpch_q13",
+    "q_tpch_q14", "q_tpch_q15", "q_tpch_q16", "q_tpch_q17", "q_tpch_q18",
+    "q_tpch_q19", "q_tpch_q20", "q_tpch_q21", "q_tpch_q22", "q_ts_drift",
+    "q_ts_ffill", "q_ts_gapfill", "q_ts_gaps",
 })
 
 
