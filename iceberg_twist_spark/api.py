@@ -203,6 +203,110 @@ class Engine:
         shingle_arrays(docs, 3).write.mode("append").parquet(base + "/arrays")
         return base
 
+    # -- index retraction -------------------------------------------
+    # The third lifecycle verb. A real 100 TB corpus takes deletions
+    # (takedowns, licence revocations) that must propagate to stored
+    # bands / codes / vectors. Deletes are O(|keys|): the keys land in
+    # a tombstone set next to the index and every reader anti-joins it
+    # (broadcast — takedown sets are tiny vs the corpus). Physical
+    # reclamation is a separate offline COMPACT pass (rewrite minus
+    # tombstones, clear the set), the same cadence as PQ retraining:
+    # compact per snapshot, tombstone between snapshots. If the
+    # tombstone set ever outgrows a broadcast, that is the signal the
+    # compact pass is overdue.
+
+    @staticmethod
+    def _normalize_keys(spark: SparkSession, keys) -> DataFrame:
+        """``keys`` as a 1-column DataFrame or an iterable of ids →
+        canonical single-column ``key long`` frame."""
+        if isinstance(keys, DataFrame):
+            col = keys.columns[0]
+            return keys.select(F.col(col).cast("long").alias("key")).distinct()
+        return spark.createDataFrame(
+            [(int(k),) for k in keys], "key long"
+        ).distinct()
+
+    @staticmethod
+    def _without_tombstones(
+        spark: SparkSession, df: DataFrame, ts_path: str, key_col: str
+    ) -> DataFrame:
+        """Anti-join a stored tombstone set (if any) out of ``df``."""
+        import os
+
+        if not os.path.isdir(ts_path):
+            return df
+        ts = spark.read.parquet(ts_path).select(
+            F.col("key").alias(key_col)
+        )
+        return df.join(F.broadcast(ts), key_col, "left_anti")
+
+    @staticmethod
+    def _swap_rewrite(df: DataFrame, target: str) -> None:
+        """Rewrite ``target`` with ``df``'s rows via write-new + atomic
+        rename — the reader-safe compact pattern (at cluster scale the
+        rename is a metastore/manifest pointer swap)."""
+        import os
+        import shutil
+
+        tmp = target.rstrip("/") + ".compact_tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        df.write.mode("overwrite").parquet(tmp)
+        old = target.rstrip("/") + ".compact_old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(target, old)
+        os.rename(tmp, target)
+        shutil.rmtree(old, ignore_errors=True)
+
+    @staticmethod
+    def minhash_index_remove(
+        spark: SparkSession, path: str, keys, compact: bool = False
+    ) -> str:
+        """Retract documents from a ``build_minhash_index`` layout:
+        append their ids to the index's tombstone set (O(|keys|) — no
+        data rewrite), so ``near_dup_pairs_against_index`` and the
+        stored-band readers stop seeing their bands and shingle
+        arrays. ``compact=True`` additionally rewrites bands/arrays
+        minus all tombstoned keys and clears the set (physical
+        reclamation — run per snapshot). Guarantee, either way:
+        remove(append(build(base), delta), delta) ≡ build(base)."""
+        base = path.rstrip("/")
+        ts = base + "/tombstones"
+        Engine._normalize_keys(spark, keys).write.mode("append").parquet(ts)
+        if compact:
+            Engine.minhash_index_compact(spark, path)
+        return base
+
+    @staticmethod
+    def minhash_index_compact(spark: SparkSession, path: str) -> str:
+        """Physically reclaim tombstoned documents: rewrite the bands
+        and shingle-array partitions without them, then clear the
+        tombstone set. Readers before/after the swap see the same
+        live rows."""
+        import os
+        import shutil
+
+        base = path.rstrip("/")
+        ts = base + "/tombstones"
+        if not os.path.isdir(ts):
+            return base
+        for sub in ("bands", "arrays"):
+            live = Engine._without_tombstones(
+                spark, spark.read.parquet(f"{base}/{sub}"), ts, "doc_id"
+            )
+            Engine._swap_rewrite(live, f"{base}/{sub}")
+        shutil.rmtree(ts, ignore_errors=True)
+        return base
+
+    @staticmethod
+    def read_minhash_bands(spark: SparkSession, path: str) -> DataFrame:
+        """The stored banding rows, tombstones honored — the one read
+        path every consumer of the index's bands shares."""
+        base = path.rstrip("/")
+        return Engine._without_tombstones(
+            spark, spark.read.parquet(base + "/bands"),
+            base + "/tombstones", "doc_id",
+        )
+
     @staticmethod
     def near_dup_pairs_against_index(
         df: DataFrame,
@@ -259,7 +363,7 @@ class Engine:
         # rebuild its own banding from the un-checkpointed sig and run
         # the dominant shingle+permutation pipeline a second time
         nb = band_rows(sig, n_bands=meta["n_bands"]).localCheckpoint(eager=False)
-        stored = sp.read.parquet(base + "/bands")
+        stored = Engine.read_minhash_bands(sp, base)
         cross = (
             nb.alias("n")
             .join(
@@ -275,7 +379,10 @@ class Engine:
             .distinct()
         )
         new_arrs = shingle_arrays(docs, 3).localCheckpoint(eager=False)
-        both_arrs = sp.read.parquet(base + "/arrays").unionByName(new_arrs)
+        stored_arrs = Engine._without_tombstones(
+            sp, sp.read.parquet(base + "/arrays"), base + "/tombstones", "doc_id"
+        )
+        both_arrs = stored_arrs.unionByName(new_arrs)
         within = band_pairs_from_rows(nb)
         return _verify_jaccard_arrays(
             cross.unionByName(within).distinct(), both_arrs, both_arrs, tau
@@ -560,7 +667,12 @@ class Engine:
             .limit(nprobe)
             .collect()
         ]
-        idx = spark.read.parquet(path).filter(F.col("cluster").isin(cids))
+        idx = Engine._without_tombstones(
+            spark,
+            spark.read.parquet(path).filter(F.col("cluster").isin(cids)),
+            path.rstrip("/") + "_tombstones",
+            "vec_id",
+        )
         sim = r4(_dot(F.col("embedding"), p) / (F.col("nrm") * _norm(p)))
         return (
             idx.select(F.col("vec_id"), sim.alias("cos_sim"))
@@ -659,6 +771,93 @@ class Engine:
         return base
 
     @staticmethod
+    def pq_index_remove(
+        spark: SparkSession, path: str, keys, compact: bool = False
+    ) -> str:
+        """Retract vectors from a ``build_pq_ann_index`` layout:
+        tombstone their ids so ``pq_ann_search`` excludes their codes
+        from the ADC scan and their raw vectors from the re-rank.
+        ``compact=True`` physically rewrites codes/vectors minus the
+        tombstones (run per snapshot, with the retrain). Guarantee:
+        remove(append(build(base), delta), delta) ≡ build(base) —
+        the codebook is untouched (it is a trained model, not per-row
+        state; retraining is the rebuild verb's job)."""
+        base = path.rstrip("/")
+        ts = base + "/tombstones"
+        Engine._normalize_keys(spark, keys).write.mode("append").parquet(ts)
+        if compact:
+            Engine.pq_index_compact(spark, path)
+        return base
+
+    @staticmethod
+    def pq_index_compact(spark: SparkSession, path: str) -> str:
+        """Physically reclaim tombstoned vectors from the codes and
+        vectors partitions, then clear the tombstone set."""
+        import os
+        import shutil
+
+        base = path.rstrip("/")
+        ts = base + "/tombstones"
+        if not os.path.isdir(ts):
+            return base
+        for sub in ("codes", "vectors"):
+            live = Engine._without_tombstones(
+                spark, spark.read.parquet(f"{base}/{sub}"), ts, "vec_id"
+            )
+            Engine._swap_rewrite(live, f"{base}/{sub}")
+        shutil.rmtree(ts, ignore_errors=True)
+        return base
+
+    @staticmethod
+    def ann_index_remove(
+        spark: SparkSession, path: str, keys, compact: bool = False
+    ) -> str:
+        """Retract vectors from a ``build_ann_index`` (IVF) layout.
+        The tombstone set lives NEXT TO the cluster-partitioned data
+        (``<path>_tombstones``, like ``<path>_centroids``) so the
+        partitioned directory stays a clean parquet dataset;
+        ``ann_search`` anti-joins it after the directory-pruned scan.
+        ``compact=True`` rewrites each AFFECTED cluster partition
+        minus its tombstoned rows — only clusters containing removed
+        vectors are touched, the rest of the layout is not rewritten
+        — then clears the set. Frozen centroids are untouched."""
+        base = path.rstrip("/")
+        ts = base + "_tombstones"
+        Engine._normalize_keys(spark, keys).write.mode("append").parquet(ts)
+        if compact:
+            Engine.ann_index_compact(spark, path)
+        return base
+
+    @staticmethod
+    def ann_index_compact(spark: SparkSession, path: str) -> str:
+        """Physically reclaim tombstoned vectors from the IVF layout,
+        rewriting only the cluster partitions that contain them."""
+        import os
+        import shutil
+
+        base = path.rstrip("/")
+        ts = base + "_tombstones"
+        if not os.path.isdir(ts):
+            return base
+        keys = spark.read.parquet(ts).select(F.col("key").alias("vec_id"))
+        idx = spark.read.parquet(base)
+        # bounded collect: the distinct clusters holding removed rows
+        hit = [
+            r.cluster
+            for r in idx.join(F.broadcast(keys), "vec_id")
+            .select("cluster").distinct().collect()
+        ]
+        for c in hit:
+            part = os.path.join(base, f"cluster={c}")
+            live = (
+                spark.read.parquet(part)
+                .join(F.broadcast(keys.select(F.col("vec_id"))), "vec_id", "left_anti")
+            )
+            Engine._swap_rewrite(live, part)
+        shutil.rmtree(ts, ignore_errors=True)
+        return base
+
+    @staticmethod
     def pq_ann_search(
         spark: SparkSession,
         path: str,
@@ -678,8 +877,13 @@ class Engine:
 
         base = path.rstrip("/")
         cb = spark.read.parquet(base + "/codebook")
-        codes = spark.read.parquet(base + "/codes")
-        vectors = spark.read.parquet(base + "/vectors")
+        ts = base + "/tombstones"
+        codes = Engine._without_tombstones(
+            spark, spark.read.parquet(base + "/codes"), ts, "vec_id"
+        )
+        vectors = Engine._without_tombstones(
+            spark, spark.read.parquet(base + "/vectors"), ts, "vec_id"
+        )
         p = F.array(*[F.lit(float(x)) for x in probe])
         # recover the index's subspace geometry from the codebook
         # (sub_dim = codeword width) so the LUT matches the encode; a

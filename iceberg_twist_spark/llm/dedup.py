@@ -409,8 +409,16 @@ def band_pairs_from_rows(bands: DataFrame) -> DataFrame:
     )
 
 
-def _minhash_oracle(k: int = 3, n_perm: int = N_MINHASH, n_bands: int = LSH_BANDS) -> str:
-    """DuckDB SQL producing the identical banded candidate pairs."""
+def _minhash_oracle(
+    k: int = 3,
+    n_perm: int = N_MINHASH,
+    n_bands: int = LSH_BANDS,
+    doc_where: str = "",
+) -> str:
+    """DuckDB SQL producing the identical banded candidate pairs.
+    ``doc_where`` (an extra AND-clause on documents) lets lifecycle
+    oracles band a SUBSET of the corpus — e.g. the retraction oracle
+    bands only the surviving base snapshot."""
     rpb = n_perm // n_bands
     sig_cols = ",\n           ".join(
         f"list_min(list_transform(shs, s -> substr(md5('{i // 2}:' || s), "
@@ -428,7 +436,7 @@ def _minhash_oracle(k: int = 3, n_perm: int = N_MINHASH, n_bands: int = LSH_BAND
     return f"""
 WITH d AS (
     SELECT doc_id, string_split(text, ' ') AS w FROM documents
-    WHERE len(string_split(text, ' ')) >= {k}
+    WHERE len(string_split(text, ' ')) >= {k}{' AND ' + doc_where if doc_where else ''}
 ), sh AS (
     SELECT doc_id,
            list_distinct(list_transform(range(0, len(w) - {k - 1}),

@@ -61,13 +61,27 @@ DELTA_MOD = 5
 # q_llm_minhash_dedup SQL.
 MINHASH_APPEND_TAU = 0.9
 
-_LIFECYCLE_VERSION = 1
+_LIFECYCLE_VERSION = 2
+
+# which source table each lifecycle kind reads — the fingerprint must
+# track THAT table so a documents-only fixture regeneration cannot
+# serve a stale documents-based index (r8 ADVICE item)
+_LIFECYCLE_TABLE = {
+    "minhash": "documents",
+    "minhashq": "documents",
+    "mhremove": "documents",
+    "pq": "embeddings",
+    "pqremove": "embeddings",
+    "ivf": "embeddings",
+    "ivfremove": "embeddings",
+    "pqstream": "embeddings",
+}
 
 
 def _lifecycle_dir(kind: str, sf_dir: str) -> str:
     import tempfile
 
-    key = _source_fingerprint(sf_dir)
+    key = _source_fingerprint(sf_dir, table=_LIFECYCLE_TABLE[kind])
     return os.path.join(
         tempfile.gettempdir(), f"itws_{kind}_append_v{_LIFECYCLE_VERSION}_{key}"
     )
@@ -123,9 +137,12 @@ def _pqa_assign_sql(cb: str, src: str) -> str:
 # snapshot (vec_id % DELTA_MOD != 0): seed codewords are the base's
 # PQ_K smallest keys coded dense 0..K-1 in key order (the facade's
 # seed_map), the Lloyd update averages base subvectors only, and the
-# final encode covers EVERY vector against that frozen codebook —
-# precisely the state build(base) + append(delta) leaves on disk.
-_PQA_ORACLE = f"""
+# final encode covers ``encode_src`` against that frozen codebook —
+# 'sub' (every vector) is precisely the state build(base) +
+# append(delta) leaves on disk; 'bsub' (base only) is the state after
+# the delta is RETRACTED again (remove ≡ never appended).
+def _pqa_oracle(encode_src: str) -> str:
+    return f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
 ), ms AS (
@@ -152,7 +169,7 @@ WITH e AS (
     SELECT m, code, pos, floor(avg(val) * 10000 + 0.5) / 10000 AS cv
     FROM flat0 GROUP BY 1, 2, 3
   ) GROUP BY 1, 2
-), codes AS {_pqa_assign_sql('cb1', 'sub')}
+), codes AS {_pqa_assign_sql('cb1', encode_src)}
 , dt AS (
   SELECT cb1.m, cb1.code,
          CAST(floor({_PQ_D2.format(a='p.sv', b='cb1.cw')} * 10000 + 0.5) AS BIGINT)
@@ -173,6 +190,9 @@ JOIN embeddings e2 ON s.vec_id = e2.vec_id
 CROSS JOIN (SELECT embedding AS p FROM embeddings WHERE vec_id = 0) pr
 ORDER BY cos_sim DESC, s.vec_id LIMIT {RECALL_K}
 """
+
+
+_PQA_ORACLE = _pqa_oracle("sub")
 
 
 @register(
@@ -203,6 +223,160 @@ def q_llm_pq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             f.write("ok")
     probe = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()[1]]
     return Engine.pq_ann_search(spark, path, probe, k=RECALL_K, rerank=PQ_RERANK)
+
+
+# ------------------------------------------------------------------
+# Index RETRACTION — the third lifecycle verb (r8 verdict item #2).
+# A real corpus takes deletions (takedowns, licence revocations) that
+# must propagate to stored bands / codes / vectors. Each query runs
+# the full verb chain through the real facade —
+#     remove(append(build(base), delta), delta)
+# — and its oracle is the from-scratch build over base alone, the
+# exact mirror of the append family's append ≡ rebuild. The MinHash
+# query retracts via TOMBSTONES (the O(|keys|) online path: readers
+# anti-join the set), the PQ query retracts via COMPACTION (the
+# physical-reclamation path: affected partitions rewritten, set
+# cleared) — so the driver gate covers both mechanisms end-to-end.
+
+
+@register(
+    "q_llm_minhash_index_remove",
+    oracle=_minhash_oracle(
+        n_bands=LSH_BANDS, doc_where=f"doc_id % {DELTA_MOD} != 0"
+    ),
+    tags=("llm", "dedup", "source"),
+)
+def q_llm_minhash_index_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """remove(append(base, delta), delta) ≡ rebuild(base) for the
+    MinHash/LSH index: build over 80% of the corpus, append the other
+    20%, then RETRACT exactly that delta through
+    ``Engine.minhash_index_remove`` (tombstone path — O(|keys|), no
+    data rewrite). The tombstone-honoring band reader must then
+    produce the banded pair set of the BASE snapshot alone, which the
+    oracle derives from scratch — a band row or shingle array that
+    survives retraction breaks the hash."""
+    from iceberg_twist_spark.api import Engine
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    path = _lifecycle_dir("mhremove", sf_dir)
+    marker = os.path.join(path, "_COMPLETE")
+    if not os.path.exists(marker):
+        base = docs.filter(F.col("doc_id") % DELTA_MOD != 0)
+        delta = docs.filter(F.col("doc_id") % DELTA_MOD == 0)
+        Engine.build_minhash_index(
+            base, "text", "doc_id", path, tau=MINHASH_APPEND_TAU
+        )
+        Engine.minhash_index_append(delta, "text", "doc_id", path)
+        Engine.minhash_index_remove(spark, path, delta.select("doc_id"))
+        with open(marker, "w") as f:
+            f.write("ok")
+    return band_pairs_from_rows(Engine.read_minhash_bands(spark, path))
+
+
+_PQR_ORACLE = _pqa_oracle("bsub")
+
+
+@register(
+    "q_llm_pq_index_remove",
+    oracle=_PQR_ORACLE,
+    tags=("llm", "similarity", "source"),
+)
+def q_llm_pq_index_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """remove(append(base, delta), delta) ≡ rebuild(base) for the PQ
+    index, via the PHYSICAL path: build over the 80% base (codebook
+    frozen there), append the 20% delta, then retract the delta with
+    ``compact=True`` — codes and vectors partitions are rewritten
+    without the removed ids and the tombstone set is cleared, so the
+    on-disk state is byte-equivalent to never having appended. The
+    probe (vec_id 0, itself retracted) is searched as a literal; the
+    oracle trains on base and encodes base only."""
+    from iceberg_twist_spark.api import Engine
+
+    emb = load_tables(spark, sf_dir)["embeddings"].select("vec_id", "embedding")
+    path = _lifecycle_dir("pqremove", sf_dir)
+    marker = os.path.join(path, "_COMPLETE")
+    if not os.path.exists(marker):
+        base = emb.filter(F.col("vec_id") % DELTA_MOD != 0)
+        delta = emb.filter(F.col("vec_id") % DELTA_MOD == 0)
+        Engine.build_pq_ann_index(base, "embedding", "vec_id", path)
+        Engine.pq_index_append(delta, "embedding", "vec_id", path)
+        Engine.pq_index_remove(
+            spark, path, delta.select("vec_id"), compact=True
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    probe = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()[1]]
+    return Engine.pq_ann_search(spark, path, probe, k=RECALL_K, rerank=PQ_RERANK)
+
+
+# The IVF append oracle with the final scan restricted to the base
+# snapshot: frozen base centroids, probe clusters ranked over the
+# retained probe ROW in the table (the retracted probe still probes —
+# as a literal), candidates drawn from base vectors only.
+_IVFR_ORACLE = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS c FROM embeddings
+  WHERE vec_id % {DELTA_MOD} != 0 ORDER BY vec_id LIMIT {IVF_K}
+), csims AS (
+  SELECT e.vec_id, cent.cid,
+         {_DUCK_R4COS.format(a='e.embedding', b='cent.c')} AS csim
+  FROM embeddings e CROSS JOIN cent
+), clusters AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+    FROM csims
+  ) WHERE rn = 1
+), probe_clusters AS (
+  SELECT cid FROM (
+    SELECT cid, row_number() OVER (ORDER BY csim DESC, cid) AS rn
+    FROM csims WHERE vec_id = 0
+  ) WHERE rn <= {IVF_NPROBE}
+), probe AS (
+  SELECT embedding AS p FROM embeddings WHERE vec_id = 0
+)
+SELECT e.vec_id,
+       {_DUCK_R4COS.format(a='e.embedding', b='probe.p')} AS cos_sim
+FROM embeddings e
+JOIN clusters cl ON e.vec_id = cl.vec_id
+JOIN probe_clusters pc ON cl.cid = pc.cid
+CROSS JOIN probe
+WHERE e.vec_id % {DELTA_MOD} != 0
+ORDER BY cos_sim DESC, e.vec_id
+LIMIT {RECALL_K}
+"""
+
+
+@register(
+    "q_llm_ivf_index_remove",
+    oracle=_IVFR_ORACLE,
+    tags=("llm", "similarity", "source"),
+)
+def q_llm_ivf_index_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """remove(append(base, delta), delta) ≡ rebuild(base) for the IVF
+    index: build the cluster-partitioned layout over the 80% base,
+    append the 20% delta, retract the delta with ``compact=True`` —
+    only the cluster partitions that actually contain removed rows
+    are rewritten (the rest of the layout is untouched), the frozen
+    centroids stay. ``ann_search``'s directory pruning then answers
+    the literal probe over exactly the base vectors."""
+    from iceberg_twist_spark.api import Engine
+
+    emb = load_tables(spark, sf_dir)["embeddings"].select("vec_id", "embedding")
+    path = _lifecycle_dir("ivfremove", sf_dir)
+    marker = path.rstrip("/") + "_COMPLETE"
+    if not os.path.exists(marker):
+        base = emb.filter(F.col("vec_id") % DELTA_MOD != 0)
+        delta = emb.filter(F.col("vec_id") % DELTA_MOD == 0)
+        Engine.build_ann_index(base, "embedding", "vec_id", path)
+        Engine.ann_index_append(delta, "embedding", "vec_id", path)
+        Engine.ann_index_remove(
+            spark, path, delta.select("vec_id"), compact=True
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    probe = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()[1]]
+    return Engine.ann_search(spark, path, probe, k=RECALL_K, nprobe=IVF_NPROBE)
 
 
 # ------------------------------------------------------------------
@@ -378,7 +552,9 @@ def stage_docs_replay(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> st
     import tempfile
     import time
 
-    key = (sf_dir, n_chunks)
+    # keyed by CONTENT fingerprint, not path: an in-place regenerated
+    # fixture must restage, not replay stale chunks (r8 ADVICE item)
+    key = (_source_fingerprint(sf_dir, table="documents"), n_chunks)
     if key in _DOCS_REPLAY_CACHE and os.path.isdir(_DOCS_REPLAY_CACHE[key]):
         return _DOCS_REPLAY_CACHE[key]
     docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
@@ -414,7 +590,9 @@ def q_stream_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream drains, the STORED banding rows self-join into candidate
     pairs that must hash-match DuckDB banding the full corpus. A
     fresh store per invocation keeps the query idempotent (re-runs
-    cannot double-append)."""
+    cannot double-append); the store is eagerly checkpointed and the
+    directory removed before returning, so repeated harness runs
+    cannot leak /tmp (r8 ADVICE item)."""
     import shutil
     import tempfile
     import uuid
@@ -423,30 +601,36 @@ def q_stream_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     replay = stage_docs_replay(spark, sf_dir)
     path = tempfile.mkdtemp(prefix="itws_mhstream_")
-    empty = spark.createDataFrame([], DOC_STREAM_SCHEMA)
-    Engine.build_minhash_index(empty, "text", "doc_id", path, tau=MINHASH_APPEND_TAU)
-
-    def append_batch(batch_df: DataFrame, batch_id: int) -> None:
-        Engine.minhash_index_append(batch_df, "text", "doc_id", path)
-
-    s = (
-        spark.readStream.schema(DOC_STREAM_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(replay)
-    )
     ckpt = tempfile.mkdtemp(prefix="itws_ckpt_")
-    q = (
-        s.writeStream.foreachBatch(append_batch)
-        .queryName(f"itws_{uuid.uuid4().hex[:12]}")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
     try:
+        empty = spark.createDataFrame([], DOC_STREAM_SCHEMA)
+        Engine.build_minhash_index(
+            empty, "text", "doc_id", path, tau=MINHASH_APPEND_TAU
+        )
+
+        def append_batch(batch_df: DataFrame, batch_id: int) -> None:
+            Engine.minhash_index_append(batch_df, "text", "doc_id", path)
+
+        s = (
+            spark.readStream.schema(DOC_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(replay)
+        )
+        q = (
+            s.writeStream.foreachBatch(append_batch)
+            .queryName(f"itws_{uuid.uuid4().hex[:12]}")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
         q.awaitTermination()
+        # materialize the stored bands NOW — the caller's collect runs
+        # after the finally block has removed the index directory
+        stored = spark.read.parquet(path + "/bands").localCheckpoint(eager=True)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
-    return band_pairs_from_rows(spark.read.parquet(path + "/bands"))
+        shutil.rmtree(path, ignore_errors=True)
+    return band_pairs_from_rows(stored)
 
 
 # ------------------------------------------------------------------
@@ -473,7 +657,7 @@ def stage_vecs_replay(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> st
     import tempfile
     import time
 
-    key = (sf_dir, n_chunks)
+    key = (_source_fingerprint(sf_dir, table="embeddings"), n_chunks)
     if key in _VEC_REPLAY_CACHE and os.path.isdir(_VEC_REPLAY_CACHE[key]):
         return _VEC_REPLAY_CACHE[key]
     delta = (

@@ -381,16 +381,19 @@ def q_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_INDEX_VERSION = 1
 
 
-def _source_fingerprint(sf_dir: str) -> str:
-    """Content fingerprint of the embeddings source the cached indexes
-    are built from: (relpath, mtime_ns, size) of every parquet part.
-    Folded into the index directory key so regenerating a fixture IN
-    PLACE gets a fresh index instead of silently serving stale
-    codes/codebook (the abspath-only key's hazard)."""
+def _source_fingerprint(sf_dir: str, table: str = "embeddings") -> str:
+    """Content fingerprint of the SOURCE TABLE a cached index is built
+    from: (relpath, mtime_ns, size) of every parquet part. Folded into
+    the index directory key so regenerating a fixture IN PLACE gets a
+    fresh index instead of silently serving stale codes/codebook (the
+    abspath-only key's hazard). ``table`` must name the table the
+    index actually reads — a documents-based index keyed by the
+    embeddings fingerprint would survive a documents-only fixture
+    regeneration (the r8 ADVICE hazard)."""
     import hashlib
     import os
 
-    src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    src = os.path.join(os.path.abspath(sf_dir), f"{table}.parquet")
     h = hashlib.md5(src.encode())
     if os.path.isdir(src):
         for root, _dirs, files in sorted(os.walk(src)):

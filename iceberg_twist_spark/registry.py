@@ -160,6 +160,7 @@ REVERIFY_FIRST = (
     # remove(append(base, delta), delta) ≡ rebuild(base).
     "q_llm_minhash_index_remove",
     "q_llm_pq_index_remove",
+    "q_llm_ivf_index_remove",
     # new in r9: orphan-file reclamation as a checked query (planted
     # stale WAP stage; post-reclaim contents ≡ pre-reclaim contents).
     "q_iceberg_orphan",

@@ -682,6 +682,173 @@ def test_pq_index_append_serves_new_vectors(spark, tmp_path):
     assert n_codes == 250
 
 
+def test_minhash_index_remove_tombstone_and_compact(spark, tmp_path):
+    """Retraction lifecycle: tombstoned docs vanish from the band
+    reader AND from near_dup_pairs_against_index (no pairs against
+    removed docs); compaction physically rewrites bands/arrays to the
+    same live rows and clears the tombstone set."""
+    import os
+
+    from iceberg_twist_spark.api import Engine
+
+    base = " ".join(f"w{i}" for i in range(40))
+    near = " ".join(f"w{i}" if i != 20 else "CHANGED" for i in range(40))
+    other = " ".join(f"z{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "k long, text string"
+    )
+    path = Engine.build_minhash_index(df, "text", "k", str(tmp_path / "mhr"))
+
+    # a batch near-dupping doc 1 pairs before removal...
+    probe = spark.createDataFrame(
+        [(10, base.replace("w7", "EDIT"))], "k long, text string"
+    )
+    before = {
+        (r.doc_a, r.doc_b)
+        for r in Engine.near_dup_pairs_against_index(
+            probe, "text", "k", path
+        ).collect()
+    }
+    assert (1, 10) in before
+
+    # ...and not after doc 1 is tombstoned
+    Engine.minhash_index_remove(spark, path, [1])
+    after = {
+        (r.doc_a, r.doc_b)
+        for r in Engine.near_dup_pairs_against_index(
+            probe, "text", "k", path
+        ).collect()
+    }
+    assert all(1 not in p for p in after)
+    live_ts = {
+        r.doc_id
+        for r in Engine.read_minhash_bands(spark, path)
+        .select("doc_id").distinct().collect()
+    }
+    assert live_ts == {2, 3}
+
+    # compaction: same live rows, physically, tombstones cleared
+    Engine.minhash_index_compact(spark, path)
+    assert not os.path.isdir(path + "/tombstones")
+    raw = {
+        r.doc_id
+        for r in spark.read.parquet(path + "/bands")
+        .select("doc_id").distinct().collect()
+    }
+    assert raw == {2, 3}
+    raw_arrs = {
+        r.doc_id
+        for r in spark.read.parquet(path + "/arrays")
+        .select("doc_id").distinct().collect()
+    }
+    assert raw_arrs == {2, 3}
+    # compact with no tombstones is a no-op
+    assert Engine.minhash_index_compact(spark, path) == path
+
+
+def test_pq_index_remove_tombstone_matches_compact(spark, tmp_path):
+    """PQ retraction: a removed vector stops being servable (its
+    codes leave the ADC scan, its raw vector leaves the re-rank) —
+    identically under the tombstone read path and after physical
+    compaction; the frozen codebook is untouched by either."""
+    import math
+    import os
+
+    from iceberg_twist_spark.api import Engine
+
+    def vec(i):
+        return [
+            math.sin(0.17 * d * (1 + i % 5)) + 0.05 * ((i * 31 + d * 7) % 83)
+            for d in range(16)
+        ]
+
+    rows = [(i, vec(i)) for i in range(120)]
+    df = spark.createDataFrame(rows, "id long, v array<float>")
+    path = Engine.build_pq_ann_index(df, "v", "id", str(tmp_path / "pqr"))
+    probe = [float(x) for x in rows[7][1]]
+    assert any(
+        r.vec_id == 7 and r.cos_sim == 1.0
+        for r in Engine.pq_ann_search(spark, path, probe, k=3).collect()
+    )
+
+    cb_before = spark.read.parquet(path + "/codebook").count()
+    Engine.pq_index_remove(spark, path, [7, 11])
+    ts_rows = [
+        (r.vec_id, r.cos_sim)
+        for r in Engine.pq_ann_search(spark, path, probe, k=120).collect()
+    ]
+    assert all(v not in (7, 11) for v, _ in ts_rows)
+
+    Engine.pq_index_compact(spark, path)
+    assert not os.path.isdir(path + "/tombstones")
+    compact_rows = [
+        (r.vec_id, r.cos_sim)
+        for r in Engine.pq_ann_search(spark, path, probe, k=120).collect()
+    ]
+    assert compact_rows == ts_rows
+    assert spark.read.parquet(path + "/codebook").count() == cb_before
+    raw = {r.vec_id for r in spark.read.parquet(path + "/vectors").collect()}
+    assert 7 not in raw and 11 not in raw and len(raw) == 118
+
+
+def test_ann_index_remove_rewrites_only_hit_clusters(spark, tmp_path):
+    """IVF retraction: tombstoned vectors leave ann_search results;
+    compaction rewrites ONLY the cluster partitions containing them
+    (witnessed by partition file mtimes) and clears the set."""
+    import math
+    import os
+
+    from iceberg_twist_spark.api import Engine
+
+    def vec(i):
+        return [
+            math.cos(0.13 * d * (1 + i % 7)) + 0.03 * ((i * 17 + d * 5) % 71)
+            for d in range(16)
+        ]
+
+    rows = [(i, vec(i)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, v array<float>")
+    path = Engine.build_ann_index(
+        df, "v", "id", str(tmp_path / "ivfr"), n_clusters=8
+    )
+    probe = [float(x) for x in rows[42][1]]
+    assert any(
+        r.vec_id == 42
+        for r in Engine.ann_search(spark, path, probe, k=5, nprobe=8).collect()
+    )
+    # the cluster holding vec 42, and a snapshot of every partition's
+    # newest mtime before the compact
+    idx = spark.read.parquet(path)
+    hit_cluster = idx.filter(idx.vec_id == 42).select("cluster").head()[0]
+    parts = [d for d in os.listdir(path) if d.startswith("cluster=")]
+
+    def newest(d):
+        p = os.path.join(path, d)
+        return max(os.path.getmtime(os.path.join(p, f)) for f in os.listdir(p))
+
+    mtimes = {d: newest(d) for d in parts}
+
+    Engine.ann_index_remove(spark, path, [42])
+    got = {
+        r.vec_id
+        for r in Engine.ann_search(spark, path, probe, k=200, nprobe=8).collect()
+    }
+    assert 42 not in got and len(got) == 199
+
+    Engine.ann_index_compact(spark, path)
+    assert not os.path.isdir(path.rstrip("/") + "_tombstones")
+    got2 = {
+        r.vec_id
+        for r in Engine.ann_search(spark, path, probe, k=200, nprobe=8).collect()
+    }
+    assert got2 == got
+    for d in parts:
+        changed = newest(d) != mtimes[d]
+        assert changed == (d == f"cluster={hit_cluster}"), (
+            f"{d}: rewritten={changed}, expected only cluster={hit_cluster}"
+        )
+
+
 def test_scrub_pii_counts_match_replacements(spark):
     """A phone-shaped digit run inside an email local-part is consumed
     by the <EMAIL> replacement and must NOT be billed as a phone:
