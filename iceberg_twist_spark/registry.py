@@ -168,6 +168,7 @@ REVERIFY_FIRST = (
     # r9 (interval join / throttle window are both SQL-expressible).
     "q_stream_stream_join",
     "q_stream_throttle",
+    "q_stream_upsert_sink",
     # plan changed r9 AFTER its r7 driver check: batched disjoint-pair
     # merge rounds (parallel-BPE) replace the 1-job-per-merge loop.
     "q_llm_bpe_train",

@@ -45,6 +45,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from iceberg_twist_spark.catalog import load_tables
+from iceberg_twist_spark.common import ts_str
 from iceberg_twist_spark.registry import register
 
 _REPLAY_CACHE: dict[tuple[str, int], str] = {}
@@ -232,6 +233,8 @@ def _final_wm(events: DataFrame, delay: str = "10 minutes"):
 
 
 def _twin_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_twist_spark.common import ts_str
+
     events = load_tables(spark, sf_dir)["events"]
     agg = (
         events.groupBy(F.window(_tsx(), "1 minute").alias("w"), "user_id")
@@ -243,8 +246,78 @@ def _twin_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         agg.crossJoin(F.broadcast(_final_wm(events)))
         .filter(F.col("w.end") <= F.col("__wm"))
-        .select(F.col("w.start").alias("window_start"), "user_id", "first_value", "n_raw")
+        .select(
+            ts_str(F.col("w.start")).alias("window_start"),
+            "user_id", "first_value", "n_raw",
+        )
     )
+
+
+# r9 promotion (r8 verdict item #4): the three `no_oracle` streaming
+# ids whose final answers ARE ANSI-SQL-expressible get full DuckDB
+# hash oracles — the SQL forms of their batch twins. The driver still
+# executes the LIVE streaming job on the Spark side, so the hash now
+# gates watermark close, interval-state expiry, and the foreachBatch
+# merge loop end-to-end. Genuinely stateful jobs (bounded queue + TTL
+# timers, observe metrics) stay rows-only with pytest stream≡batch.
+
+def _throttle_oracle() -> str:
+    from iceberg_twist_spark.common import duck_ts_str
+
+    wb = "time_bucket(INTERVAL '1 minute', CAST(ts AS TIMESTAMP))"
+    return f"""
+WITH wm AS (
+  SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL '10 minutes' AS wm FROM events
+), r AS (
+  SELECT {wb} AS ws, user_id, value,
+         row_number() OVER (PARTITION BY {wb}, user_id
+                            ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn,
+         count(*) OVER (PARTITION BY {wb}, user_id) AS n_raw
+  FROM events
+)
+SELECT {duck_ts_str('ws')} AS window_start, user_id,
+       value AS first_value, CAST(n_raw AS BIGINT) AS n_raw
+FROM r, wm
+WHERE rn = 1 AND ws + INTERVAL '1 minute' <= wm.wm
+"""
+
+
+def _stream_join_oracle() -> str:
+    from iceberg_twist_spark.common import duck_ts_str
+
+    return f"""
+SELECT p.user_id, p.purchase_id, c.click_id, p.amount,
+       {duck_ts_str('p.pts')} AS purchase_ts,
+       {duck_ts_str('c.cts')} AS click_ts
+FROM (SELECT user_id, event_id AS purchase_id,
+             CAST(ts AS TIMESTAMP) AS pts, value AS amount
+      FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT user_id AS c_user, event_id AS click_id,
+             CAST(ts AS TIMESTAMP) AS cts
+      FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.c_user
+ AND c.cts <= p.pts
+ AND c.cts >= p.pts - INTERVAL '1 hour'
+"""
+
+
+def _upsert_oracle() -> str:
+    from iceberg_twist_spark.common import duck_ts_str
+
+    return f"""
+WITH r AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY CAST(ts AS TIMESTAMP) DESC,
+                                     event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_events,
+         max(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id) AS mts
+  FROM events
+)
+SELECT user_id, value AS last_value, CAST(n_events AS BIGINT) AS n_events,
+       {duck_ts_str('mts')} AS last_ts
+FROM r WHERE rn = 1
+"""
 
 
 def _twin_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -309,8 +382,8 @@ def _twin_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("p_user").alias("user_id"),
         "purchase_id", "click_id", "amount",
-        F.col("purchase_ts").cast("string").alias("purchase_ts"),
-        F.col("click_ts").cast("string").alias("click_ts"),
+        ts_str(F.col("purchase_ts")).alias("purchase_ts"),
+        ts_str(F.col("click_ts")).alias("click_ts"),
     )
 
 
@@ -322,7 +395,7 @@ def _twin_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max_by("value", F.struct(_tsx(), F.col("event_id"))).alias("last_value"),
             F.count("*").cast("long").alias("n_events"),
-            F.max(_tsx()).alias("last_ts"),
+            ts_str(F.max(_tsx())).alias("last_ts"),
         )
     )
 
@@ -437,10 +510,20 @@ def _twin_queue_ttl(
     return per.groupBy("user_id").applyInPandas(fold, _QOUT)
 
 
-@register("q_stream_throttle", tags=("streaming",), batch_twin=_twin_throttle)
+@register(
+    "q_stream_throttle",
+    oracle=_throttle_oracle(),
+    tags=("streaming",),
+    batch_twin=_twin_throttle,
+)
 def q_stream_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A28 throttle: 1-minute tumbling windows keeping the first sample
-    per user (min_by on event time), watermarked 10 minutes."""
+    per user (min_by on event time), watermarked 10 minutes. The LIVE
+    stream's append-mode output (only watermark-closed windows emit)
+    is hash-gated against the batch SQL with the same final-watermark
+    cutoff."""
+    from iceberg_twist_spark.common import ts_str
+
     s = read_event_stream(spark, sf_dir)
     return run_to_memory(
         s.withWatermark("ts", "10 minutes")
@@ -452,7 +535,8 @@ def q_stream_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_raw"),
         )
         .select(
-            F.col("w.start").alias("window_start"), "user_id", "first_value", "n_raw"
+            ts_str(F.col("w.start")).alias("window_start"),
+            "user_id", "first_value", "n_raw",
         )
     )
 
@@ -690,12 +774,17 @@ def build_stream_join(click_src: DataFrame, purchase_src: DataFrame) -> DataFram
     ).select(
         F.col("p_user").alias("user_id"),
         "purchase_id", "click_id", "amount",
-        F.col("purchase_ts").cast("string").alias("purchase_ts"),
-        F.col("click_ts").cast("string").alias("click_ts"),
+        ts_str(F.col("purchase_ts")).alias("purchase_ts"),
+        ts_str(F.col("click_ts")).alias("click_ts"),
     )
 
 
-@register("q_stream_stream_join", tags=("streaming", "join"), batch_twin=_twin_stream_join)
+@register(
+    "q_stream_stream_join",
+    oracle=_stream_join_oracle(),
+    tags=("streaming", "join"),
+    batch_twin=_twin_stream_join,
+)
 def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join: per user, join each ``purchase``
     event to ``click`` events from the preceding hour — the canonical
@@ -759,7 +848,12 @@ def make_upsert_merger(store_dir: str):
     return merge_batch
 
 
-@register("q_stream_upsert_sink", tags=("streaming", "cdc"), batch_twin=_twin_upsert)
+@register(
+    "q_stream_upsert_sink",
+    oracle=_upsert_oracle(),
+    tags=("streaming", "cdc"),
+    batch_twin=_twin_upsert,
+)
 def q_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch CDC sink: every micro-batch merges latest-wins
     per-sensor state (last value, event count, last event time) into
@@ -788,4 +882,8 @@ def q_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.awaitTermination()
         finally:
             shutil.rmtree(ckpt, ignore_errors=True)
-    return spark.read.schema(store_schema).parquet(store_dir)
+    # the STORE keeps a native timestamp; only the query boundary
+    # renders it canonically (determinism convention)
+    return spark.read.schema(store_schema).parquet(store_dir).select(
+        "user_id", "last_value", "n_events", ts_str(F.col("last_ts")).alias("last_ts")
+    )

@@ -376,9 +376,19 @@ def test_upsert_sink_recovers_from_checkpoint_mid_replay(spark, sf_dir):
                 .start()
             )
             q.awaitTermination()
+        from iceberg_twist_spark.common import ts_str
+
+        # render last_ts canonically — the twin (like the registered
+        # query boundary) returns it as a formatted string
         return [
             tuple(r)
-            for r in spark.read.schema(UPSERT_STORE_SCHEMA).parquet(store).collect()
+            for r in spark.read.schema(UPSERT_STORE_SCHEMA)
+            .parquet(store)
+            .select(
+                "user_id", "last_value", "n_events",
+                ts_str(F.col("last_ts")).alias("last_ts"),
+            )
+            .collect()
         ]
 
     try:
