@@ -166,7 +166,7 @@ class SnapshotTable:
 
     def _commit(self, files: list[str], n_records: int, operation: str,
                 schema_json: str, file_stats: dict | None = None,
-                update_hint: bool = True) -> int:
+                update_hint: bool = True, staged: bool = False) -> int:
         parent = self.current_snapshot_id()
         # allocate past EVERY existing manifest (staged WAP snapshots
         # live beyond the pointer; a later commit must not collide)
@@ -183,6 +183,13 @@ class SnapshotTable:
             # per-file zone maps ({path: {col: [min, max]}}) — absent
             # entries simply can't be pruned (backward compatible)
             "file_stats": file_stats or {},
+            # WAP stage marker — cleared by publish(); expire retains
+            # staged snapshots regardless of id ordering until they
+            # are explicitly abandoned or age out (real Iceberg keeps
+            # staged snapshots to age-based expiry; inferring "stale"
+            # from id < pointer would reclaim a stage awaiting audit
+            # the moment any unrelated commit lands)
+            "staged": staged,
         }
         mpath = os.path.join(self._meta, f"v{snap}.json")
         with open(mpath, "w") as f:
@@ -325,7 +332,12 @@ class SnapshotTable:
             m.get("file_stats", {}),
         )
 
-    def expire_snapshots(self, keep_last: int = 1) -> dict:
+    def expire_snapshots(
+        self,
+        keep_last: int = 1,
+        abandon_staged: tuple[int, ...] = (),
+        staged_older_than_s: float | None = None,
+    ) -> dict:
         """Iceberg's ``expire_snapshots``: drop manifests older than
         the last ``keep_last`` retained ones and PHYSICALLY delete the
         data files no retained snapshot references — the reclamation
@@ -333,19 +345,50 @@ class SnapshotTable:
         alive for time travel until an expire pass). Reference
         counting is manifest-level set arithmetic: a file is deletable
         iff it appears in no retained manifest, so a file carried
-        forward by appends/rollbacks survives. Returns
-        ``{"expired": [ids], "deleted_files": n}``."""
+        forward by appends/rollbacks survives.
+
+        STAGED (write-audit-publish) snapshots are retained regardless
+        of id ordering — a stage awaiting audit must never be
+        reclaimed just because an unrelated commit allocated a higher
+        id past it (real Iceberg keeps staged snapshots until
+        age-based expiry). They are reclaimed only by explicit
+        abandonment (``abandon_staged=[ids]``) or age
+        (``staged_older_than_s`` vs the manifest file's mtime).
+        Returns ``{"expired": [ids], "deleted_files": n}``."""
+        import time
+
         cur = self.current_snapshot_id()
         if cur == 0:
             return {"expired": [], "deleted_files": 0}
         chain_ids = [m["snapshot_id"] for m in self.snapshots()]
         retained = set(chain_ids[-max(1, keep_last):])
-        # pending staged snapshots (ids beyond the pointer, not yet
-        # published) keep their manifests AND their files — a stage
-        # awaiting audit must never be reclaimed under it
-        pending = {i for i in self._all_manifest_ids() if i > cur}
+        now = time.time()
+
+        def stage_keeps(i: int) -> bool:
+            if not self._manifest(i).get("staged"):
+                return False
+            if i in abandon_staged:
+                return False
+            if staged_older_than_s is not None:
+                age = now - os.path.getmtime(
+                    os.path.join(self._meta, f"v{i}.json")
+                )
+                if age > staged_older_than_s:
+                    return False
+            return True
+
+        # pending = staged snapshots not explicitly abandoned or aged
+        # out (wherever their id sits relative to the pointer) + any
+        # in-flight non-staged commit beyond the pointer (manifest
+        # written, hint swap not yet landed): manifests AND files
+        # survive
+        pending = {
+            i for i in self._all_manifest_ids()
+            if stage_keeps(i)
+            or (i > cur and not self._manifest(i).get("staged"))
+        }
         # everything else on disk expires: aged-out chain members and
-        # stale failed-audit stages the pointer moved past
+        # abandoned / aged-out stages
         expired = [
             i for i in self._all_manifest_ids()
             if i not in retained and i not in pending
@@ -372,16 +415,40 @@ class SnapshotTable:
         null keys, dedup rates) before any consumer can see it."""
         files, n, st = self._write_files(df)
         return self._commit(
-            files, n, operation, df.schema.json(), st, update_hint=False
+            files, n, operation, df.schema.json(), st,
+            update_hint=False, staged=True,
         )
 
-    def publish(self, snapshot_id: int) -> None:
+    def publish(self, snapshot_id: int, reparent: bool = False) -> None:
         """Write-Audit-Publish, the PUBLISH half: fast-forward the
         main pointer to an audited staged snapshot — a metadata-only
         atomic swap; an unpublished (failed-audit) staged snapshot is
-        simply never pointed at and is reclaimed by expire/orphan
-        maintenance."""
-        self._manifest(snapshot_id)  # must exist — raises otherwise
+        simply never pointed at and is reclaimed by
+        ``expire_snapshots(abandon_staged=...)`` or age-out.
+
+        The staged snapshot's parent must BE the current snapshot:
+        commits landing between stage() and publish() would otherwise
+        silently vanish from the history chain (lost update) and their
+        files become expirable. For an overwrite-shaped stage (its
+        file list is self-contained) pass ``reparent=True`` to
+        cherry-pick it onto the current head instead; append-shaped
+        stages must be re-staged against the new head."""
+        m = self._manifest(snapshot_id)  # must exist — raises otherwise
+        cur = self.current_snapshot_id()
+        parent = m.get("parent_id") or 0
+        if parent != cur:
+            if not reparent:
+                raise ValueError(
+                    f"staged snapshot {snapshot_id} has parent {parent} but the "
+                    f"table is now at {cur}: a commit landed between stage() "
+                    "and publish(); fast-forwarding would drop it from the "
+                    "history chain. Pass reparent=True to cherry-pick an "
+                    "overwrite-shaped stage onto the current head, or re-stage."
+                )
+            m["parent_id"] = cur or None
+        m["staged"] = False
+        with open(os.path.join(self._meta, f"v{snapshot_id}.json"), "w") as f:
+            json.dump(m, f)
         self._swap_hint(snapshot_id)
 
     def remove_orphan_files(self) -> int:
@@ -845,6 +912,71 @@ def q_iceberg_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert ops == ["overwrite", "wap-overwrite"], ops
     # the failed stage exists on disk but is NOT history
     assert len(tbl._all_manifest_ids()) == 3
+    return tbl.read().select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.floor(F.col("o_totalprice") * 10000 + F.lit(0.5)) / 10000).alias(
+            "o_totalprice"
+        ),
+    )
+
+
+def _orphan_table(spark: SparkSession, sf_dir: str) -> tuple[SnapshotTable, int, int]:
+    """Planted-orphan scenario (r8 verdict item #5):
+
+    snapshot 1  overwrite  keys ≡ 0 (mod 3)      — the live table
+    stage A     wap-overwrite  keys ≡ 1 (mod 3)  — unpublished, but
+                MANIFESTED: its files are NOT orphans
+    debris      data files staged by a "crashed" writer that never
+                wrote a manifest (``_write_files`` without a commit —
+                exactly the pre-pointer-swap failure window)
+
+    ``remove_orphan_files`` must delete exactly the debris (count
+    pinned), leave the live read byte-identical, and leave the staged
+    snapshot auditable."""
+    key = f"snaporphan::{sf_dir}"
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    tbl = SnapshotTable(spark, tempfile.mkdtemp(prefix="itws_snaporph_"))
+    orders = load_tables(spark, sf_dir)["orders"].select(*_ORDER_COLS)
+    tbl.overwrite(orders.filter(F.col("o_orderkey") % 3 == 0))
+    staged = tbl.stage(orders.filter(F.col("o_orderkey") % 3 == 1))
+    # the crash: files land in data/, no manifest ever references them
+    debris, _, _ = tbl._write_files(
+        orders.filter(F.col("o_orderkey") % 3 == 2).repartition(3)
+    )
+    result = (tbl, staged, len(debris))
+    _TABLE_CACHE[key] = result
+    return result
+
+
+_ORPHAN_ORACLE = """
+SELECT o_orderkey, o_orderstatus,
+       floor(o_totalprice * 10000 + 0.5) / 10000 AS o_totalprice
+FROM orders WHERE o_orderkey % 3 = 0
+"""
+
+
+@register("q_iceberg_orphan", oracle=_ORPHAN_ORACLE, tags=("iceberg", "maintenance"))
+def q_iceberg_orphan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan-file reclamation under the hash gate: with a live
+    snapshot, an unpublished-but-manifested WAP stage, and planted
+    crash debris (data files no manifest references), one
+    ``remove_orphan_files`` pass must delete EXACTLY the debris count
+    (asserted in-plan), leave the staged snapshot auditable, a second
+    pass must find nothing, and the current read — the returned,
+    hash-checked result — must equal the pre-reclaim contents. At
+    100 TB this is routine hygiene: atomic pointer swaps mean crashed
+    writers leak files, never corrupt state, and reclamation is pure
+    set arithmetic over the manifests."""
+    tbl, staged, n_debris = _orphan_table(spark, sf_dir)
+    deleted = tbl.remove_orphan_files()
+    # idempotent re-run of the QUERY on a cached fixture: the first
+    # invocation reclaims exactly the debris, later ones find nothing
+    assert deleted in (n_debris, 0), (deleted, n_debris)
+    assert tbl.remove_orphan_files() == 0
+    assert tbl.read(snapshot_id=staged).count() > 0  # stage survived
     return tbl.read().select(
         "o_orderkey",
         "o_orderstatus",

@@ -220,9 +220,10 @@ def test_expire_reclaims_only_unreferenced_files(spark, sf_dir):
 
 def test_wap_failed_stage_invisible_until_maintenance(spark, sf_dir):
     """A staged snapshot must be readable by id for auditing, invisible
-    to main readers, excluded from history, and reclaimable: expire
-    removes a STALE failed stage (pointer moved past it) while a
-    pending stage beyond the pointer keeps its files."""
+    to main readers, excluded from history, and retained by DEFAULT
+    expire regardless of id ordering (a stage awaiting audit must not
+    become 'stale' just because an unrelated commit allocated a higher
+    id) — reclaimed only by explicit abandonment or age-out."""
     from iceberg_twist_spark.sources.snapshots import _wap_table
 
     tbl = _wap_table(spark, sf_dir)
@@ -233,21 +234,75 @@ def test_wap_failed_stage_invisible_until_maintenance(spark, sf_dir):
     # auditable by id, but not history and not the current read
     assert tbl.read(snapshot_id=failed).count() > 0
     assert tbl.current_snapshot_id() != failed
-    # a NEW pending stage must survive expire; the stale failed one
-    # (pointer already moved past it) must be reclaimed
     import os
 
     pending = tbl.stage(tbl.read().limit(10))
+    # DEFAULT expire retains every staged snapshot — both the old
+    # failed-audit one (id below the pointer) and the new pending one
     res = tbl.expire_snapshots(keep_last=2)
+    assert failed not in res["expired"] and pending not in res["expired"]
+    assert tbl.read(snapshot_id=failed).count() > 0
+    # explicit abandonment reclaims the failed stage, files included
+    failed_files = tbl._manifest(failed)["files"]
+    res = tbl.expire_snapshots(keep_last=2, abandon_staged=(failed,))
     assert failed in res["expired"] and pending not in res["expired"]
+    assert res["deleted_files"] > 0
+    assert not any(os.path.exists(f) for f in failed_files)
     for f in tbl._manifest(pending)["files"]:
         assert os.path.exists(f)
     tbl.publish(pending)
     assert tbl.read().count() == 10
+    # the published manifest drops its staged marker
+    assert tbl._manifest(pending).get("staged") is False
     # rebuild next call: the cache key requires the original shape
     from iceberg_twist_spark.sources import snapshots as S
 
     S._TABLE_CACHE.pop(f"snapwap::{sf_dir}", None)
+
+
+def test_stage_age_out_expiry(spark, sf_dir, tmp_path):
+    """Age-based stage reclamation: a staged snapshot older than
+    ``staged_older_than_s`` expires; a fresh one survives."""
+    import os
+
+    from iceberg_twist_spark.sources.snapshots import SnapshotTable
+
+    tbl = SnapshotTable(spark, str(tmp_path / "aged"))
+    df = spark.range(20).selectExpr("id", "id * 2 AS v")
+    tbl.create(df)
+    old_stage = tbl.stage(df.limit(5))
+    # backdate the staged manifest (a week old)
+    mpath = os.path.join(tbl._meta, f"v{old_stage}.json")
+    past = os.path.getmtime(mpath) - 7 * 24 * 3600
+    os.utime(mpath, (past, past))
+    fresh_stage = tbl.stage(df.limit(3))
+    res = tbl.expire_snapshots(keep_last=1, staged_older_than_s=24 * 3600)
+    assert old_stage in res["expired"] and fresh_stage not in res["expired"]
+
+
+def test_publish_requires_current_parent(spark, tmp_path):
+    """Lost-update guard: a commit landing between stage() and
+    publish() makes the plain publish raise; reparent=True
+    cherry-picks the overwrite-shaped stage onto the new head and the
+    intervening commit stays in the history chain."""
+    import pytest
+
+    from iceberg_twist_spark.sources.snapshots import SnapshotTable
+
+    tbl = SnapshotTable(spark, str(tmp_path / "race"))
+    df = spark.range(30).selectExpr("id", "id * 3 AS v")
+    tbl.create(df)
+    staged = tbl.stage(df.filter("id < 10"))
+    intervening = tbl.overwrite(df.filter("id >= 20"))
+    with pytest.raises(ValueError, match="parent"):
+        tbl.publish(staged)
+    # the failed publish must not have moved the pointer
+    assert tbl.current_snapshot_id() == intervening
+    tbl.publish(staged, reparent=True)
+    assert tbl.current_snapshot_id() == staged
+    assert tbl.read().count() == 10
+    chain = [m["snapshot_id"] for m in tbl.snapshots()]
+    assert intervening in chain, "intervening commit dropped from history"
 
 
 def test_remove_orphan_files_spares_all_manifested_files(spark, sf_dir, tmp_path):
