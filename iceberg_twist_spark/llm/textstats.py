@@ -607,69 +607,114 @@ def q_llm_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------- BPE train loop
-# The full tokenizer-training outer loop: N merge ROUNDS, each
-# re-counting adjacent pairs over the CURRENT (already-merged) token
-# streams and applying the winner — merged symbols from round k are
-# pair candidates in round k+1, which is what makes BPE build
-# multi-token units. Same a ≠ b positional-merge discipline as
-# q_llm_bpe_apply; the oracle unrolls the identical N rounds (the
-# pagerank/CC unrolling pattern).
+# The full tokenizer-training outer loop, BATCHED (parallel BPE — the
+# r8 verdict's scale item): each ROUND re-counts adjacent pairs over
+# the CURRENT (already-merged) token streams, then applies a whole
+# BATCH of mutually symbol-disjoint winners simultaneously — merged
+# symbols from round k are pair candidates in round k+1, which is what
+# makes BPE build multi-token units, while the batch amortizes the
+# per-round driver job: a 30k-merge vocab costs O(vocab / batch)
+# sequential jobs instead of one job per merge.
+#
+# Batch selection (the classic parallel-BPE compromise, made
+# non-recursive so DuckDB can replicate it): rank candidates by
+# (count DESC, a, b), window the top BPE_BATCH_WINDOW, and keep a
+# candidate iff NO HIGHER-RANKED candidate in the window shares a
+# symbol with it (conservative — a blocking candidate excludes its
+# symbols even if itself blocked; greedy would re-free them, but
+# greedy is kept-depends-on-kept recursive and not SQL-expressible).
+# Kept pairs are pairwise symbol-disjoint and each has a ≠ b, so no
+# two occurrences can overlap and the batch application stays the
+# same zero-shuffle positional HOF rewrite as q_llm_bpe_apply, with
+# the merged token concat(t[i], t[i+1]) per occurrence.
 
 N_BPE_ROUNDS = 3
+BPE_BATCH_WINDOW = 16
 
 
-def _bpe_train_oracle(rounds: int = N_BPE_ROUNDS) -> str:
+def _bpe_train_oracle(
+    rounds: int = N_BPE_ROUNDS, window: int = BPE_BATCH_WINDOW
+) -> str:
     sql = f"""WITH toks1 AS MATERIALIZED (
   SELECT doc_id, regexp_extract_all(lower(text), '{_TOKEN_PATTERN}') AS t
   FROM documents WHERE length(text) > 0)"""
     for r in range(1, rounds + 1):
         sql += f""",
-top{r} AS MATERIALIZED (
-  SELECT a, b, n FROM (
+rank{r} AS MATERIALIZED (
+  SELECT a, b, n, row_number() OVER (ORDER BY n DESC, a, b) AS rn
+  FROM (
     SELECT t[CAST(u.i AS INT)] AS a, t[CAST(u.i + 1 AS INT)] AS b,
            count(*) AS n
     FROM toks{r}, LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)
     WHERE t[CAST(u.i AS INT)] <> t[CAST(u.i + 1 AS INT)]
     GROUP BY 1, 2)
-  ORDER BY n DESC, a, b LIMIT 1)"""
+  QUALIFY rn <= {window}),
+keep{r} AS MATERIALIZED (
+  SELECT k.a, k.b, k.n FROM rank{r} k
+  WHERE NOT EXISTS (
+    SELECT 1 FROM rank{r} h
+    WHERE h.rn < k.rn AND (h.a IN (k.a, k.b) OR h.b IN (k.a, k.b))))"""
         if r < rounds:
             sql += f""",
+rules{r} AS MATERIALIZED (
+  SELECT list(a || ' ' || b) AS rl FROM keep{r}),
 toks{r + 1} AS MATERIALIZED (
   SELECT doc_id,
          list_filter(
              list_transform(generate_series(1, len(t)), i ->
-                 CASE WHEN list_contains(occ, i) THEN a || b
+                 CASE WHEN list_contains(occ, i)
+                          THEN t[CAST(i AS INT)] || t[CAST(i + 1 AS INT)]
                       WHEN list_contains(occ, i - 1) THEN NULL
                       ELSE t[CAST(i AS INT)] END),
              x -> x IS NOT NULL) AS t
   FROM (
-    SELECT doc_id, t, a, b,
+    SELECT doc_id, t,
            CASE WHEN len(t) >= 2 THEN
              list_filter(generate_series(1, len(t) - 1),
-                 i -> t[CAST(i AS INT)] = a AND t[CAST(i + 1 AS INT)] = b)
+                 i -> list_contains(rl,
+                      t[CAST(i AS INT)] || ' ' || t[CAST(i + 1 AS INT)]))
            ELSE [] END AS occ
-    FROM toks{r}, top{r}))"""
+    FROM toks{r}, rules{r}))"""
     unions = "\nUNION ALL\n".join(
-        f"SELECT CAST({r} AS INT) AS round, a, b, CAST(n AS BIGINT) AS n FROM top{r}"
+        f"SELECT CAST({r} AS INT) AS round, a, b, CAST(n AS BIGINT) AS n FROM keep{r}"
         for r in range(1, rounds + 1)
     )
     return sql + "\n" + unions
 
 
+def bpe_disjoint_batch(ranked) -> list:
+    """The non-recursive disjoint-batch selection over a ranked
+    candidate window: keep a candidate iff no higher-ranked candidate
+    shares a symbol with it. Pure and bounded (the window is ≤
+    BPE_BATCH_WINDOW rows) — the Python mirror of the oracle's
+    NOT EXISTS."""
+    kept = []
+    for i, r in enumerate(ranked):
+        if not any(
+            h.a in (r.a, r.b) or h.b in (r.a, r.b) for h in ranked[:i]
+        ):
+            kept.append(r)
+    return kept
+
+
 @register("q_llm_bpe_train", oracle=_bpe_train_oracle(), tags=("llm", "text", "agg"))
 def q_llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N_BPE_ROUNDS rounds of BPE training: the learned merge table
-    (round, a, b, n) where n is the pair's corpus count at selection
-    time and round k counts over the streams already rewritten by
-    merges 1..k-1.
+    """N_BPE_ROUNDS batched rounds of BPE training: the learned merge
+    table (round, a, b, n) where n is the pair's corpus count at
+    selection time, round k counts over the streams already rewritten
+    by rounds 1..k-1, and each round applies a whole symbol-disjoint
+    BATCH of merges (see the module comment — parallel BPE, the r8
+    verdict's fix for the 1-job-per-merge serialization).
 
     Scale shape per round: rule selection is one pair-count aggregate
     (map-side combined, TakeOrderedAndProject — pair counts move, the
-    corpus doesn't) whose 1-row winner is a bounded driver scalar
-    (the pagerank count convention); application is a zero-shuffle
-    HOF rewrite. The token streams are lazily checkpointed each round
-    so round k's plan starts from round k-1's result instead of
-    replaying the whole chain (the pagerank per-iteration pattern).
+    corpus doesn't) whose window is a bounded driver collect
+    (≤ BPE_BATCH_WINDOW rows); application of the whole batch is one
+    zero-shuffle HOF rewrite. The token streams are lazily
+    checkpointed each round so round k's plan starts from round k-1's
+    result instead of replaying the whole chain (the pagerank
+    per-iteration pattern). A 30k-merge vocab is O(30k / batch)
+    sequential rounds, not 30k jobs.
     """
     docs = spread(
         load_tables(spark, sf_dir)["documents"].filter(F.length("text") > 0),
@@ -694,29 +739,34 @@ def q_llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
             ).alias("p")
         ).select("p.a", "p.b")
-        winners = (
+        ranked = (
             cand.filter(F.col("a") != F.col("b"))
             .groupBy("a", "b")
             .count()
             .orderBy(F.col("count").desc(), "a", "b")
-            .limit(1)
+            .limit(BPE_BATCH_WINDOW)
             .collect()
         )
-        if not winners:
+        kept = bpe_disjoint_batch(ranked)
+        if not kept:
             # no eligible adjacent pair left (all streams < 2 tokens,
             # or every pair is a == b): training has converged — stop
             # merging. The unrolled oracle agrees for free: an empty
-            # top{r} contributes no union row and empties every later
-            # round's stream.
+            # keep{r} contributes no union row and passes every later
+            # round's stream through.
             break
-        top = winners[0]
-        merges.append((rnd, top.a, top.b, int(top["count"])))
-        a, b = F.lit(top.a), F.lit(top.b)
+        merges.extend((rnd, r.a, r.b, int(r["count"])) for r in kept)
+        rules = F.array(*[F.lit(f"{r.a} {r.b}") for r in kept])
         occ = F.when(
             F.size(t) >= 2,
             F.filter(
                 F.sequence(F.lit(1), F.size(t) - 1),
-                lambda i: (F.element_at(t, i) == a) & (F.element_at(t, i + 1) == b),
+                lambda i: F.array_contains(
+                    rules,
+                    F.concat(
+                        F.element_at(t, i), F.lit(" "), F.element_at(t, i + 1)
+                    ),
+                ),
             ),
         ).otherwise(F.array().cast("array<int>"))
         with_occ = toks.withColumn("occ", occ)
@@ -726,7 +776,10 @@ def q_llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter(
                 F.transform(
                     F.sequence(F.lit(1), F.size(t)),
-                    lambda i: F.when(F.array_contains(oc, i), F.concat(a, b))
+                    lambda i: F.when(
+                        F.array_contains(oc, i),
+                        F.concat(F.element_at(t, i), F.element_at(t, i + 1)),
+                    )
                     .when(F.array_contains(oc, i - 1), F.lit(None).cast("string"))
                     .otherwise(F.element_at(t, i)),
                 ),

@@ -580,6 +580,74 @@ def test_triangle_counts_degree_flipped_closing_edge(spark):
     assert out == {1: 1, 2: 1, 3: 1}
 
 
+def test_bpe_disjoint_batch_selection():
+    """The parallel-BPE batch rule: keep a candidate iff NO
+    higher-ranked candidate shares a symbol — conservative (a blocked
+    candidate still blocks), so kept pairs are pairwise
+    symbol-disjoint and simultaneous application is order-free."""
+    from collections import namedtuple
+
+    from iceberg_twist_spark.llm.textstats import bpe_disjoint_batch
+
+    P = namedtuple("P", "a b")
+    ranked = [
+        P("x", "y"),   # rank 1: kept
+        P("y", "z"),   # shares y with rank 1: blocked
+        P("z", "w"),   # shares z with rank 2 (blocked but still blocks)
+        P("p", "q"),   # disjoint: kept
+        P("m", "n"),   # disjoint: kept
+        P("n", "m"),   # shares both with rank 5: blocked
+    ]
+    kept = bpe_disjoint_batch(ranked)
+    assert [(r.a, r.b) for r in kept] == [("x", "y"), ("p", "q"), ("m", "n")]
+    # kept pairs are pairwise symbol-disjoint
+    syms = [s for r in kept for s in (r.a, r.b)]
+    assert len(syms) == len(set(syms))
+    assert bpe_disjoint_batch([]) == []
+
+
+def test_bpe_train_batched_rounds_merge_many(spark):
+    """A batched round learns MULTIPLE disjoint merges from one driver
+    job (the 1-job-per-merge fix), and round 2 can merge a symbol
+    built in round 1."""
+    from pyspark.sql import functions as F
+
+    from iceberg_twist_spark.llm.textstats import (
+        BPE_BATCH_WINDOW,
+        _TOKEN_PATTERN,
+        bpe_disjoint_batch,
+    )
+
+    rows = [(i, "aa bb aa bb cc dd cc dd ee") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = df.select(
+        "doc_id",
+        F.regexp_extract_all(F.lower("text"), F.lit(_TOKEN_PATTERN), 0).alias("t"),
+    )
+    t = F.col("t")
+    cand = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> struct(element_at(t, i) as a, element_at(t, i + 1) as b))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    ranked = (
+        cand.filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .count()
+        .orderBy(F.col("count").desc(), "a", "b")
+        .limit(BPE_BATCH_WINDOW)
+        .collect()
+    )
+    kept = bpe_disjoint_batch(ranked)
+    # (aa,bb) and (cc,dd) are disjoint and both merge in ONE round;
+    # pairs sharing aa/bb/cc/dd with a higher rank are blocked
+    got = {(r.a, r.b) for r in kept}
+    assert ("aa", "bb") in got and ("cc", "dd") in got
+
+
 def test_bpe_merge_round_zero_token_doc(spark):
     """Docs passing the length filter but tokenizing to zero tokens
     (whitespace/punctuation-only) must yield an empty rewrite, not an
