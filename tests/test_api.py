@@ -957,9 +957,18 @@ def test_readme_daily_ingest_recipe(spark, sf_dir, tmp_path):
         (i, " ".join(f"w{(i * 7 + j) % 23}" for j in range(30))) for i in range(40)
     ]
     corpus = spark.createDataFrame(texts, "doc_id long, text string")
-    # batch doc 100 duplicates corpus doc 3 verbatim; 101 is fresh
+    # batch doc 100 duplicates corpus doc 3 verbatim; 101 is fresh;
+    # 102 and 103 duplicate EACH OTHER (and nothing stored) — the
+    # within-batch pair must keep ONE representative (min id 102), not
+    # drop both (the r8 ADVICE hazard)
+    fresh2 = " ".join(f"y{j}" for j in range(30))
     batch = spark.createDataFrame(
-        [(100, texts[3][1]), (101, " ".join(f"x{j}" for j in range(30)))],
+        [
+            (100, texts[3][1]),
+            (101, " ".join(f"x{j}" for j in range(30))),
+            (102, fresh2),
+            (103, fresh2),
+        ],
         "doc_id long, text string",
     )
     import math
@@ -986,14 +995,16 @@ def test_readme_daily_ingest_recipe(spark, sf_dir, tmp_path):
         "vec_idx": str(tmp_path / "pq_idx"),
     }
     exec(code, ns)  # noqa: S102 — the README block IS the test subject
-    # the duplicate batch doc was dropped, the fresh one survived+banded
+    # the stored-dup batch doc was dropped, the fresh one survived, and
+    # the within-batch dup pair kept exactly its min-id representative
     kept_ids = {r.doc_id for r in ns["keep"].select("doc_id").collect()}
-    assert kept_ids == {101}
+    assert kept_ids == {101, 102}
     banded = {
         r.doc_id
         for r in spark.read.parquet(ns["idx"] + "/bands").select("doc_id").distinct().collect()
     }
-    assert 101 in banded and 100 not in banded
+    assert 101 in banded and 102 in banded
+    assert 100 not in banded and 103 not in banded
     # the appended vector is searchable at cos 1.0
     hits = ns["hits"].collect()
     assert any(r.vec_id == 505 and r.cos_sim == 1.0 for r in hits)
