@@ -199,7 +199,7 @@ SHUFFLE_CEILINGS = {0.1: SHUFFLE_CEILING_SF01, 1.0: SHUFFLE_CEILING_SF1}
 
 # ---------------------------------------------------------------------------
 # Per-query TIME bands (BASELINE.md §2.1): [min, max] best-of-N seconds
-# observed across every recorded round (BENCH_r01–r07) at sf0.1. Single
+# observed across every recorded round (BENCH_r01–r08) at sf0.1. Single
 # runs on this shared sandbox swing more than many real regressions
 # (q_agg_group 1.6→4.5 s historically, with no code change), so the
 # regression gate reads bands, not last round's number: a query FAILS
@@ -209,35 +209,35 @@ SHUFFLE_CEILINGS = {0.1: SHUFFLE_CEILING_SF01, 1.0: SHUFFLE_CEILING_SF1}
 # +0.5 s absolute cushion keeps sub-second queries off the noise floor.
 # Re-derive after adding rounds: min/max over BENCH_r*.json "queries".
 TIME_BANDS_SF01: dict[str, tuple[float, float]] = {
-    "q_agg_group": (1.118, 1.59),
+    "q_agg_group": (1.118, 1.728),
     "q_graph_pagerank": (3.174, 9.108),
     "q_join_bucketed": (0.197, 0.24),
     "q_join_interval_overlap": (0.928, 1.11),
     "q_join_multiway": (1.105, 2.072),
-    "q_llm_ann_lsh": (1.203, 1.539),
-    "q_llm_ann_pq": (3.125, 5.557),
-    "q_llm_ann_pq_indexed": (1.413, 1.413),
-    "q_llm_corpus_pipeline": (6.733, 6.733),
-    "q_llm_cosine_topk": (0.935, 1.406),
-    "q_llm_decontaminate": (1.411, 5.805),
+    "q_llm_ann_lsh": (1.145, 1.539),
+    "q_llm_ann_pq": (3.125, 6.065),
+    "q_llm_ann_pq_indexed": (1.413, 1.483),
+    "q_llm_corpus_pipeline": (6.733, 7.052),
+    "q_llm_cosine_topk": (0.935, 1.438),
+    "q_llm_decontaminate": (1.314, 5.805),
     "q_llm_exact_dedup": (0.816, 2.265),
-    "q_llm_knn_join": (1.1, 1.565),
+    "q_llm_knn_join": (1.1, 1.599),
     "q_llm_line_dedup": (1.144, 1.498),
     "q_llm_minhash_dedup": (1.39, 4.782),
-    "q_llm_minhash_verified": (2.517, 2.517),
+    "q_llm_minhash_verified": (2.234, 2.517),
     "q_profile_table": (2.175, 2.504),
     "q_scan_dpp": (0.455, 0.618),
     "q_scd2_build": (0.92, 1.454),
     "q_seq_pattern": (0.923, 0.997),
     "q_stream_tumble": (0.772, 1.262),
     "q_topk": (0.711, 0.935),
-    "q_tpch_q01": (0.908, 1.245),
+    "q_tpch_q01": (0.908, 1.464),
     "q_tpch_q05": (1.422, 2.012),
     "q_tpch_q09": (1.033, 1.54),
     "q_tpch_q18": (1.119, 1.85),
-    "q_win_lag": (0.917, 1.211),
+    "q_win_lag": (0.917, 1.405),
     "q_win_rank": (0.907, 1.722),
-    "q_win_running": (0.878, 1.316),
+    "q_win_running": (0.878, 1.453),
 }
 
 
