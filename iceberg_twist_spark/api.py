@@ -1346,3 +1346,40 @@ class Engine:
             F.size("__occ").cast("long").alias("n_merges"),
             F.array_join(merged, " ").alias("merged_text"),
         )
+
+    @staticmethod
+    def bpe_train(
+        df: DataFrame,
+        text_col: str,
+        key_col: str,
+        n_merges: int,
+        window: int | None = None,
+    ) -> DataFrame:
+        """Train a BPE merge table of (at least) ``n_merges`` rules
+        over a user corpus with BATCHED symbol-disjoint rounds
+        (parallel BPE): each round is one pair-count aggregate + one
+        bounded driver collect (≤ ``window`` rows) + one zero-shuffle
+        batch rewrite, so a 30k-rule vocabulary costs
+        O(n_merges / batch) sequential Spark jobs rather than one per
+        merge (measured 2.4 s/merge at a 1M-doc corpus — PERF.md r9).
+        Stops early if the corpus converges. Returns
+        (round, a, b, n) ordered by learning order; rules within a
+        round are mutually symbol-disjoint and order-free."""
+        from iceberg_twist_spark.llm.textstats import (
+            _TOKEN_PATTERN,
+            BPE_BATCH_WINDOW,
+            bpe_train_loop,
+        )
+
+        toks = df.filter(F.length(text_col) > 0).select(
+            F.col(key_col).alias("doc_id"),
+            F.regexp_extract_all(
+                F.lower(text_col), F.lit(_TOKEN_PATTERN), 0
+            ).alias("t"),
+        )
+        merges = bpe_train_loop(
+            toks, n_merges=n_merges, window=window or BPE_BATCH_WINDOW
+        )
+        return df.sparkSession.createDataFrame(
+            merges, "round int, a string, b string, n long"
+        )

@@ -697,36 +697,28 @@ def bpe_disjoint_batch(ranked) -> list:
     return kept
 
 
-@register("q_llm_bpe_train", oracle=_bpe_train_oracle(), tags=("llm", "text", "agg"))
-def q_llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N_BPE_ROUNDS batched rounds of BPE training: the learned merge
-    table (round, a, b, n) where n is the pair's corpus count at
-    selection time, round k counts over the streams already rewritten
-    by rounds 1..k-1, and each round applies a whole symbol-disjoint
-    BATCH of merges (see the module comment — parallel BPE, the r8
-    verdict's fix for the 1-job-per-merge serialization).
-
-    Scale shape per round: rule selection is one pair-count aggregate
-    (map-side combined, TakeOrderedAndProject — pair counts move, the
-    corpus doesn't) whose window is a bounded driver collect
-    (≤ BPE_BATCH_WINDOW rows); application of the whole batch is one
-    zero-shuffle HOF rewrite. The token streams are lazily
-    checkpointed each round so round k's plan starts from round k-1's
-    result instead of replaying the whole chain (the pagerank
-    per-iteration pattern). A 30k-merge vocab is O(30k / batch)
-    sequential rounds, not 30k jobs.
-    """
-    docs = spread(
-        load_tables(spark, sf_dir)["documents"].filter(F.length("text") > 0),
-        "doc_id",
-    )
-    toks = docs.select(
-        "doc_id",
-        F.regexp_extract_all(F.lower("text"), F.lit(_TOKEN_PATTERN), 0).alias("t"),
-    )
+def bpe_train_loop(
+    toks: DataFrame,
+    n_rounds: int | None = None,
+    n_merges: int | None = None,
+    window: int = BPE_BATCH_WINDOW,
+) -> list[tuple[int, str, str, int]]:
+    """The batched BPE training loop over a (doc_id, t) token-stream
+    frame: run until ``n_rounds`` rounds have passed, ``n_merges``
+    rules are learned, or the corpus converges — whichever first.
+    Returns the merge table [(round, a, b, count_at_selection)].
+    Shared by the registered query (fixed N_BPE_ROUNDS — oracle
+    unrolls the same rounds) and the ``Engine.bpe_train`` facade
+    (user-specified merge target)."""
+    if n_rounds is None and n_merges is None:
+        raise ValueError("bpe_train_loop needs n_rounds or n_merges")
     t = F.col("t")
     merges: list[tuple[int, str, str, int]] = []
-    for rnd in range(1, N_BPE_ROUNDS + 1):
+    rnd = 0
+    while (n_rounds is None or rnd < n_rounds) and (
+        n_merges is None or len(merges) < n_merges
+    ):
+        rnd += 1
         toks = toks.localCheckpoint(eager=False)
         cand = toks.select(
             F.explode(
@@ -744,7 +736,7 @@ def q_llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("a", "b")
             .count()
             .orderBy(F.col("count").desc(), "a", "b")
-            .limit(BPE_BATCH_WINDOW)
+            .limit(window)
             .collect()
         )
         kept = bpe_disjoint_batch(ranked)
@@ -787,6 +779,38 @@ def q_llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).otherwise(F.array().cast("array<string>"))
         toks = with_occ.select("doc_id", merged.alias("t"))
+    return merges
+
+
+@register("q_llm_bpe_train", oracle=_bpe_train_oracle(), tags=("llm", "text", "agg"))
+def q_llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N_BPE_ROUNDS batched rounds of BPE training: the learned merge
+    table (round, a, b, n) where n is the pair's corpus count at
+    selection time, round k counts over the streams already rewritten
+    by rounds 1..k-1, and each round applies a whole symbol-disjoint
+    BATCH of merges (see the module comment — parallel BPE, the r8
+    verdict's fix for the 1-job-per-merge serialization).
+
+    Scale shape per round: rule selection is one pair-count aggregate
+    (map-side combined, TakeOrderedAndProject — pair counts move, the
+    corpus doesn't) whose window is a bounded driver collect
+    (≤ BPE_BATCH_WINDOW rows); application of the whole batch is one
+    zero-shuffle HOF rewrite. The token streams are lazily
+    checkpointed each round (bpe_train_loop) so round k's plan starts
+    from round k-1's result instead of replaying the whole chain (the
+    pagerank per-iteration pattern). A 30k-merge vocab is
+    O(30k / batch) sequential rounds, not 30k jobs — measured
+    2.4 s/merge at 1M docs (PERF.md r9).
+    """
+    docs = spread(
+        load_tables(spark, sf_dir)["documents"].filter(F.length("text") > 0),
+        "doc_id",
+    )
+    toks = docs.select(
+        "doc_id",
+        F.regexp_extract_all(F.lower("text"), F.lit(_TOKEN_PATTERN), 0).alias("t"),
+    )
+    merges = bpe_train_loop(toks, n_rounds=N_BPE_ROUNDS)
     return spark.createDataFrame(merges, "round int, a string, b string, n long")
 
 

@@ -648,6 +648,38 @@ def test_bpe_train_batched_rounds_merge_many(spark):
     assert ("aa", "bb") in got and ("cc", "dd") in got
 
 
+def test_bpe_train_facade_reaches_merge_target(spark):
+    """Engine.bpe_train loops batched rounds until the merge target is
+    met (or convergence): the merge table crosses n_merges, every
+    round's rules are symbol-disjoint, and round 2 can merge a symbol
+    BUILT in round 1 (multi-token units)."""
+    from iceberg_twist_spark.api import Engine
+
+    rows = [
+        (i, "the quick brown fox jumps over the lazy dog and the cat")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "k long, body string")
+    merges = Engine.bpe_train(df, "body", "k", n_merges=6).collect()
+    assert len(merges) >= 6
+    by_round: dict[int, list] = {}
+    for m in merges:
+        by_round.setdefault(m.round, []).append(m)
+    for rnd, ms in by_round.items():
+        syms = [s for m in ms for s in (m.a, m.b)]
+        assert len(syms) == len(set(syms)), f"round {rnd} not disjoint"
+    # a later round merges a symbol created earlier (len > any raw token
+    # means it is a concatenation product)
+    later = [m for m in merges if m.round > 1]
+    assert any(
+        len(m.a) > len("jumps") or len(m.b) > len("jumps") for m in later
+    )
+    # convergence stop: a tiny corpus runs out of pairs without looping
+    tiny = spark.createDataFrame([(1, "x y")], "k long, body string")
+    got = Engine.bpe_train(tiny, "body", "k", n_merges=50).collect()
+    assert 1 <= len(got) < 50
+
+
 def test_bpe_merge_round_zero_token_doc(spark):
     """Docs passing the length filter but tokenizing to zero tokens
     (whitespace/punctuation-only) must yield an empty rewrite, not an
