@@ -171,10 +171,17 @@ REVERIFY_FIRST = (
     "q_iceberg_incremental",
     "q_iceberg_schema_evolution",
     # r8 `no_oracle` streaming ids promoted to SQL-oracle-checked in
-    # r9 (interval join / throttle window are both SQL-expressible).
+    # r9 (interval join / throttle window are both SQL-expressible),
+    # plus the four r7 rows-only ids whose final answers ARE
+    # SQL-expressible (dedup/late-drop/enrich/observe) — only the
+    # genuinely stateful bounded-queue machine stays rows-only.
     "q_stream_stream_join",
     "q_stream_throttle",
     "q_stream_upsert_sink",
+    "q_stream_dedup_watermark",
+    "q_stream_late_drop",
+    "q_stream_enrich_join",
+    "q_stream_observe",
     # plan changed r9 AFTER its r7 driver check: batched disjoint-pair
     # merge rounds (parallel-BPE) replace the 1-job-per-merge loop.
     "q_llm_bpe_train",

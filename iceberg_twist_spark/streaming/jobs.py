@@ -301,6 +301,65 @@ JOIN (SELECT user_id AS c_user, event_id AS click_id,
 """
 
 
+def _dedup_oracle() -> str:
+    from iceberg_twist_spark.common import duck_ts_str
+
+    return f"""
+SELECT event_id, {duck_ts_str('CAST(ts AS TIMESTAMP)')} AS ts,
+       user_id, event_type, value, props
+FROM events
+"""
+
+
+def _late_drop_oracle() -> str:
+    from iceberg_twist_spark.common import duck_ts_str
+
+    return f"""
+WITH wm AS (
+  SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL '10 minutes' AS wm FROM events
+), agg AS (
+  SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS ws,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1
+)
+SELECT {duck_ts_str('ws')} AS window_start, cnt
+FROM agg, wm WHERE ws + INTERVAL '1 hour' <= wm.wm
+"""
+
+
+def _enrich_oracle() -> str:
+    from iceberg_twist_spark.common import duck_ts_str
+
+    return f"""
+SELECT e.event_id, {duck_ts_str('CAST(e.ts AS TIMESTAMP)')} AS ts,
+       e.user_id, c.c_nationkey AS nation_key, c.c_acctbal AS acctbal,
+       e.value
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+
+# The observe oracle re-derives the micro-batch boundaries the replay
+# staging uses (chunked_events: exact global rank over the unique
+# (ts, event_id) order, chunk = floor((rank-1)/ceil(n/4))) — so the
+# engine's per-batch observed row/byte counters must equal a pure SQL
+# derivation of the same partitioning. 4 = read_event_stream's default
+# n_chunks.
+def _observe_oracle(n_chunks: int = 4) -> str:
+    return f"""
+WITH r AS (
+  SELECT props,
+         row_number() OVER (ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn,
+         count(*) OVER () AS n
+  FROM events
+)
+SELECT CAST((rn - 1) // ((n + {n_chunks - 1}) // {n_chunks}) AS BIGINT)
+           AS batch_id,
+       CAST(count(*) AS BIGINT) AS "rows",
+       CAST(sum(length(props)) AS BIGINT) AS bytes
+FROM r GROUP BY 1
+"""
+
+
 def _upsert_oracle() -> str:
     from iceberg_twist_spark.common import duck_ts_str
 
@@ -328,7 +387,7 @@ def _twin_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         agg.crossJoin(F.broadcast(_final_wm(events)))
         .filter(F.col("w.end") <= F.col("__wm"))
-        .select(F.col("w.start").alias("window_start"), "cnt")
+        .select(ts_str(F.col("w.start")).alias("window_start"), "cnt")
     )
 
 
@@ -336,7 +395,8 @@ def _twin_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # duplicates are exact per-event copies within one batch, so the
     # watermarked dedup restores precisely the original events
     return load_tables(spark, sf_dir)["events"].select(
-        "event_id", _tsx().alias("ts"), "user_id", "event_type", "value", "props"
+        "event_id", ts_str(_tsx()).alias("ts"),
+        "user_id", "event_type", "value", "props",
     )
 
 
@@ -349,7 +409,7 @@ def _twin_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         t["events"]
-        .select("event_id", _tsx().alias("ts"), "user_id", "value")
+        .select("event_id", ts_str(_tsx()).alias("ts"), "user_id", "value")
         # customer grows with SF — no forced broadcast (the per-batch
         # planner / AQE broadcasts while the dim is actually small).
         .join(customer, "user_id", "left")
@@ -541,39 +601,62 @@ def q_stream_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_stream_dedup_watermark", tags=("streaming",), batch_twin=_twin_dedup)
+@register(
+    "q_stream_dedup_watermark",
+    oracle=_dedup_oracle(),
+    tags=("streaming",),
+    batch_twin=_twin_dedup,
+)
 def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup: each event duplicated 2× upstream, then
     ``dropDuplicatesWithinWatermark`` on event_id restores uniqueness
-    (state for old keys is reclaimed once the watermark passes)."""
+    (state for old keys is reclaimed once the watermark passes).
+    Duplicates are exact within-batch copies, so the LIVE stream's
+    output must hash-match the original events table (r9 promotion
+    from rows-only)."""
     s = read_event_stream(spark, sf_dir)
     doubled = s.withColumn("copy", F.explode(F.array(F.lit(1), F.lit(2)))).drop("copy")
-    return run_to_memory(
-        doubled.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
-            ["event_id"]
-        )
+    deduped = doubled.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    return run_to_memory(deduped).select(
+        "event_id", ts_str(F.col("ts")).alias("ts"),
+        "user_id", "event_type", "value", "props",
     )
 
 
-@register("q_stream_late_drop", tags=("streaming",), batch_twin=_twin_late_drop)
+@register(
+    "q_stream_late_drop",
+    oracle=_late_drop_oracle(),
+    tags=("streaming",),
+    batch_twin=_twin_late_drop,
+)
 def q_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark + windowed count in append mode: rows later than the
     10-minute watermark are dropped from closed windows; closed windows
-    emit exactly once."""
+    emit exactly once — the hash gates exactly the watermark-close set
+    (r9 promotion from rows-only)."""
     s = read_event_stream(spark, sf_dir, n_chunks=6)
     return run_to_memory(
         s.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(F.count("*").alias("cnt"))
-        .select(F.col("w.start").alias("window_start"), "cnt")
+        .select(ts_str(F.col("w.start")).alias("window_start"), "cnt")
     )
 
 
-@register("q_stream_enrich_join", tags=("streaming",), batch_twin=_twin_enrich)
+@register(
+    "q_stream_enrich_join",
+    oracle=_enrich_oracle(),
+    tags=("streaming",),
+    batch_twin=_twin_enrich,
+)
 def q_stream_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A30 enrichment: stream-static join against the customer dim
     (the 'GPS fix attached to every IMU broadcast' pattern); the
-    planner broadcasts the dim per micro-batch while it fits."""
+    planner broadcasts the dim per micro-batch while it fits. The
+    LIVE stream's enriched rows hash-match the batch LEFT JOIN (r9
+    promotion from rows-only)."""
     s = read_event_stream(spark, sf_dir)
     customer = load_tables(spark, sf_dir)["customer"].select(
         F.col("c_custkey").alias("user_id"),
@@ -583,7 +666,8 @@ def q_stream_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # No broadcast hint: the static dim grows with SF; Spark's
     # per-micro-batch planner broadcasts it only while it fits.
     enriched = s.join(customer, "user_id", "left").select(
-        "event_id", "ts", "user_id", "nation_key", "acctbal", "value"
+        "event_id", ts_str(F.col("ts")).alias("ts"),
+        "user_id", "nation_key", "acctbal", "value",
     )
     return run_to_memory(enriched)
 
@@ -704,7 +788,12 @@ def q_stream_queue_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(stats, output_mode="update")
 
 
-@register("q_stream_observe", tags=("streaming", "metrics"), batch_twin=_twin_observe)
+@register(
+    "q_stream_observe",
+    oracle=_observe_oracle(),
+    tags=("streaming", "metrics"),
+    batch_twin=_twin_observe,
+)
 def q_stream_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A18/A23/A32 observed metrics: per-micro-batch row and byte
     counters via ``observe()``, harvested from query progress — the

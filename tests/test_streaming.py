@@ -464,7 +464,18 @@ def test_dedup_watermark_recovers_from_checkpoint_mid_replay(spark, sf_dir):
                 .start()
             )
             q.awaitTermination()
-        return [tuple(r) for r in spark.read.parquet(out).collect()]
+        from iceberg_twist_spark.common import ts_str
+
+        # the twin renders ts canonically (r9 oracle promotion)
+        return [
+            tuple(r)
+            for r in spark.read.parquet(out)
+            .select(
+                "event_id", ts_str(F.col("ts")).alias("ts"),
+                "user_id", "event_type", "value", "props",
+            )
+            .collect()
+        ]
 
     base = 1_600_000_000
     try:
@@ -526,11 +537,14 @@ def test_late_drop_recovers_from_checkpoint_mid_replay(spark, sf_dir):
             .option("maxFilesPerTrigger", 1)
             .parquet(replay)
         )
+        from iceberg_twist_spark.common import ts_str
+
         counted = (
             s.withWatermark("ts", "10 minutes")
             .groupBy(F.window("ts", "1 hour").alias("w"))
             .agg(F.count("*").alias("cnt"))
-            .select(F.col("w.start").alias("window_start"), "cnt")
+            # the twin renders the start canonically (r9 promotion)
+            .select(ts_str(F.col("w.start")).alias("window_start"), "cnt")
         )
         with _state_partitions(spark):
             q = (
