@@ -164,6 +164,40 @@ class SnapshotTable:
             raise ValueError(f"no such ref: {name!r}")
         return refs[name]["snapshot_id"]
 
+    def append_to_branch(self, name: str, df: DataFrame) -> int:
+        """Commit an append to a BRANCH without touching main: the new
+        snapshot's parent is the branch head, the branch ref advances,
+        and the main pointer never moves — Iceberg's write-to-branch
+        (the generalized WAP: audit a whole SERIES of commits on a
+        branch, then fast-forward main via ``publish``). Manifests are
+        self-contained file lists, so branch reads never depend on
+        main's history. Branch commits are marked staged so routine
+        expiry cannot reclaim unmerged branch work (the advancing ref
+        pins the head; `staged` pins the branch's earlier commits
+        until explicit abandonment)."""
+        refs = self.refs()
+        if name not in refs:
+            raise ValueError(f"no such ref: {name!r}")
+        if refs[name]["type"] != "branch":
+            raise ValueError(f"{name!r} is a tag (immutable); write to a branch")
+        head = refs[name]["snapshot_id"]
+        prev = self._manifest(head)
+        files, n, st = self._write_files(df)
+        snap = self._commit(
+            prev["files"] + files,
+            prev["n_records"] + n,
+            "append",
+            df.schema.json(),
+            {**prev.get("file_stats", {}), **st},
+            update_hint=False,
+            staged=True,
+            parent=head,
+        )
+        refs = self.refs()
+        refs[name]["snapshot_id"] = snap
+        self._write_refs(refs)
+        return snap
+
     # ---- commits -----------------------------------------------------
     @staticmethod
     def _file_stats(path: str) -> dict[str, list]:
@@ -231,8 +265,9 @@ class SnapshotTable:
 
     def _commit(self, files: list[str], n_records: int, operation: str,
                 schema_json: str, file_stats: dict | None = None,
-                update_hint: bool = True, staged: bool = False) -> int:
-        parent = self.current_snapshot_id()
+                update_hint: bool = True, staged: bool = False,
+                parent: int | None = None) -> int:
+        parent = self.current_snapshot_id() if parent is None else parent
         # allocate past EVERY existing manifest (staged WAP snapshots
         # live beyond the pointer; a later commit must not collide)
         ids = self._all_manifest_ids()
@@ -562,12 +597,18 @@ class SnapshotTable:
         stages must be re-staged against the new head."""
         m = self._manifest(snapshot_id)  # must exist — raises otherwise
         cur = self.current_snapshot_id()
-        parent = m.get("parent_id") or 0
-        if parent != cur:
+        # true fast-forward: the current snapshot must be an ANCESTOR
+        # of the published one (direct parent for a single stage, or
+        # anywhere up the chain for a multi-commit branch head — the
+        # intervening branch commits JOIN the history, nothing is lost)
+        anc = m.get("parent_id") or 0
+        while anc and anc != cur:
+            anc = self._manifest(anc).get("parent_id") or 0
+        if anc != cur:
             if not reparent:
                 raise ValueError(
-                    f"staged snapshot {snapshot_id} has parent {parent} but the "
-                    f"table is now at {cur}: a commit landed between stage() "
+                    f"staged snapshot {snapshot_id} does not descend from the "
+                    f"current snapshot {cur}: a commit landed between stage() "
                     "and publish(); fast-forwarding would drop it from the "
                     "history chain. Pass reparent=True to cherry-pick an "
                     "overwrite-shaped stage onto the current head, or re-stage."
@@ -576,6 +617,18 @@ class SnapshotTable:
         m["staged"] = False
         with open(os.path.join(self._meta, f"v{snapshot_id}.json"), "w") as f:
             json.dump(m, f)
+        # the whole merged chain becomes ordinary history: clear the
+        # staged marker down to the old head so normal keep_last expiry
+        # governs it (leaving intermediate branch commits staged would
+        # pin them forever)
+        i = m.get("parent_id") or 0
+        while i and i != cur:
+            pm = self._manifest(i)
+            if pm.get("staged"):
+                pm["staged"] = False
+                with open(os.path.join(self._meta, f"v{i}.json"), "w") as f:
+                    json.dump(pm, f)
+            i = pm.get("parent_id") or 0
         self._swap_hint(snapshot_id)
 
     def remove_orphan_files(self) -> int:
@@ -1280,4 +1333,53 @@ def q_iceberg_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_totalprice"
         ),
         "o_orderstatus",
+    )
+
+
+def _branch_table(spark: SparkSession, sf_dir: str) -> SnapshotTable:
+    """Branch-write scenario: main holds keys ≡ 0 (mod 3); an "audit"
+    branch takes two appends (keys ≡ 1, then ≡ 2) that main readers
+    never see; the branch head carries all three thirds."""
+    key = f"snapbranch::{sf_dir}"
+    tbl = _TABLE_CACHE.get(key)
+    if tbl is not None:
+        return tbl
+    tbl = SnapshotTable(spark, tempfile.mkdtemp(prefix="itws_snapbr_"))
+    orders = load_tables(spark, sf_dir)["orders"].select(*_ORDER_COLS)
+    s1 = tbl.overwrite(orders.filter(F.col("o_orderkey") % 3 == 0))
+    tbl.create_branch("audit", s1)
+    tbl.append_to_branch("audit", orders.filter(F.col("o_orderkey") % 3 == 1))
+    tbl.append_to_branch("audit", orders.filter(F.col("o_orderkey") % 3 == 2))
+    _TABLE_CACHE[key] = tbl
+    return tbl
+
+
+_BRANCH_ORACLE = """
+SELECT o_orderkey, o_orderstatus,
+       floor(o_totalprice * 10000 + 0.5) / 10000 AS o_totalprice
+FROM orders
+"""
+
+
+@register("q_iceberg_branch_write", oracle=_BRANCH_ORACLE, tags=("iceberg", "sink"))
+def q_iceberg_branch_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-to-branch under the hash gate (the generalized WAP): two
+    appends land on the "audit" branch — each parented on the branch
+    head, advancing the ref, never moving main (asserted: the main
+    pointer and the main read are byte-unchanged) — and the
+    hash-checked result is the branch-head read, which must carry the
+    base plus both appends exactly. At 100 TB this is how a multi-day
+    backfill is audited commit-by-commit before main fast-forwards."""
+    tbl = _branch_table(spark, sf_dir)
+    assert tbl.current_snapshot_id() == 1  # main never moved
+    assert tbl.resolve_ref("audit") == 3
+    # branch history chains through the branch commits, not main's
+    head = tbl._manifest(3)
+    assert head["parent_id"] == 2 and tbl._manifest(2)["parent_id"] == 1
+    return tbl.read(ref="audit").select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.floor(F.col("o_totalprice") * 10000 + F.lit(0.5)) / 10000).alias(
+            "o_totalprice"
+        ),
     )

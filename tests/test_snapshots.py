@@ -346,6 +346,48 @@ def test_refs_tag_branch_semantics(spark, tmp_path):
         tbl.resolve_ref("rel")
 
 
+def test_branch_write_isolation_and_merge(spark, tmp_path):
+    """append_to_branch advances the branch only (main pointer and
+    read unchanged), refuses tags, chains incremental reads along the
+    branch, survives expire while unmerged (staged commits + advancing
+    ref), and merges to main via publish(reparent) when main moved."""
+    import pytest
+
+    from iceberg_twist_spark.sources.snapshots import SnapshotTable
+
+    tbl = SnapshotTable(spark, str(tmp_path / "brw"))
+    df = spark.range(90).selectExpr("id", "id % 9 AS g")
+    s1 = tbl.create(df.filter("id < 30"))
+    tbl.create_branch("dev", s1)
+    tbl.create_tag("rel", s1)
+    with pytest.raises(ValueError, match="tag"):
+        tbl.append_to_branch("rel", df.limit(1))
+    b2 = tbl.append_to_branch("dev", df.filter("id >= 30 AND id < 60"))
+    b3 = tbl.append_to_branch("dev", df.filter("id >= 60"))
+    # main untouched; branch reads compose; incremental read follows
+    # the branch chain
+    assert tbl.current_snapshot_id() == s1
+    assert tbl.read().count() == 30
+    assert tbl.read(ref="dev").count() == 90
+    assert tbl.read_incremental(s1, b3).count() == 60
+    assert tbl.read_incremental(b2, b3).count() == 30
+    # unmerged branch work survives routine expiry
+    res = tbl.expire_snapshots(keep_last=1)
+    assert b2 not in res["expired"] and b3 not in res["expired"]
+    assert tbl.read(ref="dev").count() == 90
+    # merge: the branch head descends from current, so plain publish
+    # fast-forwards; the whole merged chain joins ordinary history
+    tbl.publish(b3)
+    assert tbl.current_snapshot_id() == b3
+    assert tbl.read().count() == 90
+    assert [m["snapshot_id"] for m in tbl.snapshots()] == [s1, b2, b3]
+    # merged chain members lose the staged marker → normal expiry
+    # governs them again
+    assert tbl._manifest(b2).get("staged") is False
+    res = tbl.expire_snapshots(keep_last=1)
+    assert b2 in res["expired"]
+
+
 def test_incremental_read_edges(spark, tmp_path):
     """added_files/read_incremental: empty increment at from==to, the
     full chain of appends composes, and a rollback (non-append) in the
