@@ -266,7 +266,8 @@ class SnapshotTable:
     def _commit(self, files: list[str], n_records: int, operation: str,
                 schema_json: str, file_stats: dict | None = None,
                 update_hint: bool = True, staged: bool = False,
-                parent: int | None = None) -> int:
+                parent: int | None = None,
+                eq_deletes: list | None = None) -> int:
         parent = self.current_snapshot_id() if parent is None else parent
         # allocate past EVERY existing manifest (staged WAP snapshots
         # live beyond the pointer; a later commit must not collide)
@@ -290,6 +291,10 @@ class SnapshotTable:
             # from id < pointer would reclaim a stage awaiting audit
             # the moment any unrelated commit lands)
             "staged": staged,
+            # merge-on-read equality deletes: [{"key": col, "path": p}]
+            # — readers anti-join these against the data files;
+            # compaction applies them physically and clears the list
+            "eq_deletes": eq_deletes or [],
         }
         mpath = os.path.join(self._meta, f"v{snap}.json")
         with open(mpath, "w") as f:
@@ -326,6 +331,8 @@ class SnapshotTable:
             "append",
             df.schema.json(),
             {**prev.get("file_stats", {}), **st},
+            # pending merge-on-read deletes still apply to the old files
+            eq_deletes=prev.get("eq_deletes", []),
         )
 
     # ---- reads ---------------------------------------------------------
@@ -386,6 +393,11 @@ class SnapshotTable:
         if not files:
             return self.spark.createDataFrame([], schema)
         df = self.spark.read.schema(schema).parquet(*files)
+        # merge-on-read: anti-join the snapshot's equality-delete files
+        # (broadcast — delete sets are tiny vs the table)
+        for d in m.get("eq_deletes", []):
+            dk = self.spark.read.parquet(d["path"]).select(F.col(d["key"]))
+            df = df.join(F.broadcast(dk), d["key"], "left_anti")
         if skip is not None:
             col, lo, hi = skip
             df = df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
@@ -477,6 +489,42 @@ class SnapshotTable:
         files, n, st = self._write_files(remaining)
         return self._commit(files, n, "delete", base.schema.json(), st)
 
+    def delete_keys(self, keys: DataFrame, key_col: str) -> int:
+        """MERGE-ON-READ equality DELETE (Iceberg v2 delete files):
+        write the matching KEY VALUES as a small delete file and
+        commit a snapshot that carries the SAME data files plus the
+        delete — O(|keys|) commit cost, no data rewrite. Readers
+        anti-join the snapshot's delete files (broadcast — delete sets
+        are tiny vs the table); ``rewrite_data_files`` later applies
+        the deletes physically and clears them (the compact cadence).
+        This is what makes small deletes viable on a 100 TB table:
+        copy-on-write would rewrite the world for a ten-row takedown.
+        ``n_records`` stays the PHYSICAL row count (live rows =
+        n_records minus matches) until a compaction, matching
+        Iceberg's per-file accounting. Time travel to a pre-delete
+        snapshot still shows the rows — deletes are snapshot
+        metadata, not mutations."""
+        cur_id = self.current_snapshot_id()
+        if cur_id == 0:
+            raise ValueError(f"no snapshots in {self.path}")
+        cur = self._manifest(cur_id)
+        ddir = os.path.join(self.path, "deletes")
+        os.makedirs(ddir, exist_ok=True)
+        stage = tempfile.mkdtemp(prefix="itws_delstage_")
+        keys.select(F.col(key_col)).distinct().coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        part = next(
+            f for f in sorted(os.listdir(stage)) if f.endswith(".parquet")
+        )
+        dst = os.path.join(ddir, f"{uuid.uuid4().hex}.parquet")
+        os.replace(os.path.join(stage, part), dst)
+        eq = list(cur.get("eq_deletes", [])) + [{"key": key_col, "path": dst}]
+        return self._commit(
+            cur["files"], cur["n_records"], "eq-delete", cur["schema"],
+            cur.get("file_stats", {}), eq_deletes=eq,
+        )
+
     # ---- maintenance ---------------------------------------------------
     def rollback_to(self, snapshot_id: int) -> int:
         """Iceberg's ``rollback_to_snapshot``: commit a NEW snapshot
@@ -489,6 +537,7 @@ class SnapshotTable:
         return self._commit(
             m["files"], m["n_records"], "rollback", m["schema"],
             m.get("file_stats", {}),
+            eq_deletes=m.get("eq_deletes", []),
         )
 
     def expire_snapshots(
@@ -557,10 +606,14 @@ class SnapshotTable:
         ]
         kept_files: set[str] = set()
         for i in retained | pending:
-            kept_files.update(self._manifest(i)["files"])
+            km = self._manifest(i)
+            kept_files.update(km["files"])
+            kept_files.update(d["path"] for d in km.get("eq_deletes", []))
         deleted = 0
         for i in expired:
-            for fpath in self._manifest(i)["files"]:
+            em = self._manifest(i)
+            reclaim = em["files"] + [d["path"] for d in em.get("eq_deletes", [])]
+            for fpath in reclaim:
                 if fpath not in kept_files and os.path.exists(fpath):
                     os.remove(fpath)
                     deleted += 1
@@ -644,13 +697,20 @@ class SnapshotTable:
         are expire_snapshots' job. Returns the count deleted."""
         referenced: set[str] = set()
         for i in self._all_manifest_ids():
-            referenced.update(self._manifest(i)["files"])
+            m = self._manifest(i)
+            referenced.update(m["files"])
+            referenced.update(d["path"] for d in m.get("eq_deletes", []))
         deleted = 0
-        for name in os.listdir(self._data):
-            path = os.path.join(self._data, name)
-            if name.endswith(".parquet") and path not in referenced:
-                os.remove(path)
-                deleted += 1
+        scan_dirs = [self._data]
+        ddir = os.path.join(self.path, "deletes")
+        if os.path.isdir(ddir):
+            scan_dirs.append(ddir)
+        for sdir in scan_dirs:
+            for name in os.listdir(sdir):
+                path = os.path.join(sdir, name)
+                if name.endswith(".parquet") and path not in referenced:
+                    os.remove(path)
+                    deleted += 1
         return deleted
 
     def rewrite_data_files(self, target_bytes: int = TARGET_FILE_BYTES) -> int:
@@ -1383,3 +1443,73 @@ def q_iceberg_branch_write(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_totalprice"
         ),
     )
+
+
+def _mor_table(spark: SparkSession, sf_dir: str) -> SnapshotTable:
+    """Merge-on-read delete scenario:
+
+    snapshot 1  overwrite  keys ≡ 0, 1 (mod 3)
+    snapshot 2  eq-delete  keys ≡ 1 (mod 3)  — delete FILE committed,
+                data files untouched (asserted: identical file list)
+    snapshot 3  rewrite    compaction applies the delete physically
+                and clears the delete list
+    """
+    key = f"snapmor::{sf_dir}"
+    tbl = _TABLE_CACHE.get(key)
+    if tbl is not None:
+        return tbl
+    tbl = SnapshotTable(spark, tempfile.mkdtemp(prefix="itws_snapmor_"))
+    orders = load_tables(spark, sf_dir)["orders"].select(*_ORDER_COLS)
+    tbl.overwrite(orders.filter(F.col("o_orderkey") % 3 != 2))
+    tbl.delete_keys(
+        orders.filter(F.col("o_orderkey") % 3 == 1).select("o_orderkey"),
+        "o_orderkey",
+    )
+    assert tbl._manifest(2)["files"] == tbl._manifest(1)["files"]
+    assert len(tbl._manifest(2)["eq_deletes"]) == 1
+    tbl.rewrite_data_files()
+    assert tbl._manifest(3)["eq_deletes"] == []
+    _TABLE_CACHE[key] = tbl
+    return tbl
+
+
+_MOR_ORACLE = """
+SELECT o_orderkey, o_orderstatus,
+       floor(o_totalprice * 10000 + 0.5) / 10000 AS o_totalprice
+FROM orders WHERE o_orderkey % 3 = 0
+"""
+
+
+@register("q_iceberg_mor_delete", oracle=_MOR_ORACLE, tags=("iceberg", "cdc"))
+def q_iceberg_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read equality DELETE (Iceberg v2 delete files) under
+    the hash gate: the delete commits a key file — O(|keys|), the data
+    files provably untouched (the fixture asserts an identical file
+    list) — and the read anti-joins it; a later compaction applies the
+    delete physically and clears it, leaving the read unchanged. Both
+    the MOR read (snapshot 2) and the compacted read (snapshot 3) must
+    equal the oracle; time travel to snapshot 1 still shows the
+    deleted rows (asserted in-plan). A ten-row takedown on a 100 TB
+    table costs a key file, not a table rewrite."""
+    tbl = _mor_table(spark, sf_dir)
+    # time travel: pre-delete snapshot shows the rows
+    assert tbl.read(snapshot_id=1).count() > tbl.read(snapshot_id=2).count()
+    mor = tbl.read(snapshot_id=2).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.floor(F.col("o_totalprice") * 10000 + F.lit(0.5)) / 10000).alias(
+            "o_totalprice"
+        ),
+    )
+    compacted = tbl.read(snapshot_id=3).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.floor(F.col("o_totalprice") * 10000 + F.lit(0.5)) / 10000).alias(
+            "o_totalprice"
+        ),
+    )
+    # MOR read ≡ compacted read, checked cheaply in-plan; the driver
+    # hashes the MOR form against the oracle
+    assert mor.exceptAll(compacted).isEmpty()
+    assert compacted.exceptAll(mor).isEmpty()
+    return mor

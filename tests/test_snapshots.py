@@ -388,6 +388,58 @@ def test_branch_write_isolation_and_merge(spark, tmp_path):
     assert b2 in res["expired"]
 
 
+def test_mor_delete_lifecycle(spark, tmp_path):
+    """Merge-on-read deletes: stack two delete files (different keys),
+    appends carry pending deletes forward to old files, incremental
+    reads refuse to cross an eq-delete, expire reclaims delete files
+    of expired snapshots, and orphan removal sweeps unreferenced
+    delete files."""
+    import os
+
+    import pytest
+
+    from iceberg_twist_spark.sources.snapshots import SnapshotTable
+
+    tbl = SnapshotTable(spark, str(tmp_path / "mor"))
+    df = spark.range(60).selectExpr("id", "id % 6 AS g")
+    s1 = tbl.create(df)
+    keys = spark.createDataFrame([(i,) for i in range(0, 60, 6)], "id long")
+    s2 = tbl.delete_keys(keys, "id")
+    assert tbl.read().count() == 50
+    # second delete stacks
+    keys2 = spark.createDataFrame([(1,), (7,)], "id long")
+    s3 = tbl.delete_keys(keys2, "id")
+    assert tbl.read().count() == 48
+    # append carries pending deletes: old rows stay deleted, new land
+    s4 = tbl.append(spark.range(100, 110).selectExpr("id", "id % 6 AS g"))
+    assert tbl.read().count() == 58
+    # incremental read refuses to cross the eq-delete snapshots
+    with pytest.raises(ValueError, match="non-append"):
+        tbl.read_incremental(s1, s4)
+    # time travel: s1 undeleted, s2 one delete applied
+    assert tbl.read(snapshot_id=s1).count() == 60
+    assert tbl.read(snapshot_id=s2).count() == 50
+    # compaction applies deletes physically and clears the list
+    s5 = tbl.rewrite_data_files()
+    assert tbl._manifest(s5)["eq_deletes"] == []
+    assert tbl.read().count() == 58
+    # expire: the delete files of expired snapshots are reclaimed
+    dpaths = [d["path"] for d in tbl._manifest(s3)["eq_deletes"]]
+    assert all(os.path.exists(p) for p in dpaths)
+    tbl.expire_snapshots(keep_last=1)
+    assert not any(os.path.exists(p) for p in dpaths)
+    # orphan sweep: an unreferenced delete file is debris
+    ddir = os.path.join(tbl.path, "deletes")
+    orphan = os.path.join(ddir, "zz_orphan.parquet")
+    keys2.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "od"))
+    part = next(
+        f for f in os.listdir(str(tmp_path / "od")) if f.endswith(".parquet")
+    )
+    os.rename(os.path.join(str(tmp_path / "od"), part), orphan)
+    assert tbl.remove_orphan_files() == 1
+    assert not os.path.exists(orphan)
+
+
 def test_incremental_read_edges(spark, tmp_path):
     """added_files/read_incremental: empty increment at from==to, the
     full chain of appends composes, and a rollback (non-append) in the
