@@ -172,6 +172,7 @@ REVERIFY_FIRST = (
     "q_iceberg_schema_evolution",
     "q_iceberg_branch_write",
     "q_iceberg_mor_delete",
+    "q_stream_iceberg_sink",
     # r8 `no_oracle` streaming ids promoted to SQL-oracle-checked in
     # r9 (interval join / throttle window are both SQL-expressible),
     # plus the four r7 rows-only ids whose final answers ARE

@@ -976,3 +976,74 @@ def q_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(store_schema).parquet(store_dir).select(
         "user_id", "last_value", "n_events", ts_str(F.col("last_ts")).alias("last_ts")
     )
+
+
+def _iceberg_sink_oracle() -> str:
+    from iceberg_twist_spark.common import duck_ts_str
+
+    return f"""
+SELECT event_id, {duck_ts_str('CAST(ts AS TIMESTAMP)')} AS ts,
+       user_id, event_type, value, props
+FROM events
+"""
+
+
+@register(
+    "q_stream_iceberg_sink",
+    oracle=_iceberg_sink_oracle(),
+    tags=("streaming", "iceberg", "sink"),
+)
+def q_stream_iceberg_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest INTO the snapshot table — the lakehouse sink:
+    every micro-batch lands as one atomic APPEND commit
+    (foreachBatch → SnapshotTable.append), so readers always see a
+    complete batch or none (the pointer swap), the commit HISTORY is
+    one append per micro-batch (asserted), and the table's
+    INCREMENTAL read between two batch snapshots returns exactly that
+    batch's rows (asserted — the changelog a downstream consumer
+    tails). The final table must hash-match the full events table: a
+    lost, duplicated, or torn micro-batch breaks the oracle. This is
+    the per-minute-commit ingest shape whose small-file debris
+    ``rewrite_data_files`` exists to compact. A fresh table per
+    invocation keeps re-runs idempotent."""
+    from iceberg_twist_spark.sources.snapshots import SnapshotTable
+
+    tbl = SnapshotTable(spark, tempfile.mkdtemp(prefix="itws_stream_ice_"))
+    s = read_event_stream(spark, sf_dir)
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if tbl.current_snapshot_id() == 0:
+            tbl.create(batch_df)
+        else:
+            tbl.append(batch_df)
+
+    name = f"itws_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="itws_ckpt_")
+    q = (
+        s.writeStream.foreachBatch(commit_batch)
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    hist = tbl.snapshots()
+    ops = [m["operation"] for m in hist]
+    assert ops and ops[0] == "overwrite" and all(
+        o == "append" for o in ops[1:]
+    ), ops
+    # the incremental read between two consecutive batch snapshots is
+    # exactly that batch: totals compose to the full table
+    if len(hist) >= 2:
+        first, last = hist[0]["snapshot_id"], hist[-1]["snapshot_id"]
+        n_incr = tbl.read_incremental(first, last).count()
+        assert n_incr == tbl.read().count() - tbl.read(snapshot_id=first).count()
+    return tbl.read().select(
+        "event_id", ts_str(F.col("ts")).alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
