@@ -959,23 +959,27 @@ def q_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = read_event_stream(spark, sf_dir)
     name = f"itws_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix="itws_ckpt_")
-    with _state_partitions(spark):
-        q = (
-            s.writeStream.foreachBatch(merge_batch)
-            .queryName(name)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        try:
+    try:
+        with _state_partitions(spark):
+            q = (
+                s.writeStream.foreachBatch(merge_batch)
+                .queryName(name)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
             q.awaitTermination()
-        finally:
-            shutil.rmtree(ckpt, ignore_errors=True)
-    # the STORE keeps a native timestamp; only the query boundary
-    # renders it canonically (determinism convention)
-    return spark.read.schema(store_schema).parquet(store_dir).select(
-        "user_id", "last_value", "n_events", ts_str(F.col("last_ts")).alias("last_ts")
-    )
+        # the STORE keeps a native timestamp; only the query boundary
+        # renders it canonically (determinism convention). Materialize
+        # before the finally block removes the per-invocation store.
+        out = spark.read.schema(store_schema).parquet(store_dir).select(
+            "user_id", "last_value", "n_events",
+            ts_str(F.col("last_ts")).alias("last_ts"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(store_dir, ignore_errors=True)
+    return out
 
 
 def _iceberg_sink_oracle() -> str:
@@ -1005,45 +1009,55 @@ def q_stream_iceberg_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     lost, duplicated, or torn micro-batch breaks the oracle. This is
     the per-minute-commit ingest shape whose small-file debris
     ``rewrite_data_files`` exists to compact. A fresh table per
-    invocation keeps re-runs idempotent."""
+    invocation keeps re-runs idempotent; the final read is eagerly
+    checkpointed and the table directory removed before returning, so
+    repeated harness runs cannot leak /tmp."""
     from iceberg_twist_spark.sources.snapshots import SnapshotTable
 
-    tbl = SnapshotTable(spark, tempfile.mkdtemp(prefix="itws_stream_ice_"))
-    s = read_event_stream(spark, sf_dir)
-
-    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        if tbl.current_snapshot_id() == 0:
-            tbl.create(batch_df)
-        else:
-            tbl.append(batch_df)
-
-    name = f"itws_{uuid.uuid4().hex[:12]}"
+    tdir = tempfile.mkdtemp(prefix="itws_stream_ice_")
     ckpt = tempfile.mkdtemp(prefix="itws_ckpt_")
-    q = (
-        s.writeStream.foreachBatch(commit_batch)
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
     try:
+        tbl = SnapshotTable(spark, tdir)
+        s = read_event_stream(spark, sf_dir)
+
+        def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            if tbl.current_snapshot_id() == 0:
+                tbl.create(batch_df)
+            else:
+                tbl.append(batch_df)
+
+        name = f"itws_{uuid.uuid4().hex[:12]}"
+        q = (
+            s.writeStream.foreachBatch(commit_batch)
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
         q.awaitTermination()
+        hist = tbl.snapshots()
+        ops = [m["operation"] for m in hist]
+        assert ops and ops[0] == "overwrite" and all(
+            o == "append" for o in ops[1:]
+        ), ops
+        # the incremental read between two consecutive batch snapshots
+        # is exactly that batch: totals compose to the full table
+        if len(hist) >= 2:
+            first, last = hist[0]["snapshot_id"], hist[-1]["snapshot_id"]
+            n_incr = tbl.read_incremental(first, last).count()
+            assert (
+                n_incr
+                == tbl.read().count() - tbl.read(snapshot_id=first).count()
+            )
+        # materialize NOW — the caller's collect runs after the finally
+        # block has removed the table directory
+        out = tbl.read().select(
+            "event_id", ts_str(F.col("ts")).alias("ts"),
+            "user_id", "event_type", "value", "props",
+        ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
-    hist = tbl.snapshots()
-    ops = [m["operation"] for m in hist]
-    assert ops and ops[0] == "overwrite" and all(
-        o == "append" for o in ops[1:]
-    ), ops
-    # the incremental read between two consecutive batch snapshots is
-    # exactly that batch: totals compose to the full table
-    if len(hist) >= 2:
-        first, last = hist[0]["snapshot_id"], hist[-1]["snapshot_id"]
-        n_incr = tbl.read_incremental(first, last).count()
-        assert n_incr == tbl.read().count() - tbl.read(snapshot_id=first).count()
-    return tbl.read().select(
-        "event_id", ts_str(F.col("ts")).alias("ts"),
-        "user_id", "event_type", "value", "props",
-    )
+        shutil.rmtree(tdir, ignore_errors=True)
+    return out
