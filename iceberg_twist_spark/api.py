@@ -241,17 +241,40 @@ class Engine:
         return df.join(F.broadcast(ts), key_col, "left_anti")
 
     @staticmethod
-    def _swap_rewrite(df: DataFrame, target: str) -> None:
-        """Rewrite ``target`` with ``df``'s rows via write-new + atomic
-        rename — the reader-safe compact pattern (at cluster scale the
-        rename is a metastore/manifest pointer swap)."""
+    def _sweep_compact_debris(root: str) -> None:
+        """Remove leftover ``.compact_*`` staging directories from an
+        interrupted ``_swap_rewrite`` under ``root`` (recursive: the
+        IVF form stages next to cluster partition dirs)."""
         import os
         import shutil
 
-        tmp = target.rstrip("/") + ".compact_tmp"
+        for dirpath, dirnames, _ in os.walk(root):
+            for d in list(dirnames):
+                if ".compact_tmp" in d or ".compact_old" in d:
+                    shutil.rmtree(os.path.join(dirpath, d), ignore_errors=True)
+                    dirnames.remove(d)
+
+    @staticmethod
+    def _swap_rewrite(df: DataFrame, target: str) -> None:
+        """Rewrite ``target`` with ``df``'s rows via write-new + atomic
+        rename — the reader-safe compact pattern (at cluster scale the
+        rename is a metastore/manifest pointer swap).
+
+        Staging dirs are DOT-PREFIXED siblings of the target
+        (``.<name>.compact_tmp``): parquet partition discovery ignores
+        hidden directories, so when the target is a ``cluster=N``
+        partition inside an IVF dataset, a crash mid-compact can never
+        leave a directory that discovery parses as a bogus partition
+        value (r9 advice). Leftover debris is swept by the compaction
+        entry points before they read."""
+        import os
+        import shutil
+
+        parent, name = os.path.split(target.rstrip("/"))
+        tmp = os.path.join(parent, f".{name}.compact_tmp")
         shutil.rmtree(tmp, ignore_errors=True)
         df.write.mode("overwrite").parquet(tmp)
-        old = target.rstrip("/") + ".compact_old"
+        old = os.path.join(parent, f".{name}.compact_old")
         shutil.rmtree(old, ignore_errors=True)
         os.rename(target, old)
         os.rename(tmp, target)
@@ -286,6 +309,7 @@ class Engine:
         import shutil
 
         base = path.rstrip("/")
+        Engine._sweep_compact_debris(base)
         ts = base + "/tombstones"
         if not os.path.isdir(ts):
             return base
@@ -797,6 +821,7 @@ class Engine:
         import shutil
 
         base = path.rstrip("/")
+        Engine._sweep_compact_debris(base)
         ts = base + "/tombstones"
         if not os.path.isdir(ts):
             return base
@@ -836,6 +861,7 @@ class Engine:
         import shutil
 
         base = path.rstrip("/")
+        Engine._sweep_compact_debris(base)
         ts = base + "_tombstones"
         if not os.path.isdir(ts):
             return base

@@ -156,7 +156,34 @@ def _load_all_modules() -> None:
 # driver window therefore always re-verifies the ids whose last check
 # is OLDEST instead of re-treading recent rounds.
 REVERIFY_FIRST = (
-    # placeholder — populated as round-10 work lands
+    # new in r10: MOR position deletes, the general changelog scan,
+    # field-id schema evolution (rename/widen/drop), and
+    # partition-spec evolution
+    "q_iceberg_mor_pos_delete",
+    "q_iceberg_changelog",
+    "q_iceberg_schema_rename",
+    "q_iceberg_partition_evolution",
+    # plan changed in r10 for the WHOLE snapshot-table family: the
+    # reader was rewritten around per-file sequence numbers +
+    # field-id resolution (sequence-scoped equality deletes fix the
+    # r9-advice delete-then-reinsert bug), so every id that reads
+    # through SnapshotTable re-verifies ahead of the staleness queue
+    "q_iceberg_mor_delete",
+    "q_iceberg_roundtrip",
+    "q_iceberg_time_travel",
+    "q_iceberg_compact",
+    "q_iceberg_history",
+    "q_iceberg_merge",
+    "q_iceberg_prune",
+    "q_iceberg_rollback",
+    "q_iceberg_expire",
+    "q_iceberg_wap",
+    "q_iceberg_orphan",
+    "q_iceberg_tag",
+    "q_iceberg_incremental",
+    "q_iceberg_schema_evolution",
+    "q_iceberg_branch_write",
+    "q_stream_iceberg_sink",
 )
 
 WITNESS_VINTAGE: dict[int, tuple[str, ...]] = {

@@ -1087,3 +1087,43 @@ def test_index_geometry_and_tau_guards(spark, tmp_path):
         Engine.near_dup_pairs_against_index(batch, "text", "doc_id", idx, tau=0.2)
     # tightening (tau above build tau) is allowed
     Engine.near_dup_pairs_against_index(batch, "text", "doc_id", idx, tau=0.95).collect()
+
+
+def test_compact_staging_is_hidden_and_swept(spark, tmp_path):
+    """r9 advice: _swap_rewrite used to stage 'cluster=N.compact_tmp'
+    INSIDE the partitioned IVF dataset root — a crash mid-compact left
+    a directory parquet partition discovery parsed as a bogus cluster
+    value, breaking every later read. Staging dirs are now DOT-
+    prefixed (ignored by discovery), and the compact entry points
+    sweep any leftover debris before reading."""
+    import math
+    import os
+
+    from iceberg_twist_spark.api import Engine
+
+    def vec(i):
+        return [
+            math.cos(0.13 * d * (1 + i % 7)) + 0.03 * ((i * 17 + d * 5) % 71)
+            for d in range(16)
+        ]
+
+    rows = [(i, vec(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, v array<float>")
+    path = Engine.build_ann_index(
+        df, "v", "id", str(tmp_path / "ivfc"), n_clusters=4
+    )
+    n_before = spark.read.parquet(path).count()
+    # plant crash debris exactly where _swap_rewrite stages it
+    debris = os.path.join(path, ".cluster=0.compact_tmp")
+    df.limit(3).select("id", "v").write.mode("overwrite").parquet(debris)
+    # hidden dir: partition discovery must ignore it entirely
+    assert spark.read.parquet(path).count() == n_before
+    assert "cluster=0.compact_tmp" not in {
+        r.cluster for r in
+        spark.read.parquet(path).select("cluster").distinct().collect()
+    }
+    # a compact pass sweeps the leftover and still works
+    Engine.ann_index_remove(spark, path, [5])
+    Engine.ann_index_compact(spark, path)
+    assert not os.path.isdir(debris)
+    assert spark.read.parquet(path).count() == n_before - 1

@@ -306,10 +306,12 @@ def test_publish_requires_current_parent(spark, tmp_path):
 
 
 def test_refs_tag_branch_semantics(spark, tmp_path):
-    """Named refs: tags are immutable (re-tag and fast-forward both
-    raise), branches move, drop_ref unpins, read(ref=) resolves, and
-    expire retains ref-pointed snapshots (and their files) until the
-    ref is dropped."""
+    """Named refs: re-creating ANY existing ref raises (a silent
+    overwrite would destroy the previous pointer — Iceberg's
+    ref-already-exists error), tags never move, branches fast-forward
+    only ALONG their history (backward/sideways moves raise), drop_ref
+    unpins, read(ref=) resolves, and expire retains ref-pointed
+    snapshots (and their files) until the ref is dropped."""
     import os
 
     import pytest
@@ -322,13 +324,20 @@ def test_refs_tag_branch_semantics(spark, tmp_path):
     tbl.create_tag("rel", s1)
     tbl.create_branch("dev", s1)
     s2 = tbl.overwrite(df.filter("id >= 30"))
-    # tags immutable, branches movable
-    with pytest.raises(ValueError, match="immutable"):
-        tbl.create_tag("rel", s2)
+    # name collisions raise in every kind combination — re-pointing or
+    # kind-converting an existing ref must be an explicit drop+create
+    for maker in (tbl.create_tag, tbl.create_branch):
+        for name in ("rel", "dev"):
+            with pytest.raises(ValueError, match="already exists"):
+                maker(name, s2)
     with pytest.raises(ValueError, match="immutable"):
         tbl.fast_forward_branch("rel", s2)
     tbl.fast_forward_branch("dev", s2)
     assert tbl.resolve_ref("dev") == s2
+    # fast-forward means FORWARD: moving the branch back to s1 (not a
+    # descendant of its head s2) raises instead of silently rewinding
+    with pytest.raises(ValueError, match="ancestor"):
+        tbl.fast_forward_branch("dev", s1)
     assert tbl.read(ref="rel").count() == 10
     with pytest.raises(ValueError, match="not both"):
         tbl.read(snapshot_id=s1, ref="rel")
@@ -491,3 +500,207 @@ def test_remove_orphan_files_spares_all_manifested_files(spark, sf_dir, tmp_path
     assert not os.path.exists(debris)
     assert tbl.read().count() == 100
     assert tbl.read(snapshot_id=staged).count() == 5
+
+
+def test_eq_delete_then_reinsert_reads_new_row(spark, tmp_path):
+    """The Iceberg v2 sequence-number contract (r9 advice, HIGH):
+    an equality delete applies only to data files with a LOWER
+    sequence number. delete(k) followed by append of a fresh row with
+    key k must show the re-inserted row — the common CDC
+    delete-then-reinsert pattern — while the original row stays
+    deleted. Compaction preserves the result and clears the delete."""
+    from pyspark.sql import functions as F
+
+    from iceberg_twist_spark.sources.snapshots import SnapshotTable
+
+    tbl = SnapshotTable(spark, str(tmp_path / "reins"))
+    df = spark.range(20).selectExpr("id", "id * 100 AS v")
+    tbl.create(df)
+    keys = spark.createDataFrame([(3,), (7,)], "id long")
+    tbl.delete_keys(keys, "id")
+    assert tbl.read().count() == 18
+    # re-insert key 3 with a NEW value: the append's files carry a
+    # higher sequence than the delete, so the delete must not hide it
+    tbl.append(spark.createDataFrame([(3, 999)], "id long, v long"))
+    rows = {(r.id, r.v) for r in tbl.read().collect()}
+    assert (3, 999) in rows, "re-inserted row hidden by an older delete"
+    assert (3, 300) not in rows, "original row resurrected"
+    assert (7, 700) not in rows
+    assert len(rows) == 19
+    # a SECOND delete of key 3 now hides the re-inserted row too
+    # (its sequence is higher than the append's)
+    tbl.delete_keys(spark.createDataFrame([(3,)], "id long"), "id")
+    rows2 = {(r.id, r.v) for r in tbl.read().collect()}
+    assert (3, 999) not in rows2 and len(rows2) == 18
+    # compaction applies everything physically, result unchanged
+    s = tbl.rewrite_data_files()
+    assert tbl._manifest(s)["eq_deletes"] == []
+    assert {(r.id, r.v) for r in tbl.read().collect()} == rows2
+
+
+def test_position_delete_lifecycle(spark, tmp_path):
+    """MOR position deletes: O(|deleted rows|) commit (identical data
+    file list), correct read, time travel shows pre-delete rows,
+    compaction applies + clears, expire and orphan removal ref-count
+    the position delete files exactly like equality deletes."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from iceberg_twist_spark.sources.snapshots import SnapshotTable
+
+    tbl = SnapshotTable(spark, str(tmp_path / "posdel"))
+    df = spark.range(60).selectExpr("id", "id % 6 AS g")
+    s1 = tbl.create(df.repartition(4))
+    s2 = tbl.delete_where_positional(F.col("id") % 10 == 0)
+    # O(|deleted|): same data files, one pos-delete entry
+    assert tbl._manifest(s2)["files"] == tbl._manifest(s1)["files"]
+    [entry] = tbl._manifest(s2)["pos_deletes"]
+    assert entry["seq"] == s2 and entry["files"]
+    assert tbl.read().count() == 54
+    assert {r.id for r in tbl.read().collect()} == {
+        i for i in range(60) if i % 10 != 0
+    }
+    # stacking: a second positional delete composes
+    tbl.delete_where_positional(F.col("id") == 7)
+    assert tbl.read().count() == 53
+    # time travel: pre-delete snapshot still shows all rows
+    assert tbl.read(snapshot_id=s1).count() == 60
+    # appended rows are untouched by earlier position deletes (they
+    # name exact files)
+    tbl.append(spark.createDataFrame([(0, 0), (7, 1)], "id long, g long"))
+    assert tbl.read().count() == 55
+    # compaction applies + clears
+    s5 = tbl.rewrite_data_files()
+    assert tbl._manifest(s5)["pos_deletes"] == []
+    assert tbl.read().count() == 55
+    # expire reclaims the pos-delete files once no retained manifest
+    # references them
+    dpaths = [d["path"] for d in tbl._manifest(s2)["pos_deletes"]]
+    assert all(os.path.exists(p) for p in dpaths)
+    tbl.expire_snapshots(keep_last=1)
+    assert not any(os.path.exists(p) for p in dpaths)
+
+
+def test_changelog_across_mixed_snapshots(spark, tmp_path):
+    """read_changelog spans append / eq-delete / CoW delete /
+    overwrite commits, emitting (row, _change_type,
+    _commit_snapshot_id); the append fast path never reads base
+    files, and updates surface as delete+insert pairs."""
+    from pyspark.sql import functions as F
+
+    from iceberg_twist_spark.sources.snapshots import SnapshotTable
+
+    tbl = SnapshotTable(spark, str(tmp_path / "cdc"))
+    df = spark.range(30).selectExpr("id", "id * 10 AS v")
+    s1 = tbl.create(df.filter("id < 10"))
+    s2 = tbl.append(df.filter("id >= 10 AND id < 20"))
+    s3 = tbl.delete_keys(
+        spark.createDataFrame([(4,), (14,)], "id long"), "id"
+    )
+    s4 = tbl.delete_where(F.col("id") == 5)  # copy-on-write delete
+    ch = tbl.read_changelog(s1, s4).collect()
+    by = {}
+    for r in ch:
+        by.setdefault((r._change_type, r._commit_snapshot_id), set()).add(r.id)
+    assert by[("insert", s2)] == set(range(10, 20))
+    assert by[("delete", s3)] == {4, 14}
+    assert by[("delete", s4)] == {5}
+    assert set(by) == {("insert", s2), ("delete", s3), ("delete", s4)}
+    # an overwrite emits full delete+insert of the symmetric difference
+    s5 = tbl.overwrite(df.filter("id >= 25"))
+    ch2 = tbl.read_changelog(s4, s5)
+    ins = {r.id for r in ch2.filter("_change_type = 'insert'").collect()}
+    dels = {r.id for r in ch2.filter("_change_type = 'delete'").collect()}
+    assert ins == set(range(25, 30))
+    assert dels == (set(range(20)) - {4, 5, 14})
+    # non-ancestor raises
+    import pytest
+
+    with pytest.raises(ValueError, match="ancestor"):
+        tbl.read_changelog(99, s5)
+
+
+def test_schema_evolution_field_id_resolution(spark, tmp_path):
+    """Rename / drop / widen are metadata-only and resolve by FIELD
+    ID: files written before a rename keep reading into the renamed
+    column; a post-rename append writing the OLD name binds to a NEW
+    field (Iceberg name-independence); int→long widening upcasts old
+    narrow files on read; dropped columns vanish without touching a
+    file; illegal narrowing raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from iceberg_twist_spark.sources.snapshots import SnapshotTable
+
+    tbl = SnapshotTable(spark, str(tmp_path / "evo"))
+    df = spark.range(10).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") * 2).cast("float").alias("score"),
+        F.concat(F.lit("c"), F.col("id")).alias("tag"),
+    )
+    s1 = tbl.create(df)
+    files_before = tbl._manifest(s1)["files"]
+    # rename + widen + drop, all metadata-only
+    tbl.rename_column("score", "quality")
+    tbl.widen_column("k", "long")
+    tbl.widen_column("quality", "double")
+    tbl.drop_column("tag")
+    assert tbl._manifest(tbl.current_snapshot_id())["files"] == files_before
+    out = tbl.read()
+    assert out.columns == ["k", "quality"]
+    assert dict(out.dtypes) == {"k": "bigint", "quality": "double"}
+    assert {(r.k, r.quality) for r in out.collect()} == {
+        (i, float(i * 2)) for i in range(10)
+    }
+    # append under the NEW schema; then write the OLD name — it must
+    # bind to a fresh field, not resurrect the renamed one
+    tbl.append(
+        spark.createDataFrame([(100, 3.5)], "k long, quality double")
+    )
+    tbl.append(spark.createDataFrame([(200, 9.9)], "k long, score double"))
+    out2 = tbl.read()
+    assert out2.columns == ["k", "quality", "score"]
+    rows = {(r.k, r.quality, r.score) for r in out2.collect()}
+    assert (100, 3.5, None) in rows
+    assert (200, None, 9.9) in rows, "old-name write resurrected the rename"
+    assert (0, 0.0, None) in rows
+    # guards
+    with pytest.raises(ValueError, match="illegal type change"):
+        tbl.widen_column("quality", "float")
+    with pytest.raises(ValueError, match="already exists"):
+        tbl.rename_column("score", "quality")
+    with pytest.raises(ValueError, match="no such column"):
+        tbl.drop_column("ghost")
+
+
+def test_partition_spec_evolution_prunes_per_spec(spark, tmp_path):
+    """set_partition_spec changes FUTURE writes only: old files keep
+    their layout, the scan merges both, and partition_eq pruning
+    drops exactly the new-spec files of other partitions while
+    conservatively keeping every pre-evolution file."""
+    from pyspark.sql import functions as F
+
+    from iceberg_twist_spark.sources.snapshots import SnapshotTable
+
+    tbl = SnapshotTable(spark, str(tmp_path / "pspec"))
+    df = spark.range(90).selectExpr("id", "CAST(id % 3 AS STRING) AS bucket")
+    s1 = tbl.create(df.filter("id < 30"))
+    old_files = set(tbl._manifest(s1)["files"])
+    tbl.set_partition_spec(["bucket"])
+    s3 = tbl.append(df.filter("id >= 30"))
+    # spec evolution rewrote nothing
+    assert old_files <= set(tbl._manifest(s3)["files"])
+    all_files = tbl.plan_files(s3)
+    planned = tbl.plan_files(s3, partition_eq=("bucket", "1"))
+    assert len(planned) < len(all_files), "no partition pruning happened"
+    assert old_files <= set(planned), "pre-evolution files must be kept"
+    fm = tbl._files_meta()
+    for f in set(all_files) - set(planned):
+        assert fm[f]["partition"]["bucket"] != "1"
+    # read correctness: residual filter covers old-spec files
+    got = {r.id for r in tbl.read(partition_eq=("bucket", "1")).collect()}
+    assert got == {i for i in range(90) if i % 3 == 1}
+    # full read restores partition columns from the hive layout
+    assert tbl.read().count() == 90
+    assert dict(tbl.read().dtypes)["bucket"] == "string"

@@ -271,6 +271,25 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
         ["LeftAnti", "Union", "HashAggregate"],
         ["CartesianProduct"],
     ),
+    # MOR equality deletes: the delete-key anti-join must BROADCAST
+    # (delete sets are tiny vs the table) — a shuffled anti-join here
+    # would re-shuffle the whole table per takedown
+    "q_iceberg_mor_delete": (
+        ["BroadcastHashJoin", "LeftAnti"],
+        ["SortMergeJoin", "CartesianProduct"],
+    ),
+    # MOR position deletes: broadcast anti-join on (_file_path, _pos)
+    "q_iceberg_mor_pos_delete": (
+        ["BroadcastHashJoin", "LeftAnti"],
+        ["SortMergeJoin", "CartesianProduct"],
+    ),
+    # changelog scan: append increments are file-diff scans and the
+    # eq-delete rows come from a broadcast semi-join — never a
+    # nested-loop or cartesian anywhere in the union
+    "q_iceberg_changelog": (
+        ["LeftSemi", "Union"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
 }
 
 # Registry-wide invariant allowlists. Every entry carries the reason it
