@@ -161,6 +161,17 @@ SHUFFLE_CEILING_SF01 = {  # bytes at sf0.1: measured (r4 calibration) → ceilin
     "q_llm_corpus_pipeline": 10_000_000,   # 3.73 MB (r7) — verified pair
                                       # tier + CC rounds + gate/pack
                                       # windows over the kept corpus
+    # r10 lifecycle headliners (calibrated r10, ~2.5x headroom)
+    "q_iceberg_mor_delete": 8_000_000,     # 3.24 MB — the in-plan
+                                      # MOR-vs-compacted exceptAll equivalence
+                                      # asserts; the MOR read itself only
+                                      # broadcasts the delete keys
+    "q_iceberg_wap": 10_000,               # 0 — stage/audit/publish are
+                                      # metadata ops + plain scans
+    "q_stream_iceberg_sink": 200_000,      # 708 B — per-micro-batch appends,
+                                      # read back as one grouped scan
+    "q_llm_minhash_index_remove": 100_000,  # 9.1 KB — tombstone anti-joins
+                                      # on the stored bands
 }
 
 # sf1 ceilings (r5): measured on the generated sf1 twin
@@ -251,6 +262,12 @@ TIME_BANDS_SF01: dict[str, tuple[float, float]] = {
     "q_win_lag": (0.917, 1.405),
     "q_win_rank": (0.907, 1.722),
     "q_win_running": (0.878, 1.453),
+    # r10 lifecycle headliners (single-record, first benched r10; the
+    # fixture staging bills to attempt 1 and best-of-N drops it)
+    "q_iceberg_mor_delete": (1.667, 1.667),
+    "q_iceberg_wap": (0.344, 0.344),
+    "q_stream_iceberg_sink": (3.428, 3.428),
+    "q_llm_minhash_index_remove": (1.052, 1.052),
 }
 
 

@@ -704,3 +704,33 @@ def test_partition_spec_evolution_prunes_per_spec(spark, tmp_path):
     # full read restores partition columns from the hive layout
     assert tbl.read().count() == 90
     assert dict(tbl.read().dtypes)["bucket"] == "string"
+
+
+def test_long_append_history_plans_single_scan(spark, tmp_path):
+    """The grouped reader's scale claim: a table built by MANY appends
+    with no pending deletes and one schema vintage must plan as ONE
+    parquet scan (files grouped by vintage, not unioned per commit) —
+    a micro-batch-ingested table of 10k commits must not become a
+    10k-way union."""
+    from iceberg_twist_spark.sources.snapshots import SnapshotTable
+
+    tbl = SnapshotTable(spark, str(tmp_path / "many"))
+    tbl.create(spark.range(10).selectExpr("id", "id * 2 AS v"))
+    for i in range(1, 8):
+        tbl.append(
+            spark.range(10 * i, 10 * (i + 1)).selectExpr("id", "id * 2 AS v")
+        )
+    df = tbl.read()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Union" not in plan, plan
+    assert df.count() == 80
+    # one eq-delete splits the files into exactly TWO seq-scoped
+    # groups (pre-delete files take the anti-join, the post-delete
+    # append reads plain) — not eight
+    tbl.delete_keys(spark.createDataFrame([(5,)], "id long"), "id")
+    tbl.append(spark.range(80, 90).selectExpr("id", "id * 2 AS v"))
+    df2 = tbl.read()
+    plan2 = df2._jdf.queryExecution().executedPlan().toString()
+    assert plan2.count("Scan parquet") == 3, plan2  # 2 data groups + delete keys
+    assert df2.count() == 89
