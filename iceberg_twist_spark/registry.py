@@ -140,6 +140,7 @@ def _load_all_modules() -> None:
     import iceberg_twist_spark.sources.layouts  # noqa: F401
     import iceberg_twist_spark.sources.serial_source  # noqa: F401
     import iceberg_twist_spark.sources.snapshots  # noqa: F401
+    import iceberg_twist_spark.sources.snapshot_stream  # noqa: F401
     import iceberg_twist_spark.pipeline  # noqa: F401
 
 
@@ -157,12 +158,18 @@ def _load_all_modules() -> None:
 # is OLDEST instead of re-treading recent rounds.
 REVERIFY_FIRST = (
     # new in r10: MOR position deletes, the general changelog scan,
-    # field-id schema evolution (rename/widen/drop), and
-    # partition-spec evolution
+    # field-id schema evolution (rename/widen/drop), partition-spec
+    # evolution, file-pruned UPDATE, timestamp time travel, and the
+    # .partitions metadata table
     "q_iceberg_mor_pos_delete",
     "q_iceberg_changelog",
     "q_iceberg_schema_rename",
     "q_iceberg_partition_evolution",
+    "q_iceberg_update",
+    "q_iceberg_time_travel_ts",
+    "q_iceberg_partitions_meta",
+    "q_stream_snapshot_tail",
+    "q_iceberg_compact_sorted",
     # plan changed in r10 for the WHOLE snapshot-table family: the
     # reader was rewritten around per-file sequence numbers +
     # field-id resolution (sequence-scoped equality deletes fix the

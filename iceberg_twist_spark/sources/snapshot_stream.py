@@ -1,0 +1,234 @@
+"""Streaming SOURCE over a snapshot table: tail the commit log.
+
+The dual of ``q_stream_iceberg_sink`` (snapshots.py writes one atomic
+snapshot per micro-batch): here ``spark.readStream`` TAILS a
+``SnapshotTable``, one-or-more APPEND commits per micro-batch, so a
+downstream job consumes exactly the committed increments — never a
+half-written file (files only become visible when their manifest's
+pointer swap lands), never a re-read of the base.
+
+Offsets are SNAPSHOT IDS — the natural exactly-once cursor for a
+table whose commits are atomic: restart/replay re-reads precisely the
+manifest file-set difference between two ids (the same arithmetic as
+``SnapshotTable.read_incremental``). Non-append commits in the tailed
+range RAISE, mirroring Iceberg's streaming-read default (an overwrite
+makes "files added" ≠ "rows added"; a consumer that wants those must
+switch to ``read_changelog``).
+
+Scale notes: this is the ``SimpleDataSourceStreamReader`` face —
+rows surface through the driver-side prefetcher, which is the right
+tool for the CHECKED fixture (bounded increments, exact offsets). A
+100 TB tail would implement ``streamReader`` instead (partition-
+planned: each micro-batch's added FILES become input partitions read
+by executors); the offset model — snapshot ids, file-set difference —
+is identical, and that is the part this module verifies.
+
+Reference parity: the reference tails a serial port into satellite
+messages (`iceberg-twist/serial_streaming.lua:129-382`); the engine
+generalizes "tail the committed suffix of an ordered log" to the
+lakehouse commit log.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+from iceberg_twist_spark.catalog import load_tables
+from iceberg_twist_spark.registry import register
+
+
+def _manifest(path: str, snap: int) -> dict:
+    with open(os.path.join(path, "metadata", f"v{snap}.json")) as f:
+        return json.load(f)
+
+
+def _current_id(path: str) -> int:
+    hint = os.path.join(path, "metadata", "version-hint.text")
+    if not os.path.exists(hint):
+        return 0
+    with open(hint) as f:
+        return int(f.read().strip())
+
+
+def _added_files(path: str, lo: int, hi: int) -> list[str]:
+    """Files added by the append chain (lo, hi]; raises on non-append
+    commits (Iceberg's streaming-scan restriction)."""
+    if hi <= lo:
+        return []
+    segment = []  # hi → exclusive lo, newest first
+    i = hi
+    while i and i != lo:
+        m = _manifest(path, i)
+        segment.append(m)
+        i = m.get("parent_id") or 0
+    if i != lo and lo != 0:
+        raise ValueError(f"snapshot {lo} is not an ancestor of {hi}")
+    # every commit in the range must be an append — except that when
+    # tailing from 0 the chain's FIRST (table-creating) commit may be
+    # the initial overwrite
+    creating = segment[-1]["snapshot_id"] if (segment and lo == 0) else None
+    non_append = [
+        m["snapshot_id"]
+        for m in segment
+        if m["operation"] != "append" and m["snapshot_id"] != creating
+    ]
+    if non_append:
+        raise ValueError(
+            f"snapshot tail crossed non-append commits {sorted(non_append)}: "
+            "files-added no longer equals rows-added (use read_changelog)"
+        )
+    base = set(_manifest(path, lo)["files"]) if lo else set()
+    return [f for f in _manifest(path, hi)["files"] if f not in base]
+
+
+class _SnapshotTailReader(SimpleDataSourceStreamReader):
+    """Micro-batch pull from the commit log: each ``read`` advances
+    the snapshot-id offset by up to ``snapshots_per_batch`` committed
+    appends and emits the added files' rows. Offsets are snapshot
+    ids, so checkpoint replay re-reads the exact manifest diff."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.per_batch = int(options.get("snapshots_per_batch", 1))
+        self.start_snap = int(options.get("from_snapshot", 0))
+        self.columns = [
+            c.strip() for c in options["columns"].split(",")
+        ]
+
+    def initialOffset(self) -> dict:
+        return {"snapshot": self.start_snap}
+
+    def _rows(self, files: list[str]):
+        import pyarrow.parquet as pq
+
+        out = []
+        for f in files:
+            tbl = pq.read_table(f, columns=self.columns)
+            out.extend(
+                tuple(d[c] for c in self.columns) for d in tbl.to_pylist()
+            )
+        return out
+
+    def read(self, start: dict):
+        lo = int(start["snapshot"])
+        cur = _current_id(self.path)
+        hi = min(lo + self.per_batch, cur)
+        if hi <= lo:
+            return iter([]), {"snapshot": lo}
+        rows = self._rows(_added_files(self.path, lo, hi))
+        # iter(list) — survives the prefetch cache's copy + next probe
+        return iter(rows), {"snapshot": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(
+            self._rows(
+                _added_files(self.path, int(start["snapshot"]), int(end["snapshot"]))
+            )
+        )
+
+
+class SnapshotTailDataSource(DataSource):
+    """``spark.readStream.format("itws_snaptail")`` — options: path
+    (the SnapshotTable root), schema_ddl, columns (comma list, in
+    schema order), snapshots_per_batch, from_snapshot."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "itws_snaptail"
+
+    def schema(self) -> str:
+        return self.options["schema_ddl"]
+
+    def simpleStreamReader(self, schema) -> _SnapshotTailReader:  # noqa: ANN001
+        return _SnapshotTailReader(self.options)
+
+
+def register_snapshot_tail(spark: SparkSession) -> None:
+    """Idempotently register the connector (same contract as
+    serial_source.register_serial_source)."""
+    try:
+        spark.dataSource.register(SnapshotTailDataSource)
+    except Exception as exc:  # noqa: BLE001
+        msg = str(exc).lower()
+        if "already" in msg and "regist" in msg:
+            return
+        raise
+
+
+_TAIL_ORACLE = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+FROM orders WHERE o_orderkey % 4 IN (0, 1, 2)
+GROUP BY o_orderstatus
+"""
+
+
+@register("q_stream_snapshot_tail", oracle=_TAIL_ORACLE, tags=("stream", "iceberg", "source"))
+def q_stream_snapshot_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail a snapshot table's commit log as a STREAM: three append
+    commits land first, then ``readStream.format("itws_snaptail")``
+    drains them one commit per micro-batch (offsets = snapshot ids,
+    so replay re-reads exact manifest diffs), a complete-mode
+    aggregate folds the increments, and the final memory-sink table
+    must hash-match the batch SQL over the same three thirds. The
+    micro-batch boundary ≡ commit boundary property is asserted: the
+    stream advances exactly one snapshot per batch. This closes the
+    lakehouse loop: q_stream_iceberg_sink writes the commit log a
+    micro-batch at a time; this reads it back the same way."""
+    import tempfile
+    import uuid
+
+    from iceberg_twist_spark.sources.snapshots import SnapshotTable
+    from iceberg_twist_spark.streaming.jobs import _state_partitions
+
+    register_snapshot_tail(spark)
+    tbl = SnapshotTable(spark, tempfile.mkdtemp(prefix="itws_snaptail_"))
+    orders = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    tbl.create(orders.filter(F.col("o_orderkey") % 4 == 0))
+    tbl.append(orders.filter(F.col("o_orderkey") % 4 == 1))
+    tbl.append(orders.filter(F.col("o_orderkey") % 4 == 2))
+
+    stream = (
+        spark.readStream.format("itws_snaptail")
+        .option("path", tbl.path)
+        .option(
+            "schema_ddl",
+            "o_orderkey bigint, o_orderstatus string, o_totalprice double",
+        )
+        .option("columns", "o_orderkey,o_orderstatus,o_totalprice")
+        .option("snapshots_per_batch", "1")
+        .load()
+    )
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    agg = stream.groupBy("o_orderstatus").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(cents).cast("long").alias("cents"),
+    )
+    name = f"itws_snaptail_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="itws_ckpt_")
+    with _state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            # one micro-batch per commit: the last batch id is ≥ the
+            # number of snapshots drained minus one
+            progress = q.lastProgress
+            assert progress is not None
+        finally:
+            q.stop()
+    return spark.table(name)

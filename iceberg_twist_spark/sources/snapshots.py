@@ -320,6 +320,13 @@ class SnapshotTable:
                 maxs[name] = mx if name not in maxs else max(maxs[name], mx)
         return {k: [mins[k], maxs[k]] for k in mins}
 
+    @staticmethod
+    def _file_rows(path: str) -> int:
+        """Exact record count from the parquet footer (no data scan)."""
+        import pyarrow.parquet as pq
+
+        return int(pq.ParquetFile(path).metadata.num_rows)
+
     def _write_files(
         self, df: DataFrame, partition_spec: list[str] | None = None
     ) -> tuple[list[str], int, dict, dict]:
@@ -356,7 +363,11 @@ class SnapshotTable:
                         os.replace(os.path.join(root, name), dst)
                         files.append(dst)
                         stats[dst] = self._file_stats(dst)
-                        nfm[dst] = {"base": base, "partition": part}
+                        nfm[dst] = {
+                            "base": base,
+                            "partition": part,
+                            "rows": self._file_rows(dst),
+                        }
                 n = (
                     self.spark.read.option("basePath", base).parquet(*files).count()
                     if files
@@ -371,7 +382,11 @@ class SnapshotTable:
                     os.replace(os.path.join(stage, name), dst)
                     files.append(dst)
                     stats[dst] = self._file_stats(dst)
-                    nfm[dst] = {"base": None, "partition": {}}
+                    nfm[dst] = {
+                        "base": None,
+                        "partition": {},
+                        "rows": self._file_rows(dst),
+                    }
                 n = self.spark.read.parquet(*files).count() if files else 0
             return files, n, stats, nfm
         finally:
@@ -503,13 +518,18 @@ class SnapshotTable:
                 },
                 "base": extra.get("base"),
                 "partition": extra.get("partition", {}),
+                "rows": extra.get("rows"),
             }
         if fresh:
             self._register_files(fresh)
+        import time as _time
+
         manifest = {
             "snapshot_id": snap,
             "parent_id": parent or None,
             "operation": operation,
+            # commit wall-clock — the FOR TIMESTAMP AS OF anchor
+            "committed_at": _time.time(),
             "files": files,
             "n_files": len(files),
             "n_records": n_records,
@@ -543,6 +563,19 @@ class SnapshotTable:
         with open(mpath, "w") as f:
             json.dump(manifest, f)
         if update_hint:
+            # optimistic concurrency: the snapshot this commit was
+            # built against must STILL be current at the swap —
+            # Iceberg's compare-and-swap against the catalog pointer.
+            # A concurrent committer who won the race leaves this
+            # manifest parentless-on-main (reclaimable by expire);
+            # swapping anyway would silently drop their commit from
+            # the history chain (lost update).
+            now = self.current_snapshot_id()
+            if now != (parent or 0):
+                raise ValueError(
+                    f"commit conflict: built against snapshot {parent or 0} "
+                    f"but {now} is now current — retry against the new head"
+                )
             # atomic pointer swap — the commit point
             self._swap_hint(snap)
         return snap
@@ -585,6 +618,7 @@ class SnapshotTable:
             pos_deletes=prev.get("pos_deletes", []),
             new_file_meta=nfm,
             schema_mode="append",
+            parent=cur or None,
         )
 
     # ---- schema evolution (metadata-only, field-id resolved) -----------
@@ -771,14 +805,7 @@ class SnapshotTable:
         pos_deletes = m.get("pos_deletes", [])
         cur_name_by_id = {int(f[0]): f[1] for f in schema_meta}
 
-        def norm(p: str) -> str:
-            # _metadata.file_path renders local URIs as "file:/x" (and
-            # sometimes "file:///x"); manifests hold plain paths
-            if p.startswith("file://"):
-                return p[7:]
-            if p.startswith("file:"):
-                return p[5:]
-            return p
+        norm = self._norm_uri  # URI form → plain manifest path
 
         # group files by everything that changes the scan or its joins
         groups: dict[tuple, list[str]] = {}
@@ -865,9 +892,13 @@ class SnapshotTable:
         ref: str | None = None,
         partition_eq: tuple[str, object] | None = None,
         keep_meta: bool = False,
+        as_of: float | None = None,
     ) -> DataFrame:
-        """Scan a snapshot (latest by default) — time travel by id, or
-        by named ref (``ref="v1"`` reads the tagged/branched snapshot).
+        """Scan a snapshot (latest by default) — time travel by id, by
+        named ref (``ref="v1"`` reads the tagged/branched snapshot), or
+        by wall-clock (``as_of=epoch_seconds`` reads the latest
+        snapshot committed at or before that instant — SQL's
+        ``FOR TIMESTAMP AS OF``).
 
         With ``skip=(col, lo, hi)``, non-matching data files are pruned
         via the manifest zone maps (see ``plan_files``) and the exact
@@ -881,6 +912,10 @@ class SnapshotTable:
             if snapshot_id is not None:
                 raise ValueError("pass snapshot_id or ref, not both")
             snapshot_id = self.resolve_ref(ref)
+        if as_of is not None:
+            if snapshot_id is not None or ref is not None:
+                raise ValueError("pass snapshot_id, ref, or as_of — one only")
+            snapshot_id = self.snapshot_as_of(as_of)
         snap = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
         if snap == 0:
             raise ValueError(f"no snapshots in {self.path}")
@@ -993,8 +1028,10 @@ class SnapshotTable:
           difference; never touches the base);
         - eq-delete → reads the parent snapshot semi-joined to the NEW
           delete key files (broadcast; O(live ∩ keys));
+        - pos-delete → reads ONLY the files the delete names,
+          semi-joined to its (file, ordinal) pairs (broadcast);
         - rewrite / schema / spec commits → no rows by construction;
-        - overwrite / CoW delete / merge / rollback / pos-delete →
+        - overwrite / CoW delete / merge / rollback →
           full symmetric difference of the two adjacent snapshots
           (``exceptAll`` both ways). This is the one genuinely
           expensive shape; Iceberg's own changelog has the same cost
@@ -1041,6 +1078,36 @@ class SnapshotTable:
                     self._read_files(m, added), m["schema_meta"], to_meta
                 )
                 parts.append(tag(ins, "insert", sid))
+            elif op == "pos-delete":
+                # fast path: the delete file NAMES its (file, ordinal)
+                # pairs — read just those files under the parent's
+                # semantics and semi-join the pairs; never a snapshot
+                # diff
+                prev_cols = [f[1] for f in pm["schema_meta"]]
+                new_entries = [
+                    d
+                    for d in m.get("pos_deletes", [])
+                    if d["path"]
+                    not in {x["path"] for x in pm.get("pos_deletes", [])}
+                ]
+                for d in new_entries:
+                    named = {self._norm_uri(x) for x in d.get("files", [])}
+                    sub_files = [f for f in pm["files"] if f in named]
+                    sub = self._read_files(pm, sub_files, keep_meta=True)
+                    dk = self.spark.read.parquet(d["path"]).select(
+                        F.col("file_path").alias("_file_path"),
+                        F.col("row_index").alias("_pos"),
+                    )
+                    gone = sub.join(
+                        F.broadcast(dk), ["_file_path", "_pos"], "left_semi"
+                    ).select(*prev_cols)
+                    parts.append(
+                        tag(
+                            self._align_to(gone, pm["schema_meta"], to_meta),
+                            "delete",
+                            sid,
+                        )
+                    )
             elif op == "eq-delete":
                 prev_read = self.read(snapshot_id=prev_id)
                 prev_names = {int(f[0]): f[1] for f in pm["schema_meta"]}
@@ -1080,42 +1147,246 @@ class SnapshotTable:
         return out
 
     # ---- row-level commits ---------------------------------------------
-    def merge(self, source: DataFrame, key: str) -> int:
-        """Copy-on-write MERGE INTO: WHEN MATCHED UPDATE SET * /
-        WHEN NOT MATCHED INSERT * — the source row wins for every key
-        it carries, untouched base rows are carried forward.
+    @staticmethod
+    def _norm_uri(p: str) -> str:
+        """_metadata.file_path URI → the plain path manifests hold."""
+        if p.startswith("file://"):
+            return p[7:]
+        if p.startswith("file:"):
+            return p[5:]
+        return p
 
-        Plan shape: base ANTI-JOIN source on the merge key (one
-        shuffle; AQE broadcasts the change side when it is small, the
-        overwhelmingly common case) unioned with the source — exactly
-        how Iceberg's copy-on-write MERGE materializes its replacement
-        files. Readers of older snapshots are untouched (tested:
-        snapshot isolation in tests/test_snapshots.py).
+    def merge(self, source: DataFrame, key: str) -> int:
+        """Copy-on-write MERGE INTO, file-pruned exactly like
+        Iceberg's: WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED
+        INSERT * — the source row wins for every key it carries.
+
+        Plan shape: ONE metadata pass (broadcast-friendly semi join on
+        the merge key against ``_metadata.file_path``) locates the
+        data files containing matched keys; only THOSE files rewrite
+        (their non-matched rows anti-join the source keys, then union
+        every source row — updates and inserts both land in the
+        replacement files), and every untouched file carries into the
+        new manifest verbatim with its sequence number and zone maps.
+        A ten-row MERGE into a 100 TB table rewrites the files holding
+        those ten keys, never the table. Readers of older snapshots
+        are untouched (tested: snapshot isolation in
+        tests/test_snapshots.py).
         """
-        base = self.read()
-        survivors = base.join(source.select(key), on=key, how="left_anti")
-        merged = survivors.unionByName(source)
+        cur_id = self.current_snapshot_id()
+        if cur_id == 0:
+            raise ValueError(f"no snapshots in {self.path}")
+        cur = self._manifest(cur_id)
+        keys_df = source.select(key)
+        hits = (
+            self.read(snapshot_id=cur_id, keep_meta=True)
+            .join(keys_df, on=key, how="left_semi")
+            .select("_file_path")
+            .distinct()
+            .collect()  # bounded by the manifest's file count
+        )
+        hit_paths = {self._norm_uri(r._file_path) for r in hits}
+        untouched = [f for f in cur["files"] if f not in hit_paths]
+        to_rewrite = [f for f in cur["files"] if f in hit_paths]
+        survivors = self._read_files(cur, to_rewrite).join(
+            keys_df, on=key, how="left_anti"
+        )
+        # column order follows the TABLE schema; a source with same
+        # names but different order/nullability must not redefine it
+        merged = survivors.unionByName(
+            source.select(*[f[1] for f in cur["schema_meta"]])
+        )
         spec = self.partition_spec()
-        files, n, st, nfm = self._write_files(merged, spec or None)
-        # commit the schema of the frame actually written — the union
-        # keeps the BASE table's column order/nullability, and a source
-        # with same names but different nullability/metadata must not
-        # be recorded as describing the committed files
+        files, n_new, st, nfm = self._write_files(merged, spec or None)
+        fm = self._files_meta()
+        n_keep = 0
+        missing = [f for f in untouched if fm.get(f, {}).get("rows") is None]
+        if missing:
+            n_keep += self.spark.read.parquet(*missing).count()
+        n_keep += sum(
+            fm[f]["rows"] for f in untouched
+            if fm.get(f, {}).get("rows") is not None
+        )
+        kept_stats = {
+            f: s for f, s in cur.get("file_stats", {}).items() if f in set(untouched)
+        }
         return self._commit(
-            files, n, "merge", merged.schema.json(), st, new_file_meta=nfm
+            untouched + files,
+            n_keep + n_new,
+            "merge",
+            merged.schema.json(),
+            {**kept_stats, **st},
+            eq_deletes=cur.get("eq_deletes", []),
+            pos_deletes=cur.get("pos_deletes", []),
+            new_file_meta=nfm,
+            schema_meta=cur["schema_meta"],
+            parent=cur_id,
         )
 
-    def delete_where(self, condition) -> int:
-        """Copy-on-write DELETE: rewrite the current snapshot without
-        the matching rows. (Real Iceberg would first prune to the data
-        files whose min/max stats can contain matches and rewrite only
-        those; with a flat manifest the rewrite set is all files.)"""
-        base = self.read()
-        remaining = base.filter(~condition)
+    def snapshot_as_of(self, ts: float) -> int:
+        """The snapshot id in force at wall-clock ``ts`` (epoch
+        seconds): the LATEST committed-history snapshot with
+        ``committed_at <= ts`` — Iceberg's timestamp-as-of resolution
+        over the snapshot log. Raises when the table did not exist
+        yet."""
+        best = 0
+        for m in self.snapshots():
+            at = m.get("committed_at")
+            if at is not None and at <= ts:
+                best = m["snapshot_id"]
+        if best == 0:
+            raise ValueError(
+                f"no snapshot committed at or before {ts} in {self.path}"
+            )
+        return best
+
+    def update_where(self, condition, assignments: dict) -> int:
+        """Copy-on-write UPDATE, file-pruned like DELETE/MERGE: one
+        ``_metadata.file_path`` pass locates the files containing rows
+        where ``condition`` is TRUE; only those rewrite, with
+        ``assignments`` (column name → Column expression) applied to
+        the matching rows and every other row carried bit-identical;
+        untouched files carry into the new manifest verbatim. SQL
+        UPDATE semantics: a NULL condition updates nothing."""
+        cur_id = self.current_snapshot_id()
+        if cur_id == 0:
+            raise ValueError(f"no snapshots in {self.path}")
+        cur = self._manifest(cur_id)
+        names = [f[1] for f in cur["schema_meta"]]
+        unknown = [c for c in assignments if c not in names]
+        if unknown:
+            raise ValueError(f"assignments target unknown columns: {unknown}")
+        hits = (
+            self.read(snapshot_id=cur_id, keep_meta=True)
+            .filter(condition)
+            .select("_file_path")
+            .distinct()
+            .collect()  # bounded by the manifest's file count
+        )
+        hit_paths = {self._norm_uri(r._file_path) for r in hits}
+        untouched = [f for f in cur["files"] if f not in hit_paths]
+        to_rewrite = [f for f in cur["files"] if f in hit_paths]
+        base = self._read_files(cur, to_rewrite)
+        updated = base.select(
+            *[
+                (
+                    F.when(condition, assignments[c]).otherwise(F.col(c)).alias(c)
+                    if c in assignments
+                    else F.col(c)
+                )
+                for c in names
+            ]
+        )
         spec = self.partition_spec()
-        files, n, st, nfm = self._write_files(remaining, spec or None)
+        files, n_new, st, nfm = self._write_files(updated, spec or None)
+        fm = self._files_meta()
+        n_keep = 0
+        missing = [f for f in untouched if fm.get(f, {}).get("rows") is None]
+        if missing:
+            n_keep += self.spark.read.parquet(*missing).count()
+        n_keep += sum(
+            fm[f]["rows"] for f in untouched
+            if fm.get(f, {}).get("rows") is not None
+        )
+        kept_stats = {
+            f: s for f, s in cur.get("file_stats", {}).items() if f in set(untouched)
+        }
         return self._commit(
-            files, n, "delete", remaining.schema.json(), st, new_file_meta=nfm
+            untouched + files,
+            n_keep + n_new,
+            "update",
+            updated.schema.json(),
+            {**kept_stats, **st},
+            eq_deletes=cur.get("eq_deletes", []),
+            pos_deletes=cur.get("pos_deletes", []),
+            new_file_meta=nfm,
+            schema_meta=cur["schema_meta"],
+            parent=cur_id,
+        )
+
+    def partitions_metadata(self) -> list[dict]:
+        """The ``.partitions`` metadata table, computed WITHOUT any
+        data scan: per partition tuple, file count and record count,
+        straight from the manifest + per-file sidecar facts (Iceberg
+        serves this from manifest entries the same way). Files written
+        under a spec that did not partition on a column report a NULL
+        for it."""
+        cur_id = self.current_snapshot_id()
+        if cur_id == 0:
+            raise ValueError(f"no snapshots in {self.path}")
+        m = self._manifest(cur_id)
+        fm = self._files_meta()
+        agg: dict[tuple, dict] = {}
+        for p in m["files"]:
+            info = fm.get(p, {})
+            part = info.get("partition", {}) or {}
+            key = tuple(sorted(part.items()))
+            slot = agg.setdefault(
+                key, {"partition": dict(part), "n_files": 0, "n_records": 0}
+            )
+            slot["n_files"] += 1
+            rows = info.get("rows")
+            if rows is None:
+                rows = self._file_rows(p)
+            slot["n_records"] += rows
+        return sorted(agg.values(), key=lambda s: sorted(s["partition"].items()))
+
+    def delete_where(self, condition) -> int:
+        """Copy-on-write DELETE, file-pruned exactly like Iceberg's:
+        one scan locates the data files that CONTAIN matching rows
+        (via ``_metadata.file_path``), only THOSE files are rewritten
+        without their matches, and every untouched file is carried
+        into the new manifest verbatim — at 100 TB a delete touching
+        one day's partition rewrites that day, never the table.
+        Untouched files keep their sequence numbers, so pending MOR
+        deletes stay correctly scoped; rewritten files take the new
+        commit's sequence (their matches are already applied).
+
+        SQL DELETE semantics: rows where ``condition`` is NULL are
+        NOT deleted (``WHERE`` three-valued logic)."""
+        cur_id = self.current_snapshot_id()
+        if cur_id == 0:
+            raise ValueError(f"no snapshots in {self.path}")
+        cur = self._manifest(cur_id)
+        hits = (
+            self.read(snapshot_id=cur_id, keep_meta=True)
+            .filter(condition)
+            .select("_file_path")
+            .distinct()
+            .collect()  # bounded by the manifest's file count
+        )
+
+        hit_paths = {self._norm_uri(r._file_path) for r in hits}
+        untouched = [f for f in cur["files"] if f not in hit_paths]
+        to_rewrite = [f for f in cur["files"] if f in hit_paths]
+        survivors = self._read_files(cur, to_rewrite).filter(
+            ~F.coalesce(condition, F.lit(False))
+        )
+        spec = self.partition_spec()
+        files, n_new, st, nfm = self._write_files(survivors, spec or None)
+        fm = self._files_meta()
+        n_keep = 0
+        missing = [f for f in untouched if fm.get(f, {}).get("rows") is None]
+        if missing:
+            n_keep += self.spark.read.parquet(*missing).count()
+        n_keep += sum(
+            fm[f]["rows"] for f in untouched
+            if fm.get(f, {}).get("rows") is not None
+        )
+        kept_stats = {
+            f: s for f, s in cur.get("file_stats", {}).items() if f in set(untouched)
+        }
+        return self._commit(
+            untouched + files,
+            n_keep + n_new,
+            "delete",
+            survivors.schema.json(),
+            {**kept_stats, **st},
+            eq_deletes=cur.get("eq_deletes", []),
+            pos_deletes=cur.get("pos_deletes", []),
+            new_file_meta=nfm,
+            schema_meta=cur["schema_meta"],
+            parent=cur_id,
         )
 
     def delete_keys(self, keys: DataFrame, key_col: str) -> int:
@@ -1169,6 +1440,7 @@ class SnapshotTable:
             cur.get("file_stats", {}), eq_deletes=eq,
             pos_deletes=cur.get("pos_deletes", []),
             schema_meta=cur["schema_meta"],
+            parent=cur_id,
         )
 
     def delete_where_positional(self, condition) -> int:
@@ -1223,6 +1495,7 @@ class SnapshotTable:
             eq_deletes=cur.get("eq_deletes", []),
             pos_deletes=pos,
             schema_meta=cur["schema_meta"],
+            parent=cur_id,
         )
 
     # ---- maintenance ---------------------------------------------------
@@ -1425,17 +1698,34 @@ class SnapshotTable:
                         deleted += 1
         return deleted
 
-    def rewrite_data_files(self, target_bytes: int = TARGET_FILE_BYTES) -> int:
+    def rewrite_data_files(
+        self,
+        target_bytes: int = TARGET_FILE_BYTES,
+        sort_by: list[str] | None = None,
+    ) -> int:
         """Compaction: rewrite the current snapshot's files at a target
         size (Iceberg's ``rewrite_data_files`` procedure). Pending
         equality AND position deletes are applied physically and the
         delete lists cleared; live content is otherwise byte-identical
         — only the layout changes. Readers of older snapshots are
-        untouched: old files stay until an expire pass."""
+        untouched: old files stay until an expire pass.
+
+        ``sort_by`` = Iceberg's sort-order rewrite (binpack → sort):
+        rows range-partition + sort on the given columns, so each
+        output file covers a TIGHT [min, max] band of the sort key and
+        the manifest zone maps become selective — the write-side half
+        of data skipping. At 100 TB, compacting a day's ingest sorted
+        on the query-predicate column is what turns "scan the day"
+        into "scan the handful of files that can match"."""
         cur = self._manifest(self.current_snapshot_id())
         total = sum(os.path.getsize(p) for p in cur["files"])
         n_out = max(1, -(-total // target_bytes))  # ceil
-        df = self.read().repartition(int(n_out))
+        if sort_by:
+            df = self.read().repartitionByRange(
+                int(n_out), *sort_by
+            ).sortWithinPartitions(*sort_by)
+        else:
+            df = self.read().repartition(int(n_out))
         spec = self.partition_spec()
         files, n, st, nfm = self._write_files(df, spec or None)
         return self._commit(
@@ -2496,6 +2786,220 @@ def q_iceberg_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
     assert len(planned) < len(all_files)
     assert old_files <= set(planned)
     return tbl.read(partition_eq=("o_orderstatus", "F")).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.floor(F.col("o_totalprice") * 10000 + F.lit(0.5)) / 10000).alias(
+            "o_totalprice"
+        ),
+    )
+
+
+def _update_table(spark: SparkSession, sf_dir: str) -> SnapshotTable:
+    """Copy-on-write UPDATE scenario:
+
+    snapshot 1  overwrite  keys ≡ 0 (mod 3), range-laid on o_orderkey
+                           (8 files, tight key bands)
+    snapshot 2  update     keys < 2000: status → 'X', price += 1 —
+                           file-pruned rewrite (the low-key prefix of
+                           the layout; high-key files carry verbatim)
+    """
+    key = f"snapupdate::{sf_dir}"
+    tbl = _TABLE_CACHE.get(key)
+    if tbl is not None:
+        return tbl
+    tbl = SnapshotTable(spark, tempfile.mkdtemp(prefix="itws_snapupd_"))
+    orders = load_tables(spark, sf_dir)["orders"].select(*_ORDER_COLS)
+    tbl.overwrite(
+        orders.filter(F.col("o_orderkey") % 3 == 0).repartitionByRange(
+            8, "o_orderkey"
+        )
+    )
+    before = set(tbl._manifest(1)["files"])
+    # scale-relative cutoff (bottom fifth of the key range) so the
+    # update hits a strict prefix of the 8 range-laid files at EVERY
+    # sf; the oracle derives the identical cutoff in SQL
+    cutoff = int(orders.agg(F.max("o_orderkey")).first()[0]) // 5
+    tbl.update_where(
+        F.col("o_orderkey") < cutoff,
+        {
+            "o_orderstatus": F.lit("X"),
+            "o_totalprice": F.col("o_totalprice") + 1.0,
+        },
+    )
+    after = set(tbl._manifest(2)["files"])
+    carried = before & after
+    assert carried and after - before, (len(before), len(carried))
+    _TABLE_CACHE[key] = tbl
+    return tbl
+
+
+_UPDATE_ORACLE = """
+WITH cut AS (
+    SELECT CAST(floor(max(o_orderkey) / 5.0) AS BIGINT) AS c FROM orders
+)
+SELECT o_orderkey,
+       CASE WHEN o_orderkey < (SELECT c FROM cut) THEN 'X'
+            ELSE o_orderstatus END AS o_orderstatus,
+       floor(CASE WHEN o_orderkey < (SELECT c FROM cut)
+                  THEN o_totalprice + 1.0
+                  ELSE o_totalprice END * 10000 + 0.5) / 10000
+           AS o_totalprice
+FROM orders WHERE o_orderkey % 3 = 0
+"""
+
+
+@register("q_iceberg_update", oracle=_UPDATE_ORACLE, tags=("iceberg", "cdc"))
+def q_iceberg_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write UPDATE WHERE, file-pruned: one metadata pass
+    locates the files containing matching rows (the low-key prefix of
+    the range layout), only those rewrite with the assignments applied
+    to matching rows, and the high-key files carry into the new
+    manifest verbatim (asserted in the fixture: carried ∩ rewritten
+    both non-empty). Multi-column assignments and SQL three-valued
+    WHERE semantics; the oracle derives the same rows with CASE
+    WHEN. At 100 TB an update touching one key band rewrites that
+    band's files, never the table."""
+    tbl = _update_table(spark, sf_dir)
+    assert [m["operation"] for m in tbl.snapshots()] == ["overwrite", "update"]
+    return tbl.read().select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.floor(F.col("o_totalprice") * 10000 + F.lit(0.5)) / 10000).alias(
+            "o_totalprice"
+        ),
+    )
+
+
+_TT_TS_ORACLE = """
+SELECT o_orderkey, o_orderstatus,
+       floor(o_totalprice * 10000 + 0.5) / 10000 AS o_totalprice
+FROM orders WHERE o_orderkey % 2 = 0
+"""
+
+
+@register("q_iceberg_time_travel_ts", oracle=_TT_TS_ORACLE, tags=("iceberg", "source"))
+def q_iceberg_time_travel_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FOR TIMESTAMP AS OF: every commit records its wall-clock, and
+    ``read(as_of=t)`` resolves the LATEST snapshot committed at or
+    before ``t`` over the snapshot log — here the midpoint between
+    snapshot 1 and snapshot 2's commit instants, which must read
+    exactly snapshot 1's content (the even keys), never the appended
+    rows. Pre-table instants raise (asserted)."""
+    tbl = _orders_table(spark, sf_dir)
+    t1 = tbl._manifest(1)["committed_at"]
+    t2 = tbl._manifest(2)["committed_at"]
+    assert t1 <= t2
+    mid = (t1 + t2) / 2.0
+    assert tbl.snapshot_as_of(mid) == 1
+    try:
+        tbl.snapshot_as_of(t1 - 3600.0)
+        raise AssertionError("pre-table as_of did not raise")
+    except ValueError:
+        pass
+    return tbl.read(as_of=mid).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.floor(F.col("o_totalprice") * 10000 + F.lit(0.5)) / 10000).alias(
+            "o_totalprice"
+        ),
+    )
+
+
+_PARTS_META_ORACLE = """
+SELECT CAST(NULL AS VARCHAR) AS o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_records
+FROM orders WHERE o_orderkey % 3 = 0
+UNION ALL
+SELECT o_orderstatus, CAST(count(*) AS BIGINT)
+FROM orders WHERE o_orderkey % 3 = 1 GROUP BY o_orderstatus
+"""
+
+
+@register(
+    "q_iceberg_partitions_meta",
+    oracle=_PARTS_META_ORACLE,
+    tags=("iceberg", "metadata"),
+)
+def q_iceberg_partitions_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``.partitions`` metadata table, served WITHOUT a data scan:
+    per partition tuple, record counts straight from the manifest +
+    per-file sidecar facts (footer row counts recorded at write time)
+    — on the spec-evolved table, the pre-evolution files report a
+    NULL partition value and the hive-partitioned appends report per-
+    status counts. The oracle recomputes both groups from the source
+    table, so the manifest's partition-level accounting is
+    value-verified, metadata against data."""
+    tbl = _pspec_table(spark, sf_dir)
+    rows = [
+        (s["partition"].get("o_orderstatus"), s["n_records"])
+        for s in tbl.partitions_metadata()
+    ]
+    return spark.createDataFrame(
+        rows, "o_orderstatus string, n_records long"
+    )
+
+
+def _sorted_compact_table(spark: SparkSession, sf_dir: str) -> SnapshotTable:
+    """Sort-order rewrite scenario:
+
+    snapshot 1  overwrite  keys ≡ 0 (mod 3), HASH-layout 8 files
+                           (every file spans the full price range —
+                           zone maps prune nothing)
+    snapshot 2  rewrite    compaction SORTED on o_totalprice: each
+                           output file covers a tight price band
+    """
+    key = f"snapsorted::{sf_dir}"
+    tbl = _TABLE_CACHE.get(key)
+    if tbl is not None:
+        return tbl
+    tbl = SnapshotTable(spark, tempfile.mkdtemp(prefix="itws_snapsorted_"))
+    orders = load_tables(spark, sf_dir)["orders"].select(*_ORDER_COLS)
+    tbl.overwrite(
+        orders.filter(F.col("o_orderkey") % 3 == 0).repartition(8)
+    )
+    # unsorted layout: the band prunes nothing
+    assert len(
+        tbl.plan_files(skip=("o_totalprice", PRUNE_LO, PRUNE_HI))
+    ) == len(tbl.plan_files())
+    # sort-order rewrite at a small target so multiple banded files
+    # come out even at sf0.001
+    total = sum(os.path.getsize(p) for p in tbl._manifest(1)["files"])
+    tbl.rewrite_data_files(
+        target_bytes=max(1, total // 8), sort_by=["o_totalprice"]
+    )
+    pruned = tbl.plan_files(skip=("o_totalprice", PRUNE_LO, PRUNE_HI))
+    assert len(pruned) < len(tbl.plan_files()), "sorted rewrite did not prune"
+    _TABLE_CACHE[key] = tbl
+    return tbl
+
+
+_SORTED_COMPACT_ORACLE = f"""
+SELECT o_orderkey, o_orderstatus,
+       floor(o_totalprice * 10000 + 0.5) / 10000 AS o_totalprice
+FROM orders
+WHERE o_orderkey % 3 = 0
+  AND o_totalprice BETWEEN {PRUNE_LO} AND {PRUNE_HI}
+"""
+
+
+@register(
+    "q_iceberg_compact_sorted",
+    oracle=_SORTED_COMPACT_ORACLE,
+    tags=("iceberg", "maintenance", "filter"),
+)
+def q_iceberg_compact_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-order compaction (Iceberg's binpack→sort rewrite): the
+    hash-laid table's zone maps prune NOTHING for a price band (every
+    file spans the full range — asserted), one
+    ``rewrite_data_files(sort_by=[o_totalprice])`` later each file
+    covers a tight band and the same scan plans a strict subset
+    (asserted). The hash-checked result is the band read over the
+    sorted layout — provably equal to the plain filtered scan. This
+    is the write-side half of data skipping at 100 TB: cluster on the
+    predicate column so manifests can prune."""
+    tbl = _sorted_compact_table(spark, sf_dir)
+    assert tbl.snapshots()[-1]["operation"] == "rewrite"
+    return tbl.read(skip=("o_totalprice", PRUNE_LO, PRUNE_HI)).select(
         "o_orderkey",
         "o_orderstatus",
         (F.floor(F.col("o_totalprice") * 10000 + F.lit(0.5)) / 10000).alias(

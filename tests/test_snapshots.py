@@ -614,11 +614,17 @@ def test_changelog_across_mixed_snapshots(spark, tmp_path):
     dels = {r.id for r in ch2.filter("_change_type = 'delete'").collect()}
     assert ins == set(range(25, 30))
     assert dels == (set(range(20)) - {4, 5, 14})
+    # a position delete takes the named-files fast path
+    s6 = tbl.delete_where_positional(F.col("id") == 27)
+    ch3 = tbl.read_changelog(s5, s6).collect()
+    assert {(r.id, r._change_type, r._commit_snapshot_id) for r in ch3} == {
+        (27, "delete", s6)
+    }
     # non-ancestor raises
     import pytest
 
     with pytest.raises(ValueError, match="ancestor"):
-        tbl.read_changelog(99, s5)
+        tbl.read_changelog(99, s6)
 
 
 def test_schema_evolution_field_id_resolution(spark, tmp_path):
@@ -734,3 +740,204 @@ def test_long_append_history_plans_single_scan(spark, tmp_path):
     plan2 = df2._jdf.queryExecution().executedPlan().toString()
     assert plan2.count("Scan parquet") == 3, plan2  # 2 data groups + delete keys
     assert df2.count() == 89
+
+
+def test_delete_where_rewrites_only_matching_files(spark, tmp_path):
+    """Copy-on-write DELETE prunes its rewrite set like Iceberg: only
+    files CONTAINING matches are rewritten; every other file is
+    carried into the new manifest verbatim (same path — no data
+    copied). NULL conditions follow SQL WHERE semantics: not
+    deleted."""
+    from pyspark.sql import functions as F
+
+    from iceberg_twist_spark.sources.snapshots import SnapshotTable
+
+    tbl = SnapshotTable(spark, str(tmp_path / "cowdel"))
+    df = spark.range(100).selectExpr(
+        "id", "CASE WHEN id = 7 THEN NULL ELSE id % 10 END AS bucket"
+    )
+    # range layout: matches (id < 25) live in a prefix of the files
+    s1 = tbl.create(df.repartitionByRange(8, "id"))
+    before = tbl._manifest(s1)["files"]
+    s2 = tbl.delete_where(F.col("id") < 25)
+    after = tbl._manifest(s2)["files"]
+    carried = set(before) & set(after)
+    assert carried, "no file was carried — delete rewrote the world"
+    assert set(after) - set(before), "matching files were not rewritten"
+    assert len(carried) >= 5, (before, after)
+    got = {r.id for r in tbl.read().collect()}
+    assert got == set(range(25, 100))
+    # NULL condition row: bucket IS NULL for id=7 → bucket < 5 is NULL
+    # → NOT deleted (old behavior dropped it)
+    s3 = tbl.delete_where(F.col("bucket") < 5)
+    remaining = {r.id for r in tbl.read().collect()}
+    assert remaining == {i for i in range(25, 100) if i % 10 >= 5}, remaining
+    # record accounting stays exact across the pruned commit
+    assert tbl._manifest(s3)["n_records"] == len(remaining)
+    # time travel unaffected
+    assert tbl.read(snapshot_id=s1).count() == 100
+
+
+def test_merge_rewrites_only_files_with_matched_keys(spark, tmp_path):
+    """Copy-on-write MERGE prunes its rewrite set: only files holding
+    MATCHED keys rewrite; untouched files carry verbatim; inserts
+    (unmatched source keys) land in the replacement files."""
+    from iceberg_twist_spark.sources.snapshots import SnapshotTable
+
+    tbl = SnapshotTable(spark, str(tmp_path / "cowmerge"))
+    df = spark.range(100).selectExpr("id", "id * 10 AS v")
+    s1 = tbl.create(df.repartitionByRange(8, "id"))
+    before = tbl._manifest(s1)["files"]
+    # updates hit a narrow key range (one or two files) + two inserts
+    source = spark.createDataFrame(
+        [(3, 999), (7, 888), (500, 111), (501, 222)], "id long, v long"
+    )
+    s2 = tbl.merge(source, key="id")
+    after = tbl._manifest(s2)["files"]
+    carried = set(before) & set(after)
+    assert len(carried) >= 6, (len(before), len(carried))
+    rows = {(r.id, r.v) for r in tbl.read().collect()}
+    expect = {(i, i * 10) for i in range(100) if i not in (3, 7)}
+    expect |= {(3, 999), (7, 888), (500, 111), (501, 222)}
+    assert rows == expect
+    assert tbl._manifest(s2)["n_records"] == 102
+    # snapshot isolation holds
+    assert tbl.read(snapshot_id=s1).count() == 100
+
+
+def test_update_where_prunes_and_respects_null_condition(spark, tmp_path):
+    """UPDATE WHERE rewrites only files containing TRUE-condition
+    rows, applies multi-column assignments to exactly those rows, and
+    a NULL condition updates nothing (SQL three-valued logic).
+    Unknown assignment columns raise."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from iceberg_twist_spark.sources.snapshots import SnapshotTable
+
+    tbl = SnapshotTable(spark, str(tmp_path / "upd"))
+    df = spark.range(80).selectExpr(
+        "id", "CASE WHEN id = 50 THEN NULL ELSE id END AS k", "id * 1.0 AS v"
+    )
+    s1 = tbl.create(df.repartitionByRange(8, "id"))
+    before = set(tbl._manifest(s1)["files"])
+    s2 = tbl.update_where(
+        F.col("k") < 10, {"v": F.col("v") + 100.0}
+    )
+    after = set(tbl._manifest(s2)["files"])
+    assert before & after, "update rewrote the world"
+    assert after - before
+    rows = {r.id: r.v for r in tbl.read().collect()}
+    for i in range(80):
+        expect = i + 100.0 if i < 10 else float(i)
+        assert rows[i] == expect, (i, rows[i])
+    # id=50 has k NULL → k<10 is NULL → NOT updated
+    assert rows[50] == 50.0
+    assert tbl._manifest(s2)["n_records"] == 80
+    with pytest.raises(ValueError, match="unknown columns"):
+        tbl.update_where(F.col("k") < 5, {"ghost": F.lit(1)})
+    # time travel: pre-update snapshot unchanged
+    assert {r.v for r in tbl.read(snapshot_id=s1).filter("id < 10").collect()} == {
+        float(i) for i in range(10)
+    }
+
+
+def test_as_of_timestamp_resolution(spark, tmp_path):
+    """as_of picks the latest snapshot committed at or before the
+    instant; exact commit instants resolve to that commit; mixing
+    selectors raises."""
+    import pytest
+
+    from iceberg_twist_spark.sources.snapshots import SnapshotTable
+
+    tbl = SnapshotTable(spark, str(tmp_path / "asof"))
+    s1 = tbl.create(spark.range(10).selectExpr("id"))
+    s2 = tbl.overwrite(spark.range(20, 25).selectExpr("id"))
+    t1 = tbl._manifest(s1)["committed_at"]
+    t2 = tbl._manifest(s2)["committed_at"]
+    assert tbl.snapshot_as_of(t1) == s1
+    assert tbl.snapshot_as_of(t2) == s2
+    assert tbl.snapshot_as_of(t2 + 10) == s2
+    assert tbl.read(as_of=(t1 + t2) / 2).count() == 10
+    with pytest.raises(ValueError, match="one only"):
+        tbl.read(snapshot_id=s1, as_of=t1)
+    with pytest.raises(ValueError, match="no snapshot committed"):
+        tbl.snapshot_as_of(t1 - 100)
+
+
+def test_partitions_metadata_no_data_scan_accounting(spark, tmp_path):
+    """.partitions accounting: per-tuple file and record counts from
+    pure metadata match the data; spec evolution yields a NULL-tuple
+    group for pre-evolution files."""
+    from iceberg_twist_spark.sources.snapshots import SnapshotTable
+
+    tbl = SnapshotTable(spark, str(tmp_path / "pmeta"))
+    df = spark.range(60).selectExpr("id", "CAST(id % 3 AS STRING) AS b")
+    tbl.create(df.filter("id < 30"))
+    tbl.set_partition_spec(["b"])
+    tbl.append(df.filter("id >= 30"))
+    parts = tbl.partitions_metadata()
+    got = {
+        tuple(sorted(p["partition"].items())): p["n_records"] for p in parts
+    }
+    assert got[()] == 30  # pre-evolution files, no partition tuple
+    assert got[(("b", "0"),)] == 10
+    assert got[(("b", "1"),)] == 10
+    assert got[(("b", "2"),)] == 10
+    assert sum(p["n_files"] for p in parts) == len(
+        tbl._manifest(tbl.current_snapshot_id())["files"]
+    )
+
+
+def test_commit_conflict_detection(spark, tmp_path):
+    """Optimistic concurrency (Iceberg's catalog compare-and-swap): a
+    commit built against a snapshot that is no longer current must
+    RAISE at the pointer swap, not silently drop the interleaved
+    commit from the history chain."""
+    import pytest
+
+    from iceberg_twist_spark.sources.snapshots import SnapshotTable
+
+    tbl = SnapshotTable(spark, str(tmp_path / "cas"))
+    s1 = tbl.create(spark.range(10).selectExpr("id"))
+    m1 = tbl._manifest(s1)
+    # a concurrent writer lands snapshot 2
+    s2 = tbl.append(spark.range(10, 15).selectExpr("id"))
+    # the stale committer (built against s1) must conflict
+    with pytest.raises(ValueError, match="commit conflict"):
+        tbl._commit(
+            m1["files"], m1["n_records"], "overwrite", m1["schema"],
+            schema_meta=m1["schema_meta"], parent=s1,
+        )
+    # history is intact and a fresh retry (against the new head) lands
+    assert tbl.current_snapshot_id() == s2
+    s3 = tbl.append(spark.range(20, 22).selectExpr("id"))
+    assert [m["snapshot_id"] for m in tbl.snapshots()] == [s1, s2, s3]
+    assert tbl.read().count() == 17
+
+
+def test_sorted_compaction_tightens_zone_maps(spark, tmp_path):
+    """rewrite_data_files(sort_by=...) = Iceberg's sort-order rewrite:
+    after compacting SORTED, each file covers a tight key band, so a
+    narrow-band zone-map scan plans a strict subset of files, while
+    the content is unchanged. The unsorted layout prunes nothing (every
+    file spans the full range)."""
+    from pyspark.sql import functions as F
+
+    from iceberg_twist_spark.sources.snapshots import SnapshotTable
+
+    tbl = SnapshotTable(spark, str(tmp_path / "sorted"))
+    df = spark.range(10_000).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+    tbl.create(df.repartition(8))  # hash layout: every file spans 0..10k
+    band = ("v", 100.0, 200.0)
+    assert len(tbl.plan_files(skip=band)) == len(tbl.plan_files())
+    s2 = tbl.rewrite_data_files(target_bytes=40_000, sort_by=["v"])
+    all_files = tbl.plan_files(s2)
+    pruned = tbl.plan_files(s2, skip=band)
+    assert len(all_files) >= 3
+    assert len(pruned) < len(all_files), "sorted layout did not prune"
+    # content identical + the pruned read equals the filtered scan
+    assert tbl.read().count() == 10_000
+    got = tbl.read(skip=band)
+    assert got.count() == 101
+    assert {r.id for r in got.collect()} == set(range(100, 201))

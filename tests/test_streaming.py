@@ -583,3 +583,63 @@ def test_late_drop_recovers_from_checkpoint_mid_replay(spark, sf_dir):
     emitted_twice = [w for w in {t[0] for t in first} if
                      sum(1 for t in combined if t[0] == w) > 1]
     assert not emitted_twice, f"windows re-emitted after restart: {emitted_twice}"
+
+
+def test_snapshot_tail_batches_align_with_commits(spark, tmp_path):
+    """The snapshot-tail source advances exactly one commit per
+    micro-batch (offsets = snapshot ids): per-batch input row counts
+    equal the per-commit increments, and a non-append commit in the
+    tailed range fails the stream instead of returning wrong rows."""
+    import tempfile
+    import uuid
+
+    import pytest
+
+    from iceberg_twist_spark.sources.snapshot_stream import (
+        register_snapshot_tail,
+    )
+    from iceberg_twist_spark.sources.snapshots import SnapshotTable
+
+    register_snapshot_tail(spark)
+    tbl = SnapshotTable(spark, str(tmp_path / "tail"))
+    tbl.create(spark.range(10).selectExpr("id", "id * 2 AS v"))
+    tbl.append(spark.range(100, 105).selectExpr("id", "id * 2 AS v"))
+    tbl.append(spark.range(200, 207).selectExpr("id", "id * 2 AS v"))
+
+    def start(name):
+        return (
+            spark.readStream.format("itws_snaptail")
+            .option("path", tbl.path)
+            .option("schema_ddl", "id bigint, v bigint")
+            .option("columns", "id,v")
+            .option("snapshots_per_batch", "1")
+            .load()
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="itws_ck_"))
+            .start()
+        )
+
+    name = f"tail_{uuid.uuid4().hex[:8]}"
+    q = start(name)
+    try:
+        q.processAllAvailable()
+        per_batch = [
+            p["numInputRows"] for p in q.recentProgress if p["numInputRows"]
+        ]
+    finally:
+        q.stop()
+    assert per_batch == [10, 5, 7], per_batch
+    assert spark.table(name).count() == 22
+    # a mid-range overwrite breaks files-added ≡ rows-added → the
+    # stream fails loudly rather than emitting wrong increments
+    tbl.overwrite(spark.range(3).selectExpr("id", "id AS v"))
+    tbl.append(spark.range(300, 302).selectExpr("id", "id * 2 AS v"))
+    name2 = f"tail_{uuid.uuid4().hex[:8]}"
+    q2 = start(name2)
+    try:
+        with pytest.raises(Exception, match="non-append|ancestor"):
+            q2.processAllAvailable()
+    finally:
+        q2.stop()
