@@ -170,6 +170,7 @@ REVERIFY_FIRST = (
     "q_iceberg_partitions_meta",
     "q_stream_snapshot_tail",
     "q_iceberg_compact_sorted",
+    "q_iceberg_merge_conditional",
     # plan changed in r10 for the WHOLE snapshot-table family: the
     # reader was rewritten around per-file sequence numbers +
     # field-id resolution (sequence-scoped equality deletes fix the

@@ -1331,6 +1331,112 @@ class SnapshotTable:
             slot["n_records"] += rows
         return sorted(agg.values(), key=lambda s: sorted(s["partition"].items()))
 
+    def merge_into(
+        self,
+        source: DataFrame,
+        key: str,
+        matched_update: dict | None = None,
+        matched_delete=None,
+        insert_not_matched: bool = True,
+    ) -> int:
+        """Full conditional MERGE INTO (Iceberg/SQL:2003 clause set),
+        file-pruned like ``merge``:
+
+        - WHEN MATCHED [AND ``matched_delete``] THEN DELETE
+        - WHEN MATCHED THEN UPDATE SET ``matched_update``
+          (column → expression over the joined row; reference the
+          target as ``t.<col>`` and the source as ``s.<col>``;
+          ``None`` = UPDATE SET * from the source)
+        - WHEN NOT MATCHED [``insert_not_matched``] THEN INSERT *
+
+        One metadata pass finds the files containing matched keys;
+        only those rewrite (their rows left-join the source — delete
+        condition filters, update expressions apply, inserts union
+        in); every untouched file carries verbatim. Duplicate source
+        keys raise (SQL MERGE cardinality violation), checked with
+        one aggregate over the SOURCE only — the small side."""
+        cur_id = self.current_snapshot_id()
+        if cur_id == 0:
+            raise ValueError(f"no snapshots in {self.path}")
+        cur = self._manifest(cur_id)
+        names = [f[1] for f in cur["schema_meta"]]
+        dup = (
+            source.groupBy(key).count().filter(F.col("count") > 1).limit(1).count()
+        )
+        if dup:
+            raise ValueError(
+                "MERGE cardinality violation: source carries duplicate "
+                f"values of {key!r} (each target row may match at most one)"
+            )
+        keys_df = source.select(key)
+        hits = (
+            self.read(snapshot_id=cur_id, keep_meta=True)
+            .join(keys_df, on=key, how="left_semi")
+            .select("_file_path")
+            .distinct()
+            .collect()  # bounded by the manifest's file count
+        )
+        hit_paths = {self._norm_uri(r._file_path) for r in hits}
+        untouched = [f for f in cur["files"] if f not in hit_paths]
+        to_rewrite = [f for f in cur["files"] if f in hit_paths]
+        t = self._read_files(cur, to_rewrite).alias("t")
+        s = source.alias("s")
+        joined = t.join(
+            s, F.col(f"t.{key}") == F.col(f"s.{key}"), "left"
+        )
+        matched = F.col(f"s.{key}").isNotNull()
+        if matched_delete is not None:
+            joined = joined.filter(
+                ~(matched & F.coalesce(matched_delete, F.lit(False)))
+            )
+        if matched_update is None:
+            matched_update = {c: F.col(f"s.{c}") for c in names if c != key}
+        survivors = joined.select(
+            *[
+                (
+                    F.when(matched, matched_update[c])
+                    .otherwise(F.col(f"t.{c}"))
+                    .alias(c)
+                    if c in matched_update
+                    else F.col(f"t.{c}").alias(c)
+                )
+                for c in names
+            ]
+        )
+        out = survivors
+        if insert_not_matched:
+            inserts = s.join(
+                t.select(key), on=key, how="left_anti"
+            ).select(*names)
+            out = survivors.unionByName(inserts)
+        spec = self.partition_spec()
+        files, n_new, st, nfm = self._write_files(out, spec or None)
+        fm = self._files_meta()
+        n_keep = 0
+        missing = [f for f in untouched if fm.get(f, {}).get("rows") is None]
+        if missing:
+            n_keep += self.spark.read.parquet(*missing).count()
+        n_keep += sum(
+            fm[f]["rows"] for f in untouched
+            if fm.get(f, {}).get("rows") is not None
+        )
+        kept_stats = {
+            f: stt for f, stt in cur.get("file_stats", {}).items()
+            if f in set(untouched)
+        }
+        return self._commit(
+            untouched + files,
+            n_keep + n_new,
+            "merge",
+            out.schema.json(),
+            {**kept_stats, **st},
+            eq_deletes=cur.get("eq_deletes", []),
+            pos_deletes=cur.get("pos_deletes", []),
+            new_file_meta=nfm,
+            schema_meta=cur["schema_meta"],
+            parent=cur_id,
+        )
+
     def delete_where(self, condition) -> int:
         """Copy-on-write DELETE, file-pruned exactly like Iceberg's:
         one scan locates the data files that CONTAIN matching rows
@@ -3000,6 +3106,129 @@ def q_iceberg_compact_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl = _sorted_compact_table(spark, sf_dir)
     assert tbl.snapshots()[-1]["operation"] == "rewrite"
     return tbl.read(skip=("o_totalprice", PRUNE_LO, PRUNE_HI)).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.floor(F.col("o_totalprice") * 10000 + F.lit(0.5)) / 10000).alias(
+            "o_totalprice"
+        ),
+    )
+
+
+def _merge_cond_table(spark: SparkSession, sf_dir: str) -> SnapshotTable:
+    """Conditional-MERGE scenario:
+
+    snapshot 1  overwrite  keys ≡ 0 (mod 3)
+    snapshot 2  merge      source = matched keys ≡ 0 (mod 3) below
+                           the bottom-fifth key cutoff (status 'S') +
+                           insert keys ≡ 0 (mod 7) among keys ≡ 1:
+                           WHEN MATCHED AND key even → DELETE
+                           WHEN MATCHED → status='M', price = t+s (2×)
+                           WHEN NOT MATCHED → INSERT
+    """
+    key = f"snapmergecond::{sf_dir}"
+    tbl = _TABLE_CACHE.get(key)
+    if tbl is not None:
+        return tbl
+    tbl = SnapshotTable(spark, tempfile.mkdtemp(prefix="itws_snapmc_"))
+    orders = load_tables(spark, sf_dir)["orders"].select(*_ORDER_COLS)
+    tbl.overwrite(
+        orders.filter(F.col("o_orderkey") % 3 == 0).repartitionByRange(
+            8, "o_orderkey"
+        )
+    )
+    # matched keys live in the BOTTOM FIFTH of the key range so the
+    # merge hits a strict prefix of the 8 range-laid files (same
+    # scale-relative cutoff derivation as the UPDATE fixture)
+    cutoff = int(orders.agg(F.max("o_orderkey")).first()[0]) // 5
+    source = (
+        orders.filter(
+            (F.col("o_orderkey") % 3 == 0) & (F.col("o_orderkey") < cutoff)
+        )
+        .select(
+            "o_orderkey",
+            F.lit("S").alias("o_orderstatus"),
+            "o_totalprice",
+        )
+        .unionByName(
+            orders.filter(
+                (F.col("o_orderkey") % 3 == 1) & (F.col("o_orderkey") % 7 == 0)
+            ).select(
+                "o_orderkey",
+                F.lit("S").alias("o_orderstatus"),
+                "o_totalprice",
+            )
+        )
+    )
+    before = set(tbl._manifest(1)["files"])
+    tbl.merge_into(
+        source,
+        key="o_orderkey",
+        matched_update={
+            "o_orderstatus": F.lit("M"),
+            "o_totalprice": F.col("t.o_totalprice") + F.col("s.o_totalprice"),
+        },
+        matched_delete=F.col("t.o_orderkey") % 2 == 0,
+    )
+    after = set(tbl._manifest(2)["files"])
+    carried = before & after
+    assert carried and after - before, (len(before), len(carried))
+    _TABLE_CACHE[key] = tbl
+    return tbl
+
+
+_MERGE_COND_ORACLE = """
+WITH cut AS (
+    SELECT CAST(floor(max(o_orderkey) / 5.0) AS BIGINT) AS c FROM orders
+)
+SELECT o_orderkey,
+       CASE WHEN o_orderkey < (SELECT c FROM cut) THEN 'M'
+            ELSE o_orderstatus END AS o_orderstatus,
+       floor(CASE WHEN o_orderkey < (SELECT c FROM cut)
+                  THEN o_totalprice * 2
+                  ELSE o_totalprice END * 10000 + 0.5) / 10000
+           AS o_totalprice
+FROM orders
+WHERE o_orderkey % 3 = 0
+  AND NOT (o_orderkey < (SELECT c FROM cut) AND o_orderkey % 2 = 0)
+UNION ALL
+SELECT o_orderkey, 'S' AS o_orderstatus,
+       floor(o_totalprice * 10000 + 0.5) / 10000 AS o_totalprice
+FROM orders WHERE o_orderkey % 3 = 1 AND o_orderkey % 7 = 0
+"""
+
+
+@register(
+    "q_iceberg_merge_conditional",
+    oracle=_MERGE_COND_ORACLE,
+    tags=("iceberg", "cdc"),
+)
+def q_iceberg_merge_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full conditional MERGE INTO under the hash gate: one commit
+    applies WHEN MATCHED AND cond THEN DELETE (keys ≡ 0 mod 30),
+    WHEN MATCHED THEN UPDATE with expressions over BOTH sides
+    (status 'M', price = target + source = 2×), and WHEN NOT MATCHED
+    THEN INSERT — file-pruned (matched keys sit in the bottom fifth
+    of the key range, hitting a strict prefix of the range-laid
+    files — carried ∩ rewritten both asserted non-empty; duplicate
+    source keys raise, asserted).
+    The oracle derives all three clause outcomes independently in
+    SQL."""
+    import pytest  # noqa: F401  (parity with test imports; unused)
+
+    tbl = _merge_cond_table(spark, sf_dir)
+    ops = [m["operation"] for m in tbl.snapshots()]
+    assert ops == ["overwrite", "merge"], ops
+    # cardinality violation raises
+    dup = spark.createDataFrame(
+        [(30, "S", 1.0), (30, "S", 2.0)],
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+    )
+    try:
+        tbl.merge_into(dup, key="o_orderkey")
+        raise AssertionError("duplicate source keys did not raise")
+    except ValueError:
+        pass
+    return tbl.read().select(
         "o_orderkey",
         "o_orderstatus",
         (F.floor(F.col("o_totalprice") * 10000 + F.lit(0.5)) / 10000).alias(

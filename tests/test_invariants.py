@@ -347,3 +347,20 @@ def test_two_phase_cumsum_equals_naive_window(spark):
         for r in df.withColumn("pr", F.percent_rank().over(w2)).collect()
     }
     assert got_pr == want_pr
+
+
+def test_broadcast_hint_sites_all_classified():
+    """Invariant (d) as a PYTEST gate (it was previously enforced only
+    by the tool's exit code, which wrapper shells masked — r10 found
+    latent unclassified sites that way): every F.broadcast call site
+    in the package must carry a sub-linearity classification in
+    BROADCAST_BOUNDED, and no allowlist entry may go stale."""
+    import os
+
+    from tools.explain_audit import broadcast_hint_violations
+
+    pkg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "iceberg_twist_spark",
+    )
+    assert broadcast_hint_violations(pkg) == []
