@@ -419,6 +419,27 @@ class SnapshotTable:
         by_name = {f[1]: f for f in prev_meta}
         out: list[list] = []
         if mode == "append":
+            # write-side type check (Iceberg rejects unsafe writes):
+            # a file may carry the column's exact type or a NARROWER
+            # one (upcast on read is lossless); writing WIDER than the
+            # column (long into int) would truncate on read — raise
+            # and require an explicit widen_column first
+            safe = {
+                "long": {"long", "integer"},
+                "double": {"double", "float", "integer"},
+            }
+            for n, t in written:
+                cur_f = by_name.get(n)
+                if cur_f is None:
+                    continue
+                ct = cur_f[2]
+                if isinstance(ct, str) and isinstance(t, str) and t != ct:
+                    if t not in safe.get(ct, {ct}):
+                        raise ValueError(
+                            f"unsafe append: column {n!r} is {ct} but the "
+                            f"written data is {t} — widen_column first "
+                            "(reading would truncate)"
+                        )
             out = [list(f) for f in prev_meta]
             have = set(by_name)
             for n, t in written:
@@ -1633,6 +1654,7 @@ class SnapshotTable:
         keep_last: int = 1,
         abandon_staged: tuple[int, ...] = (),
         staged_older_than_s: float | None = None,
+        older_than: float | None = None,
     ) -> dict:
         """Iceberg's ``expire_snapshots``: drop manifests older than
         the last ``keep_last`` retained ones and PHYSICALLY delete the
@@ -1651,14 +1673,31 @@ class SnapshotTable:
         age-based expiry). They are reclaimed only by explicit
         abandonment (``abandon_staged=[ids]``) or age
         (``staged_older_than_s`` vs the manifest file's mtime).
+        ``older_than`` (epoch seconds) is Iceberg's age-based form:
+        chain snapshots committed at or after the horizon survive even
+        beyond ``keep_last`` (retention = keep_last ∪ age ∪ refs ∪
+        stages; the current snapshot always survives).
         Returns ``{"expired": [ids], "deleted_files": n}``."""
         import time
 
         cur = self.current_snapshot_id()
         if cur == 0:
             return {"expired": [], "deleted_files": 0}
-        chain_ids = [m["snapshot_id"] for m in self.snapshots()]
+        chain = self.snapshots()
+        chain_ids = [m["snapshot_id"] for m in chain]
         retained = set(chain_ids[-max(1, keep_last):])
+        # age-based retention (Iceberg's primary expire form:
+        # ``older_than`` = an epoch-seconds horizon): chain snapshots
+        # committed AT or AFTER the horizon are retained even beyond
+        # keep_last; the current snapshot always survives
+        if older_than is not None:
+            retained |= {
+                m["snapshot_id"]
+                for m in chain
+                if m.get("committed_at") is None
+                or m["committed_at"] >= older_than
+            }
+            retained.add(cur)
         # ref-pointed snapshots (tags/branches) are pinned: a tagged
         # release must survive routine expiry until the ref is dropped
         retained |= {r["snapshot_id"] for r in self.refs().values()}

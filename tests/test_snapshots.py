@@ -941,3 +941,55 @@ def test_sorted_compaction_tightens_zone_maps(spark, tmp_path):
     got = tbl.read(skip=band)
     assert got.count() == 101
     assert {r.id for r in got.collect()} == set(range(100, 201))
+
+
+def test_expire_older_than_age_horizon(spark, tmp_path):
+    """expire_snapshots(older_than=ts) — Iceberg's age-based form:
+    chain snapshots committed at or after the horizon survive beyond
+    keep_last; older unreferenced ones expire; the current snapshot
+    always survives even when it predates the horizon."""
+    from iceberg_twist_spark.sources.snapshots import SnapshotTable
+
+    tbl = SnapshotTable(spark, str(tmp_path / "age"))
+    s1 = tbl.create(spark.range(5).selectExpr("id"))
+    s2 = tbl.overwrite(spark.range(10, 15).selectExpr("id"))
+    s3 = tbl.overwrite(spark.range(20, 25).selectExpr("id"))
+    t2 = tbl._manifest(s2)["committed_at"]
+    # horizon between s1 and s2: keep_last=1 would reclaim s2, but the
+    # age rule retains everything committed at/after the horizon
+    res = tbl.expire_snapshots(keep_last=1, older_than=t2)
+    assert res["expired"] == [s1], res
+    assert tbl.read(snapshot_id=s2).count() == 5
+    assert tbl.read().count() == 5
+    # current snapshot survives a future horizon
+    res2 = tbl.expire_snapshots(keep_last=1, older_than=t2 + 10_000)
+    assert s3 not in res2["expired"]
+    assert tbl.read().count() == 5
+
+
+def test_unsafe_append_type_raises(spark, tmp_path):
+    """Write-side type safety (Iceberg rejects unsafe writes): an
+    append carrying a WIDER physical type than the column (long into
+    int, double into float) raises and demands an explicit
+    widen_column; narrower writes upcast on read and commit fine."""
+    import pytest
+
+    from iceberg_twist_spark.sources.snapshots import SnapshotTable
+
+    tbl = SnapshotTable(spark, str(tmp_path / "tsafe"))
+    tbl.create(
+        spark.range(5).selectExpr(
+            "CAST(id AS INT) AS k", "CAST(id AS FLOAT) AS v"
+        )
+    )
+    with pytest.raises(ValueError, match="unsafe append"):
+        tbl.append(spark.createDataFrame([(9, 1.0)], "k long, v float"))
+    with pytest.raises(ValueError, match="unsafe append"):
+        tbl.append(
+            spark.createDataFrame([(9, 1.0)], "k int, v double")
+        )
+    # narrower write is safe — and after widening, the wide write lands
+    tbl.widen_column("k", "long")
+    tbl.append(spark.createDataFrame([(9, 1.5)], "k long, v float"))
+    assert tbl.read().count() == 6
+    assert dict(tbl.read().dtypes)["k"] == "bigint"
