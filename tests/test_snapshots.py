@@ -993,3 +993,74 @@ def test_unsafe_append_type_raises(spark, tmp_path):
     tbl.append(spark.createDataFrame([(9, 1.5)], "k long, v float"))
     assert tbl.read().count() == 6
     assert dict(tbl.read().dtypes)["k"] == "bigint"
+
+
+def test_lakehouse_lifecycle_composition(spark, tmp_path):
+    """End-to-end composition of the r10 surface on ONE table:
+    partition-spec evolution + rename + widen + MOR equality AND
+    position deletes + file-pruned UPDATE + sorted compaction +
+    age/keep_last expiry — every intermediate read checked, and the
+    final compacted content equal to the pre-compaction MOR view."""
+    from pyspark.sql import functions as F
+
+    from iceberg_twist_spark.sources.snapshots import SnapshotTable
+
+    tbl = SnapshotTable(spark, str(tmp_path / "life"))
+    df = spark.range(300).selectExpr(
+        "CAST(id AS INT) AS k",
+        "CAST(id % 3 AS STRING) AS bucket",
+        "CAST(id AS DOUBLE) AS v",
+    )
+    tbl.create(df.filter("id < 100"))          # s1 flat
+    tbl.set_partition_spec(["bucket"])          # s2 metadata
+    tbl.append(df.filter("id >= 100 AND id < 200"))  # s3 hive-partitioned
+    tbl.widen_column("k", "long")               # s4 metadata
+    tbl.rename_column("v", "score")             # s5 metadata
+    tbl.append(                                  # s6 NEW schema names
+        spark.range(200, 300).selectExpr(
+            "id AS k", "CAST(id % 3 AS STRING) AS bucket",
+            "CAST(id AS DOUBLE) AS score",
+        )
+    )
+    assert tbl.read().count() == 300
+    s7 = tbl.delete_keys(                        # MOR eq-delete
+        spark.createDataFrame([(5,), (150,), (250,)], "k long"), "k"
+    )
+    assert tbl.read().count() == 297
+    s8 = tbl.delete_where_positional(F.col("k") % 100 == 7)  # MOR pos
+    assert tbl.read().count() == 294
+    # re-insert a deleted key: sequence scoping shows the NEW row
+    tbl.append(
+        spark.createDataFrame(
+            [(5, "2", 555.0)], "k long, bucket string, score double"
+        )
+    )
+    assert tbl.read().filter("k = 5").count() == 1
+    assert tbl.read().filter("k = 5").first().score == 555.0
+    # file-pruned UPDATE over the merged layouts
+    tbl.update_where(F.col("k") < 50, {"score": F.col("score") + 1000.0})
+    got = {r.k: r.score for r in tbl.read().collect()}
+    assert got[10] == 1010.0         # updated
+    assert got[151] == 151.0         # untouched
+    assert got[5] == 1555.0          # the re-inserted row, updated
+    assert 150 not in got and 107 not in got  # deletes stay applied
+    assert len(got) == 295  # 300 - 3 eq - 3 pos + 1 re-insert
+    pre = sorted(
+        (r.k, r.bucket, r.score) for r in tbl.read().collect()
+    )
+    # sorted compaction applies every pending delete and keeps content
+    sc = tbl.rewrite_data_files(target_bytes=64_000, sort_by=["k"])
+    assert tbl._manifest(sc)["eq_deletes"] == []
+    assert tbl._manifest(sc)["pos_deletes"] == []
+    post = sorted(
+        (r.k, r.bucket, r.score) for r in tbl.read().collect()
+    )
+    assert post == pre
+    # partition pruning still holds after everything
+    b1 = tbl.read(partition_eq=("bucket", "1"))
+    assert {r.k % 3 for r in b1.collect()} == {1}
+    # expiry: keep the compacted head only; the table still reads
+    tbl.expire_snapshots(keep_last=1)
+    assert sorted(
+        (r.k, r.bucket, r.score) for r in tbl.read().collect()
+    ) == pre
