@@ -1065,6 +1065,12 @@ class SnapshotTable:
             if to_snapshot_id is not None
             else self.current_snapshot_id()
         )
+        if from_snapshot_id == 0:
+            raise ValueError(
+                "read_changelog requires an existing FROM snapshot (>= 1): "
+                "bootstrap a consumer with read(snapshot_id=first) and tail "
+                "changes from there"
+            )
         segment = self._chain_segment(from_snapshot_id, to_id)
         to_meta = self._manifest(to_id)["schema_meta"]
         struct = self._struct_from_meta(to_meta)

@@ -1064,3 +1064,35 @@ def test_lakehouse_lifecycle_composition(spark, tmp_path):
     assert sorted(
         (r.k, r.bucket, r.score) for r in tbl.read().collect()
     ) == pre
+
+
+def test_changelog_aligns_by_field_id_across_rename(spark, tmp_path):
+    """A rename (and widen) landing MID-SEGMENT must not turn the
+    changelog's snapshot diffs into spurious delete+insert pairs:
+    alignment is by FIELD ID, so an overwrite after the rename diffs
+    only the rows that actually changed, reported under the TO
+    snapshot's column names. from=0 raises the bootstrap guard."""
+    import pytest
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from iceberg_twist_spark.sources.snapshots import SnapshotTable
+
+    tbl = SnapshotTable(spark, str(tmp_path / "cdcevo"))
+    df = spark.range(20).selectExpr("CAST(id AS INT) AS k", "id * 1.0 AS v")
+    s1 = tbl.create(df)
+    tbl.rename_column("v", "score")
+    tbl.widen_column("k", "long")
+    # overwrite drops half the rows, keeps the rest IDENTICAL — the
+    # diff must be exactly the dropped half, not a full churn
+    s4 = tbl.overwrite(
+        spark.range(10).selectExpr("id AS k", "id * 1.0 AS score")
+    )
+    ch = tbl.read_changelog(s1, s4)
+    assert set(ch.columns) == {"k", "score", "_change_type", "_commit_snapshot_id"}
+    rows = [(r.k, r.score, r._change_type) for r in ch.collect()]
+    dels = {(k, s) for k, s, t in rows if t == "delete"}
+    ins = {(k, s) for k, s, t in rows if t == "insert"}
+    assert dels == {(i, float(i)) for i in range(10, 20)}, dels
+    assert ins == set(), ins  # identical rows align by id — no churn
+    with pytest.raises(ValueError, match="bootstrap"):
+        tbl.read_changelog(0, s4)
