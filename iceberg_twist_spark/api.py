@@ -62,6 +62,19 @@ class Engine:
         _load_all_modules()
         return sorted(REGISTRY)
 
+    # -- lakehouse tables -------------------------------------------------
+    def open_table(self, path: str):
+        """Open (or create) a versioned snapshot table at ``path`` —
+        the full Iceberg-semantics surface: append/overwrite/merge/
+        merge_into/update_where/delete_where/delete_keys/
+        delete_where_positional, time travel by id/ref/timestamp,
+        read_incremental/read_changelog, schema and partition-spec
+        evolution, compaction (plain or sort-order), expiry, WAP,
+        branches/tags. See sources/snapshots.SnapshotTable."""
+        from iceberg_twist_spark.sources.snapshots import SnapshotTable
+
+        return SnapshotTable(self.spark, path)
+
     # -- LLM-pipeline helpers (generic over user DataFrames) -------------
     @staticmethod
     def exact_dedup(df: DataFrame, text_col: str, key_col: str) -> DataFrame:

@@ -1649,6 +1649,14 @@ class SnapshotTable:
             partition_spec=m.get("partition_spec", []),
         )
 
+    def rollback_to_timestamp(self, ts: float) -> int:
+        """Iceberg's ``rollback_to_timestamp``: restore the table to
+        the snapshot in force at wall-clock ``ts`` — resolved over the
+        snapshot log (``snapshot_as_of``) then committed as an
+        ordinary append-only rollback (history stays inspectable, no
+        data copied)."""
+        return self.rollback_to(self.snapshot_as_of(ts))
+
     @staticmethod
     def _delete_paths(m: dict) -> list[str]:
         return [d["path"] for d in m.get("eq_deletes", [])] + [

@@ -863,6 +863,11 @@ def test_as_of_timestamp_resolution(spark, tmp_path):
         tbl.read(snapshot_id=s1, as_of=t1)
     with pytest.raises(ValueError, match="no snapshot committed"):
         tbl.snapshot_as_of(t1 - 100)
+    # rollback_to_timestamp: restore the s1 state as a NEW snapshot
+    s3 = tbl.rollback_to_timestamp((t1 + t2) / 2)
+    assert s3 > s2
+    assert tbl.read().count() == 10
+    assert tbl._manifest(s3)["files"] == tbl._manifest(s1)["files"]
 
 
 def test_partitions_metadata_no_data_scan_accounting(spark, tmp_path):
