@@ -255,16 +255,33 @@ class Engine:
 
     @staticmethod
     def _sweep_compact_debris(root: str) -> None:
-        """Remove leftover ``.compact_*`` staging directories from an
+        """Clean leftover ``.compact_*`` staging directories from an
         interrupted ``_swap_rewrite`` under ``root`` (recursive: the
-        IVF form stages next to cluster partition dirs)."""
+        IVF form stages next to cluster partition dirs).
+
+        A crash between ``_swap_rewrite``'s two renames leaves the
+        target ABSENT with ``.<name>.compact_old`` holding the only
+        copy of the data — in that window the old dir is restored
+        (renamed back to the target), never deleted; ``.compact_tmp``
+        dirs and superseded ``.compact_old`` dirs (target present) are
+        plain debris and are removed."""
         import os
         import shutil
 
         for dirpath, dirnames, _ in os.walk(root):
             for d in list(dirnames):
-                if ".compact_tmp" in d or ".compact_old" in d:
-                    shutil.rmtree(os.path.join(dirpath, d), ignore_errors=True)
+                full = os.path.join(dirpath, d)
+                if d.startswith(".") and d.endswith(".compact_old"):
+                    target = os.path.join(
+                        dirpath, d[1 : -len(".compact_old")]
+                    )
+                    if os.path.exists(target):
+                        shutil.rmtree(full, ignore_errors=True)
+                    else:  # mid-swap crash: old holds the only copy
+                        os.rename(full, target)
+                    dirnames.remove(d)
+                elif ".compact_tmp" in d or ".compact_old" in d:
+                    shutil.rmtree(full, ignore_errors=True)
                     dirnames.remove(d)
 
     @staticmethod

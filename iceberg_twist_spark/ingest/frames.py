@@ -56,10 +56,23 @@ def decode_frame_hex(frame_hex: pd.Series) -> pd.DataFrame:
     n = len(frame_hex)
     if n == 0:
         return pd.DataFrame({"ts_sec": [], "s1": [], "s2": []})
+    # prefix-decode semantics (the reference reads a known-offset
+    # prefix of frames that may carry trailing payload): clip each
+    # frame to the FRAME_BYTES prefix before concatenating, so
+    # over-length frames decode their prefix rather than erroring;
+    # under-length frames fail with a per-batch width report
+    clipped = frame_hex.str.slice(0, 2 * FRAME_BYTES)
+    short = clipped.str.len() < 2 * FRAME_BYTES
+    if short.any():
+        raise ValueError(
+            f"{int(short.sum())} frame(s) shorter than the "
+            f"{FRAME_BYTES}-byte fixed prefix (shortest "
+            f"{int(clipped.str.len().min()) // 2} bytes)"
+        )
     # fixed width: concatenate once, reshape (n, FRAME_BYTES), then
     # read each field as a strided little-endian view
     buf = np.frombuffer(
-        bytes.fromhex("".join(frame_hex)), dtype=np.uint8
+        bytes.fromhex("".join(clipped)), dtype=np.uint8
     ).reshape(n, FRAME_BYTES)
     ts = buf[:, 6:10].copy().view("<i4").ravel()
     s = buf[:, 10:14].copy().view("<i2").reshape(n, 2)

@@ -157,72 +157,43 @@ def _load_all_modules() -> None:
 # driver window therefore always re-verifies the ids whose last check
 # is OLDEST instead of re-treading recent rounds.
 REVERIFY_FIRST = (
-    # new in r10: MOR position deletes, the general changelog scan,
-    # field-id schema evolution (rename/widen/drop), partition-spec
-    # evolution, file-pruned UPDATE, timestamp time travel, and the
-    # .partitions metadata table
+    # plan changed in r11 (r10-advice fixes): eq-delete key columns
+    # now resolve STRICTLY by field id in read()/read_changelog(), the
+    # snapshot-tail stream derives offsets by walking the committed
+    # parent chain (staged/orphan ids skipped), and decode_frame_hex
+    # regained prefix-decode tolerance for over-length frames
+    "q_iceberg_mor_delete",
     "q_iceberg_mor_pos_delete",
     "q_iceberg_changelog",
-    "q_iceberg_schema_rename",
-    "q_iceberg_partition_evolution",
-    "q_iceberg_update",
-    "q_iceberg_time_travel_ts",
-    "q_iceberg_partitions_meta",
     "q_stream_snapshot_tail",
-    "q_iceberg_compact_sorted",
-    "q_iceberg_merge_conditional",
-    # plan changed in r10 for the WHOLE snapshot-table family: the
-    # reader was rewritten around per-file sequence numbers +
-    # field-id resolution (sequence-scoped equality deletes fix the
-    # r9-advice delete-then-reinsert bug), so every id that reads
-    # through SnapshotTable re-verifies ahead of the staleness queue
-    "q_iceberg_mor_delete",
-    "q_iceberg_roundtrip",
-    "q_iceberg_time_travel",
-    "q_iceberg_compact",
-    "q_iceberg_history",
-    "q_iceberg_merge",
-    "q_iceberg_prune",
-    "q_iceberg_rollback",
-    "q_iceberg_expire",
-    "q_iceberg_wap",
-    "q_iceberg_orphan",
-    "q_iceberg_tag",
-    "q_iceberg_incremental",
-    "q_iceberg_schema_evolution",
-    "q_iceberg_branch_write",
+    "q_udf_scalar_pandas",
+    # plan changed in r11: the lakehouse sink is now exactly-once
+    # under checkpoint restart (batch id stamped into the commit
+    # summary; replayed ids skipped)
     "q_stream_iceberg_sink",
+    # new in r11
+    "q_iceberg_partition_transform",
 )
 
 WITNESS_VINTAGE: dict[int, tuple[str, ...]] = {
     4: (
-        "q_agg_global", "q_agg_group", "q_agg_grouping_sets",
-        "q_agg_histogram", "q_agg_histogram_eqdepth", "q_agg_mode",
-        "q_agg_percentile", "q_agg_pivot", "q_agg_rollup", "q_agg_sla",
-        "q_agg_stats", "q_agg_weighted", "q_array_funcs", "q_array_hof",
-        "q_bitops", "q_cdc_upsert", "q_chunk_payload", "q_cte_recursive",
-        "q_cte_top_supplier", "q_date_diff", "q_date_funcs", "q_distinct",
-        "q_dq_checks", "q_event_transitions", "q_filter_eq",
-        "q_filter_in", "q_filter_like", "q_filter_null", "q_filter_range",
-        "q_frames_mapinpandas", "q_funnel_3step", "q_fuzzy_join",
-        "q_geo_bbox", "q_geo_nearest_station", "q_geo_track_length",
-        "q_graph_common_neighbors", "q_iceberg_compact",
-        "q_iceberg_history", "q_iceberg_merge", "q_iceberg_prune",
-        "q_iceberg_roundtrip",
+        "q_filter_eq", "q_filter_in", "q_filter_like", "q_filter_null",
+        "q_filter_range", "q_frames_mapinpandas", "q_funnel_3step",
+        "q_fuzzy_join", "q_geo_bbox", "q_geo_nearest_station",
+        "q_geo_track_length", "q_graph_common_neighbors",
     ),
     5: (
-        "q_iceberg_time_travel", "q_impute_mean", "q_join_anti",
-        "q_join_asof", "q_join_bloom_prune", "q_join_broadcast",
-        "q_join_bucketed", "q_join_cross", "q_join_full", "q_join_inner",
-        "q_join_interval_overlap", "q_join_left", "q_join_multiway",
-        "q_join_nullsafe", "q_join_range", "q_join_salted", "q_join_semi",
-        "q_join_theta", "q_json_extract", "q_json_variant",
-        "q_lateral_topk", "q_layout_zorder", "q_llm_ann_ivf",
-        "q_llm_ann_ivf_indexed", "q_llm_ann_lsh", "q_llm_ann_mrl",
-        "q_llm_ann_pq", "q_llm_ann_recall", "q_llm_bpe_apply",
-        "q_llm_bpe_pairs", "q_llm_chunk_text", "q_llm_collapse_runs",
-        "q_llm_corpus_pipeline", "q_llm_cosine_pairs",
-        "q_llm_cosine_topk", "q_llm_decontaminate",
+        "q_impute_mean", "q_join_anti", "q_join_asof", "q_join_bloom_prune",
+        "q_join_broadcast", "q_join_bucketed", "q_join_cross",
+        "q_join_full", "q_join_inner", "q_join_interval_overlap",
+        "q_join_left", "q_join_multiway", "q_join_nullsafe", "q_join_range",
+        "q_join_salted", "q_join_semi", "q_join_theta", "q_json_extract",
+        "q_json_variant", "q_lateral_topk", "q_layout_zorder",
+        "q_llm_ann_ivf", "q_llm_ann_ivf_indexed", "q_llm_ann_lsh",
+        "q_llm_ann_mrl", "q_llm_ann_pq", "q_llm_ann_recall",
+        "q_llm_bpe_apply", "q_llm_bpe_pairs", "q_llm_chunk_text",
+        "q_llm_collapse_runs", "q_llm_corpus_pipeline",
+        "q_llm_cosine_pairs", "q_llm_cosine_topk", "q_llm_decontaminate",
         "q_llm_dedup_survivor", "q_llm_exact_dedup", "q_llm_fingerprint",
         "q_llm_hybrid_search", "q_llm_knn_join", "q_llm_langid",
         "q_llm_line_dedup", "q_llm_mixture_sample", "q_llm_neg_sample",
@@ -248,24 +219,23 @@ WITNESS_VINTAGE: dict[int, tuple[str, ...]] = {
     ),
     7: (
         "q_graph_pagerank", "q_llm_ann_ivfpq_indexed",
-        "q_llm_ann_pq_indexed", "q_llm_dup_clusters",
-        "q_llm_minhash_dedup", "q_llm_minhash_verified",
-        "q_llm_mixture_temperature", "q_llm_ngram_jaccard",
-        "q_llm_semantic_decontam", "q_llm_split_leakage_safe",
-        "q_mm_phash_dedup", "q_scalar_try", "q_scan_binary", "q_scan_dpp",
-        "q_scan_parquet", "q_scan_projection", "q_scd2_build",
-        "q_schema_evolution", "q_seq_pattern", "q_set_except",
-        "q_set_intersect", "q_set_union", "q_sink_partitioned",
-        "q_sketch_bloom", "q_sketch_countmin", "q_sketch_hll_merge",
-        "q_sort_multi", "q_source_binaryfile", "q_source_bz2_split",
-        "q_source_csv_roundtrip", "q_source_gzip_text",
-        "q_source_json_roundtrip", "q_source_orc_roundtrip",
-        "q_source_pyds", "q_source_xml_roundtrip", "q_str_funcs",
-        "q_str_hex", "q_str_mask", "q_str_regexp", "q_str_split",
-        "q_stream_pyds", "q_stream_queue_ttl", "q_stream_rate_frames",
+        "q_llm_ann_pq_indexed", "q_llm_dup_clusters", "q_llm_minhash_dedup",
+        "q_llm_minhash_verified", "q_llm_mixture_temperature",
+        "q_llm_ngram_jaccard", "q_llm_semantic_decontam",
+        "q_llm_split_leakage_safe", "q_mm_phash_dedup", "q_scalar_try",
+        "q_scan_binary", "q_scan_dpp", "q_scan_parquet",
+        "q_scan_projection", "q_scd2_build", "q_schema_evolution",
+        "q_seq_pattern", "q_set_except", "q_set_intersect", "q_set_union",
+        "q_sink_partitioned", "q_sketch_bloom", "q_sketch_countmin",
+        "q_sketch_hll_merge", "q_sort_multi", "q_source_binaryfile",
+        "q_source_bz2_split", "q_source_csv_roundtrip",
+        "q_source_gzip_text", "q_source_json_roundtrip",
+        "q_source_orc_roundtrip", "q_source_pyds", "q_source_xml_roundtrip",
+        "q_str_funcs", "q_str_hex", "q_str_mask", "q_str_regexp",
+        "q_str_split", "q_stream_pyds", "q_stream_queue_ttl",
+        "q_stream_rate_frames",
     ),
     8: (
-        "q_iceberg_expire", "q_iceberg_rollback", "q_iceberg_wap",
         "q_llm_ivf_index_append", "q_llm_minhash_index_append",
         "q_llm_minhash_index_query", "q_llm_pq_index_append",
         "q_llm_shuffle_shards", "q_llm_token_budget", "q_str_extract_all",
@@ -284,22 +254,38 @@ WITNESS_VINTAGE: dict[int, tuple[str, ...]] = {
     9: (
         "q_agg_approx_distinct", "q_agg_approx_percentile",
         "q_agg_argextrema", "q_agg_collect", "q_agg_corr_matrix",
-        "q_agg_cube", "q_agg_distinct", "q_agg_entropy",
-        "q_iceberg_branch_write", "q_iceberg_incremental",
-        "q_iceberg_mor_delete", "q_iceberg_orphan",
-        "q_iceberg_schema_evolution", "q_iceberg_tag", "q_llm_bpe_train",
+        "q_agg_cube", "q_agg_distinct", "q_agg_entropy", "q_llm_bpe_train",
         "q_llm_ivf_index_remove", "q_llm_minhash_index_remove",
         "q_llm_pq_index_remove", "q_stream_dedup_watermark",
-        "q_stream_enrich_join", "q_stream_iceberg_sink",
-        "q_stream_late_drop", "q_stream_observe", "q_stream_stream_join",
-        "q_stream_throttle", "q_stream_upsert_sink", "q_ts_interp",
-        "q_ts_islands", "q_ts_ohlc", "q_ts_rolling", "q_ts_trend",
-        "q_ts_zscore", "q_udaf_grouped", "q_udf_scalar_pandas",
-        "q_udtf_apply", "q_udtf_chunk", "q_unpivot", "q_vec_centroid",
-        "q_win_cum_distinct", "q_win_cume_dist", "q_win_first_last",
-        "q_win_lag", "q_win_ntile", "q_win_range_frame", "q_win_rank",
-        "q_win_rownum", "q_win_running", "q_win_share",
+        "q_stream_enrich_join", "q_stream_late_drop", "q_stream_observe",
+        "q_stream_stream_join", "q_stream_throttle", "q_stream_upsert_sink",
+        "q_ts_interp", "q_ts_islands", "q_ts_ohlc", "q_ts_rolling",
+        "q_ts_trend", "q_ts_zscore", "q_udaf_grouped",
+        "q_udf_scalar_pandas", "q_udtf_apply", "q_udtf_chunk", "q_unpivot",
+        "q_vec_centroid", "q_win_cum_distinct", "q_win_cume_dist",
+        "q_win_first_last", "q_win_lag", "q_win_ntile", "q_win_range_frame",
+        "q_win_rank", "q_win_rownum", "q_win_running", "q_win_share",
         "q_win_topk_group", "q_winsorize",
+    ),
+    10: (
+        "q_agg_global", "q_agg_group", "q_agg_grouping_sets",
+        "q_agg_histogram", "q_agg_histogram_eqdepth", "q_agg_mode",
+        "q_agg_percentile", "q_agg_pivot", "q_agg_rollup", "q_agg_sla",
+        "q_agg_stats", "q_agg_weighted", "q_array_funcs", "q_array_hof",
+        "q_bitops", "q_cdc_upsert", "q_chunk_payload", "q_cte_recursive",
+        "q_cte_top_supplier", "q_date_diff", "q_date_funcs", "q_distinct",
+        "q_dq_checks", "q_event_transitions", "q_iceberg_branch_write",
+        "q_iceberg_changelog", "q_iceberg_compact",
+        "q_iceberg_compact_sorted", "q_iceberg_expire", "q_iceberg_history",
+        "q_iceberg_incremental", "q_iceberg_merge",
+        "q_iceberg_merge_conditional", "q_iceberg_mor_delete",
+        "q_iceberg_mor_pos_delete", "q_iceberg_orphan",
+        "q_iceberg_partition_evolution", "q_iceberg_partitions_meta",
+        "q_iceberg_prune", "q_iceberg_rollback", "q_iceberg_roundtrip",
+        "q_iceberg_schema_evolution", "q_iceberg_schema_rename",
+        "q_iceberg_tag", "q_iceberg_time_travel",
+        "q_iceberg_time_travel_ts", "q_iceberg_update", "q_iceberg_wap",
+        "q_stream_iceberg_sink", "q_stream_snapshot_tail",
     ),
 }
 

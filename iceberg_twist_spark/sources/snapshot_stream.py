@@ -55,6 +55,24 @@ def _current_id(path: str) -> int:
         return int(f.read().strip())
 
 
+def _committed_above(path: str, lo: int) -> list[int]:
+    """Snapshot ids on the COMMITTED chain strictly above ``lo``,
+    ascending — derived by walking ``parent_id`` pointers down from
+    the current pointer, never by id arithmetic: ids are allocated to
+    staged WAP snapshots and CAS-conflict orphans too, and those must
+    neither be emitted as committed rows nor wedge the tail."""
+    cur = _current_id(path)
+    chain: list[int] = []
+    i = cur
+    while i and i != lo:
+        chain.append(i)
+        i = _manifest(path, i).get("parent_id") or 0
+    if i != lo and lo != 0:
+        raise ValueError(f"snapshot {lo} is not an ancestor of {cur}")
+    chain.reverse()
+    return chain
+
+
 def _added_files(path: str, lo: int, hi: int) -> list[str]:
     """Files added by the append chain (lo, hi]; raises on non-append
     commits (Iceberg's streaming-scan restriction)."""
@@ -116,10 +134,14 @@ class _SnapshotTailReader(SimpleDataSourceStreamReader):
 
     def read(self, start: dict):
         lo = int(start["snapshot"])
-        cur = _current_id(self.path)
-        hi = min(lo + self.per_batch, cur)
-        if hi <= lo:
+        # next offset = the chain snapshot per_batch steps above lo —
+        # NOT lo + per_batch: staged/orphaned manifests own ids too,
+        # and stepping onto one would leak unaudited data then wedge
+        # the query on 'not an ancestor' (r10 advice)
+        ahead = _committed_above(self.path, lo)
+        if not ahead:
             return iter([]), {"snapshot": lo}
+        hi = ahead[min(self.per_batch, len(ahead)) - 1]
         rows = self._rows(_added_files(self.path, lo, hi))
         # iter(list) — survives the prefetch cache's copy + next probe
         return iter(rows), {"snapshot": hi}
@@ -231,10 +253,20 @@ def q_stream_snapshot_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         try:
             q.processAllAvailable()
-            # one micro-batch per commit: the last batch id is ≥ the
-            # number of snapshots drained minus one
-            progress = q.lastProgress
-            assert progress is not None
+            # one micro-batch per commit, actually asserted: the count
+            # of data-bearing micro-batches equals the number of
+            # committed snapshots drained (r10 advice — lastProgress
+            # non-None was too weak a stand-in for this guarantee)
+            n_commits = len(_committed_above(tbl.path, 0))
+            prog = [
+                json.loads(p.json) if hasattr(p, "json") else p
+                for p in q.recentProgress
+            ]
+            fed = sum(1 for p in prog if p.get("numInputRows", 0) > 0)
+            assert fed == n_commits, (
+                f"expected {n_commits} one-commit micro-batches, "
+                f"saw {fed} with rows"
+            )
         finally:
             q.stop()
     return spark.table(name)

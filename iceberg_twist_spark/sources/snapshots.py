@@ -59,6 +59,85 @@ from iceberg_twist_spark.registry import register
 
 TARGET_FILE_BYTES = 128 * 1024 * 1024  # compaction target (Iceberg default 512M)
 
+# ---- partition transforms (Iceberg spec §Partition Transforms) --------
+# A spec entry is either a bare column name (identity) or a transform:
+# "bucket(N, col)", "truncate(W, col)", "days(col)". Transforms derive
+# a HIDDEN partition value from the source column at write time — the
+# reader never sees the derived column, and equality predicates on the
+# SOURCE column still prune files (hidden partitioning: the point is
+# that queries don't have to know the table's layout). Bucketing uses
+# crc32 over the value's canonical string form rather than Iceberg's
+# murmur3 so the same bucket is computable on the JVM side
+# (``F.crc32``) and the Python planning side (``zlib.crc32``) without
+# a native murmur3 implementation.
+import re as _re
+
+_SPEC_RE = _re.compile(
+    r"^\s*(?:(bucket|truncate)\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)"
+    r"|(days)\s*\(\s*(\w+)\s*\)"
+    r"|(\w+))\s*$"
+)
+
+
+def parse_spec_entry(entry: str) -> tuple[str, str, int | None, str]:
+    """Parse a partition-spec entry → (kind, source_col, param,
+    derived_partition_name)."""
+    m = _SPEC_RE.match(entry)
+    if not m:
+        raise ValueError(
+            f"bad partition spec entry {entry!r}: expected a column "
+            "name, bucket(N, col), truncate(W, col), or days(col)"
+        )
+    if m.group(1):
+        kind, param, col = m.group(1), int(m.group(2)), m.group(3)
+    elif m.group(4):
+        kind, param, col = "days", None, m.group(5)
+    else:
+        kind, param, col = "identity", None, m.group(6)
+    pname = {
+        "identity": col,
+        "bucket": f"{col}_bucket",
+        "truncate": f"{col}_trunc",
+        "days": f"{col}_day",
+    }[kind]
+    return kind, col, param, pname
+
+
+def transform_expr(kind: str, col: str, param: int | None, dtype):
+    """The JVM-side (write-path) expression for a transform."""
+    c = F.col(col)
+    if kind == "identity":
+        return c
+    if kind == "bucket":
+        return F.pmod(
+            F.crc32(c.cast("string").cast("binary")), F.lit(param)
+        ).cast("int")
+    if kind == "truncate":
+        if isinstance(dtype, T.StringType):
+            return F.substring(c, 1, param)
+        return (c - F.pmod(c, F.lit(param))).cast("long")
+    if kind == "days":
+        return F.date_format(c, "yyyy-MM-dd")
+    raise ValueError(f"unknown transform {kind!r}")
+
+
+def transform_value(kind: str, val, param: int | None):
+    """The Python-side (planning) twin of ``transform_expr`` — applied
+    to a predicate constant to decide which partition dirs can match."""
+    if kind == "identity":
+        return val
+    if kind == "bucket":
+        import zlib
+
+        return zlib.crc32(str(val).encode()) % param
+    if kind == "truncate":
+        if isinstance(val, str):
+            return val[:param]
+        return val - (val % param)
+    if kind == "days":
+        return str(val)[:10]
+    raise ValueError(f"unknown transform {kind!r}")
+
 
 class SnapshotTable:
     """A versioned parquet table with atomic snapshot commits.
@@ -345,7 +424,24 @@ class SnapshotTable:
         try:
             files, stats, nfm = [], {}, {}
             if partition_spec:
-                df.write.partitionBy(*partition_spec).mode("overwrite").parquet(stage)
+                # derive hidden partition columns for transform entries
+                # (identity entries partition on the source column
+                # itself); partitionBy moves all of them out of the
+                # data files and into the directory layout
+                pdf, pnames = df, []
+                for entry in partition_spec:
+                    kind, col, param, pname = parse_spec_entry(entry)
+                    if kind == "identity":
+                        pnames.append(col)
+                    else:
+                        pdf = pdf.withColumn(
+                            pname,
+                            transform_expr(
+                                kind, col, param, df.schema[col].dataType
+                            ),
+                        )
+                        pnames.append(pname)
+                pdf.write.partitionBy(*pnames).mode("overwrite").parquet(stage)
                 base = os.path.join(self._data, uuid.uuid4().hex)
                 for root, _dirs, names in os.walk(stage):
                     for name in sorted(names):
@@ -366,6 +462,10 @@ class SnapshotTable:
                         nfm[dst] = {
                             "base": base,
                             "partition": part,
+                            # the spec the file was written under — what
+                            # lets the planner evaluate transform
+                            # pruning per-spec after spec evolution
+                            "spec": list(partition_spec),
                             "rows": self._file_rows(dst),
                         }
                 n = (
@@ -482,6 +582,7 @@ class SnapshotTable:
         schema_meta: list | None = None,
         schema_mode: str = "content",
         partition_spec: list[str] | None = None,
+        summary: dict | None = None,
     ) -> int:
         parent = self.current_snapshot_id() if parent is None else parent
         pm = self._manifest(parent) if parent else None
@@ -539,6 +640,10 @@ class SnapshotTable:
                 },
                 "base": extra.get("base"),
                 "partition": extra.get("partition", {}),
+                # spec the file was written under (None = identity-only
+                # legacy entries) — required to evaluate transform
+                # pruning per-spec after spec evolution
+                "spec": extra.get("spec"),
                 "rows": extra.get("rows"),
             }
         if fresh:
@@ -579,6 +684,10 @@ class SnapshotTable:
             # Compaction applies both physically and clears the lists.
             "eq_deletes": eq_deletes,
             "pos_deletes": pos_deletes,
+            # free-form commit summary (Iceberg's snapshot summary
+            # map) — e.g. the streaming sink stamps its micro-batch id
+            # here, which is what makes checkpoint-restart idempotent
+            "summary": summary or {},
         }
         mpath = os.path.join(self._meta, f"v{snap}.json")
         with open(mpath, "w") as f:
@@ -607,17 +716,35 @@ class SnapshotTable:
             f.write(str(snap))
         os.replace(tmp, os.path.join(self._meta, "version-hint.text"))
 
-    def create(self, df: DataFrame) -> int:
-        return self.overwrite(df)
+    def create(self, df: DataFrame, summary: dict | None = None) -> int:
+        return self.overwrite(df, summary=summary)
 
-    def overwrite(self, df: DataFrame) -> int:
+    def overwrite(self, df: DataFrame, summary: dict | None = None) -> int:
         spec = self.partition_spec()
         files, n, st, nfm = self._write_files(df, spec or None)
         return self._commit(
-            files, n, "overwrite", df.schema.json(), st, new_file_meta=nfm
+            files, n, "overwrite", df.schema.json(), st, new_file_meta=nfm,
+            summary=summary,
         )
 
-    def append(self, df: DataFrame) -> int:
+    def last_streaming_batch_id(self) -> int:
+        """The most recent committed snapshot's ``streaming-batch-id``
+        summary entry (walking the chain past non-streaming commits
+        such as compactions), or -1. This is the idempotence cursor
+        for a ``foreachBatch`` lakehouse sink: on checkpoint restart
+        the engine replays the last un-checkpointed micro-batch, and
+        the sink must skip batch ids ≤ this value or the table gains
+        duplicate rows."""
+        i = self.current_snapshot_id()
+        while i:
+            m = self._manifest(i)
+            b = m.get("summary", {}).get("streaming-batch-id")
+            if b is not None:
+                return int(b)
+            i = m.get("parent_id") or 0
+        return -1
+
+    def append(self, df: DataFrame, summary: dict | None = None) -> int:
         spec = self.partition_spec()
         files, n, st, nfm = self._write_files(df, spec or None)
         cur = self.current_snapshot_id()
@@ -640,6 +767,7 @@ class SnapshotTable:
             new_file_meta=nfm,
             schema_mode="append",
             parent=cur or None,
+            summary=summary,
         )
 
     # ---- schema evolution (metadata-only, field-id resolved) -----------
@@ -733,15 +861,20 @@ class SnapshotTable:
     def set_partition_spec(self, cols: list[str]) -> int:
         """Partition-spec EVOLUTION: change the spec for FUTURE writes
         without rewriting a single existing file. Old files keep their
-        old layout (their partition tuples in the sidecar stay as
-        written); the scan merges both layouts and pruning applies
-        per-spec — files predating the spec simply can't be pruned on
-        the new partition column (they still prune via zone maps). At
-        100 TB this is the only affordable way to change partitioning:
-        a spec rewrite would be a full-table rewrite."""
+        old layout (their partition tuples AND the spec they were
+        written under stay in the sidecar); the scan merges both
+        layouts and pruning applies per-spec — files predating the
+        spec simply can't be pruned on the new partition column (they
+        still prune via zone maps). Entries are identity columns or
+        hidden transforms: ``bucket(N, col)``, ``truncate(W, col)``,
+        ``days(col)`` (see ``parse_spec_entry``). At 100 TB this is
+        the only affordable way to change partitioning: a spec rewrite
+        would be a full-table rewrite."""
         meta = self.schema_meta()
         names = {f[1] for f in meta}
-        missing = [c for c in cols if c not in names]
+        missing = [
+            c for c in cols if parse_spec_entry(c)[1] not in names
+        ]
         if missing:
             raise ValueError(f"partition columns not in schema: {missing}")
         return self._metadata_commit("set-partition-spec", meta, list(cols))
@@ -786,8 +919,24 @@ class SnapshotTable:
             fm = self._files_meta()
 
             def part_match(path: str) -> bool:
-                part = fm.get(path, {}).get("partition", {})
-                return pcol not in part or part[pcol] == str(pval)
+                info = fm.get(path, {})
+                part = info.get("partition", {})
+                spec = info.get("spec")
+                if spec is None:
+                    # pre-transform sidecar entries recorded identity
+                    # tuples only
+                    return pcol not in part or part[pcol] == str(pval)
+                # hidden partitioning: an equality predicate on the
+                # SOURCE column prunes via every transform of that
+                # column in the file's spec — transform(pval) must
+                # equal the file's recorded partition value
+                for entry in spec:
+                    kind, col, param, pname = parse_spec_entry(entry)
+                    if col != pcol or pname not in part:
+                        continue
+                    if part[pname] != str(transform_value(kind, pval, param)):
+                        return False
+                return True
 
             files = [f for f in files if part_match(f)]
         return files
@@ -894,7 +1043,13 @@ class SnapshotTable:
             # compare under current names/types)
             for i in eq_ids:
                 d = eq_deletes[i]
-                kname = cur_name_by_id.get(d.get("fid", -1), d["key"])
+                # resolve strictly by field id when the entry carries
+                # one: after drop_column the id maps to nothing (skip),
+                # and a later same-named re-add gets a FRESH id, so the
+                # old delete can never latch onto the unrelated column
+                kname = (
+                    cur_name_by_id.get(d["fid"]) if "fid" in d else d["key"]
+                )
                 if kname is None:
                     continue  # delete targets a since-dropped column
                 dk = self.spark.read.parquet(d["path"])
@@ -1145,7 +1300,14 @@ class SnapshotTable:
                     not in {x["path"] for x in pm.get("eq_deletes", [])}
                 ]
                 for d in new_entries:
-                    kname = prev_names.get(d.get("fid", -1), d["key"])
+                    # strict by-id resolution (mirrors read()): a delete
+                    # whose key column was dropped before this commit
+                    # removes nothing and must not bind by name
+                    kname = (
+                        prev_names.get(d["fid"]) if "fid" in d else d["key"]
+                    )
+                    if kname is None:
+                        continue
                     dk = self.spark.read.parquet(d["path"])
                     dk = dk.select(F.col(dk.columns[0]).alias(kname))
                     gone = prev_read.join(F.broadcast(dk), kname, "left_semi")
@@ -3283,6 +3445,95 @@ def q_iceberg_merge_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         pass
     return tbl.read().select(
         "o_orderkey",
+        "o_orderstatus",
+        (F.floor(F.col("o_totalprice") * 10000 + F.lit(0.5)) / 10000).alias(
+            "o_totalprice"
+        ),
+    )
+
+
+def _ptrans_table(spark: SparkSession, sf_dir: str) -> SnapshotTable:
+    """Partition-TRANSFORM scenario across a spec-evolution boundary:
+
+    snapshot 1  overwrite           keys ≡ 0 (mod 4), UNPARTITIONED
+    snapshot 2  set-partition-spec  [o_orderstatus]   (identity)
+    snapshot 3  append              keys ≡ 1, identity hive layout
+    snapshot 4  set-partition-spec  [bucket(8, o_custkey)]  (hidden)
+    snapshot 5  append              keys ≡ 2, bucket-partitioned
+    """
+    key = f"snapptrans::{sf_dir}"
+    tbl = _TABLE_CACHE.get(key)
+    if tbl is not None:
+        return tbl
+    tbl = SnapshotTable(spark, tempfile.mkdtemp(prefix="itws_snapptrans_"))
+    orders = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    tbl.overwrite(orders.filter(k % 4 == 0))
+    tbl.set_partition_spec(["o_orderstatus"])
+    tbl.append(orders.filter(k % 4 == 1))
+    tbl.set_partition_spec(["bucket(8, o_custkey)"])
+    tbl.append(orders.filter(k % 4 == 2))
+    _TABLE_CACHE[key] = tbl
+    return tbl
+
+
+# probe key = min customer among the bucketed slice — guaranteed to
+# exist at every SF (scale-relative; a literal cutoff would break at
+# other scales, r4 lesson)
+_PTRANS_ORACLE = """
+WITH ck AS (
+    SELECT min(o_custkey) AS v FROM orders WHERE o_orderkey % 4 = 2
+)
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       floor(o_totalprice * 10000 + 0.5) / 10000 AS o_totalprice
+FROM orders
+WHERE o_orderkey % 4 IN (0, 1, 2) AND o_custkey = (SELECT v FROM ck)
+"""
+
+
+@register(
+    "q_iceberg_partition_transform",
+    oracle=_PTRANS_ORACLE,
+    tags=("iceberg", "metadata", "filter"),
+)
+def q_iceberg_partition_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIDDEN partitioning via transforms (Iceberg's bucket/truncate/
+    days): the table evolves unpartitioned → identity(o_orderstatus)
+    → bucket(8, o_custkey), and an equality predicate on the SOURCE
+    column o_custkey — the query never mentions the bucket — prunes
+    the bucketed files to the probe key's bucket while every
+    pre-transform file is conservatively kept and handled by the
+    residual row filter. Asserted in-plan: planned ⊂ all, the
+    unpartitioned + identity vintages ⊆ planned, and the bucketed
+    vintage prunes to a strict subset. The hash-checked result is the
+    filtered read over all three layouts. At 100 TB hidden
+    partitioning is what keeps queries layout-independent while still
+    skipping ~7/8 of the newest vintage's files.
+
+    Reference parity: generalizes the reference's keyed message-store
+    lookup (iceberg-twist/main.py:60-103) to layout-evolved tables.
+    """
+    tbl = _ptrans_table(spark, sf_dir)
+    ck = (
+        tbl.read()
+        .filter(F.col("o_orderkey") % 4 == 2)
+        .agg(F.min("o_custkey"))
+        .collect()[0][0]
+    )
+    hist = tbl.snapshots()
+    pre_files = set(hist[2]["files"])  # vintages before the bucket spec
+    all_files = tbl.plan_files()
+    planned = tbl.plan_files(partition_eq=("o_custkey", ck))
+    bucketed = set(all_files) - pre_files
+    bucketed_planned = set(planned) - pre_files
+    assert len(planned) < len(all_files)
+    assert pre_files <= set(planned), "pre-transform vintage must be kept"
+    assert bucketed_planned < bucketed, "bucket pruning had no effect"
+    return tbl.read(partition_eq=("o_custkey", ck)).select(
+        "o_orderkey",
+        "o_custkey",
         "o_orderstatus",
         (F.floor(F.col("o_totalprice") * 10000 + F.lit(0.5)) / 10000).alias(
             "o_totalprice"

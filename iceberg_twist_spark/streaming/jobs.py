@@ -982,6 +982,33 @@ def q_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def snapshot_commit_batch(tbl):
+    """The reusable lakehouse-sink ``foreachBatch`` callable: each
+    micro-batch lands as ONE atomic snapshot commit, EXACTLY-ONCE
+    under checkpoint restart. Structured Streaming's contract is
+    at-least-once delivery to ``foreachBatch`` — after a crash between
+    the sink commit and the checkpoint write-ahead record, the same
+    (batch_id, data) pair is replayed — so the sink records the batch
+    id in the commit's summary and SKIPS replayed ids ≤ the table's
+    last committed batch (the table's own commit log is the
+    idempotence ledger, the same trick Spark's file sink plays with
+    ``_spark_metadata``). At 100 TB cadence this is what stops a
+    flapping driver from silently doubling ingest."""
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if batch_id <= tbl.last_streaming_batch_id():
+            return  # checkpoint replay of an already-committed batch
+        summary = {"streaming-batch-id": int(batch_id)}
+        if tbl.current_snapshot_id() == 0:
+            tbl.create(batch_df, summary=summary)
+        else:
+            tbl.append(batch_df, summary=summary)
+
+    return commit
+
+
 def _iceberg_sink_oracle() -> str:
     from iceberg_twist_spark.common import duck_ts_str
 
@@ -1020,17 +1047,9 @@ def q_stream_iceberg_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         tbl = SnapshotTable(spark, tdir)
         s = read_event_stream(spark, sf_dir)
 
-        def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
-            if batch_df.isEmpty():
-                return
-            if tbl.current_snapshot_id() == 0:
-                tbl.create(batch_df)
-            else:
-                tbl.append(batch_df)
-
         name = f"itws_{uuid.uuid4().hex[:12]}"
         q = (
-            s.writeStream.foreachBatch(commit_batch)
+            s.writeStream.foreachBatch(snapshot_commit_batch(tbl))
             .queryName(name)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)

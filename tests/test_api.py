@@ -1127,3 +1127,32 @@ def test_compact_staging_is_hidden_and_swept(spark, tmp_path):
     Engine.ann_index_compact(spark, path)
     assert not os.path.isdir(debris)
     assert spark.read.parquet(path).count() == n_before - 1
+
+
+def test_compact_debris_sweep_recovers_mid_swap_crash(spark, tmp_path):
+    """r10 advice: a crash between _swap_rewrite's two renames leaves
+    the target ABSENT and .compact_old holding the ONLY copy; the
+    debris sweep must RESTORE it (rename back), not rmtree it into
+    permanent data loss. Superseded .compact_old dirs (target present)
+    and .compact_tmp dirs remain plain debris."""
+    import os
+
+    from iceberg_twist_spark.api import Engine
+
+    root = str(tmp_path / "ds")
+    target = os.path.join(root, "part")
+    spark.range(10).write.parquet(target)
+    # simulate the mid-swap crash window: target renamed aside, tmp
+    # (complete but unswapped) still present
+    os.rename(target, os.path.join(root, ".part.compact_old"))
+    os.makedirs(os.path.join(root, ".part.compact_tmp"))
+    Engine._sweep_compact_debris(root)
+    assert os.path.isdir(target), "only copy of the data was swept"
+    assert spark.read.parquet(target).count() == 10
+    assert not os.path.isdir(os.path.join(root, ".part.compact_old"))
+    assert not os.path.isdir(os.path.join(root, ".part.compact_tmp"))
+    # target present → .compact_old is superseded debris, swept clean
+    os.makedirs(os.path.join(root, ".part.compact_old"))
+    Engine._sweep_compact_debris(root)
+    assert not os.path.isdir(os.path.join(root, ".part.compact_old"))
+    assert spark.read.parquet(target).count() == 10

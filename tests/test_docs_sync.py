@@ -126,3 +126,18 @@ def test_no_oracle_emits_hugeint_or_decimal():
         "oracle columns with driver-hash-unsafe types (CAST them to "
         f"BIGINT/DOUBLE in the oracle SQL): {offenders}"
     )
+
+
+def test_coverage_md_is_fresh():
+    """r10 verdict #7: the checked-in COVERAGE.md must byte-match what
+    tools/coverage.py would regenerate — it went one id stale in r10
+    because regeneration was a manual step."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import coverage as coverage_tool
+
+    text, missing, _, _ = coverage_tool.render()
+    assert not missing, f"SURVEY §2.B ids missing from registry: {missing}"
+    on_disk = open(os.path.join(REPO, "COVERAGE.md"), encoding="utf-8").read()
+    assert on_disk == text, (
+        "COVERAGE.md is stale — run `python tools/coverage.py`"
+    )

@@ -62,3 +62,28 @@ def test_chunker_covers_whole_payload(spark, sf_dir):
     chunks = q_chunk_payload(spark, sf_dir)
     reassembled = chunks.select(F.sum(F.length("chunk"))).collect()[0][0]
     assert reassembled == total_chars
+
+
+def test_decode_frame_hex_prefix_tolerant_and_short_raises(spark):
+    """r10 advice: the vectorized decode must keep the reference's
+    prefix-decode contract — frames LONGER than the 14-byte fixed
+    prefix (the reference reads payload bytes past it) decode their
+    prefix instead of erroring on reshape; under-length frames fail
+    with a clear fixed-width message."""
+    import pytest
+
+    good = _frame_hex(1_700_000_000, 7, -9)
+    df = spark.createDataFrame(
+        [(0, good + "deadbeefcafe")], "id int, frame_hex string"
+    )
+    r = (
+        df.select(decode_frame_hex("frame_hex").alias("r"))
+        .select("r.*")
+        .collect()[0]
+    )
+    assert (r.ts_sec, r.s1, r.s2) == (1_700_000_000, 7, -9)
+    short = spark.createDataFrame(
+        [(0, good[: 2 * 10])], "id int, frame_hex string"
+    )
+    with pytest.raises(Exception, match="fixed prefix"):
+        short.select(decode_frame_hex("frame_hex").alias("r")).collect()

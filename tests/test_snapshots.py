@@ -1101,3 +1101,96 @@ def test_changelog_aligns_by_field_id_across_rename(spark, tmp_path):
     assert ins == set(), ins  # identical rows align by id — no churn
     with pytest.raises(ValueError, match="bootstrap"):
         tbl.read_changelog(0, s4)
+
+
+def test_eq_delete_resolves_strictly_by_field_id(spark, tmp_path):
+    """r10 advice: an eq-delete entry carrying a field id must resolve
+    its key column strictly BY ID. After drop_column of the key, the
+    id maps to nothing → the delete is skipped (not bound by name,
+    which either crashed the read or — once a same-named column was
+    re-added under a fresh id — silently deleted from the unrelated
+    new column)."""
+    from iceberg_twist_spark.sources.snapshots import SnapshotTable
+
+    tbl = SnapshotTable(spark, str(tmp_path / "fidstrict"))
+    tbl.create(spark.range(10).selectExpr("id", "CAST(id AS STRING) AS k"))
+    tbl.delete_keys(spark.createDataFrame([("3",)], "k string"), "k")
+    assert tbl.read().count() == 9
+    tbl.drop_column("k")
+    # the pending delete's field id resolves to nothing: skipped, and
+    # the read no longer crashes joining on a missing column
+    assert tbl.read().count() == 10
+    # re-add the SAME NAME under a fresh field id: the old delete must
+    # not latch onto the unrelated new column
+    tbl.add_column("k", "string")
+    tbl.append(spark.createDataFrame([(100, "3")], "id long, k string"))
+    rows = {(r.id, r.k) for r in tbl.read().collect()}
+    assert (100, "3") in rows, "old delete applied to the re-added column"
+    assert len(rows) == 11
+    # changelog across the whole drop/re-add range stays consistent
+    hist = [h["snapshot_id"] for h in tbl.snapshots()]
+    cl = tbl.read_changelog(hist[0], hist[-1])
+    assert cl.count() > 0
+
+
+def test_partition_transforms_prune_and_evolve(spark, tmp_path):
+    """Hidden partition transforms (r10 verdict #3): truncate/days
+    derive partition values at write time, equality predicates on the
+    SOURCE column prune via the transform, old-spec files are
+    conservatively kept across a spec-evolution boundary, and the
+    Python planning twin (transform_value) agrees with the JVM write
+    expression (the recorded dir values)."""
+    import datetime
+
+    import pytest
+
+    from iceberg_twist_spark.sources.snapshots import (
+        SnapshotTable,
+        parse_spec_entry,
+        transform_value,
+    )
+
+    tbl = SnapshotTable(spark, str(tmp_path / "ptr"))
+    mk = (
+        "id",
+        "concat('grp', id % 4) AS tag",
+        "to_timestamp(concat('2024-01-0', (id % 3) + 1)) AS ts",
+    )
+    tbl.create(spark.range(300).selectExpr(*mk))  # unpartitioned
+    tbl.set_partition_spec(["truncate(100, id)", "days(ts)"])
+    old_files = set(tbl.plan_files())
+    tbl.append(spark.range(1000, 1300).selectExpr(*mk))
+    all_files = tbl.plan_files()
+    new_files = set(all_files) - old_files
+    assert len(new_files) >= 9, "expected 3 trunc × 3 day dirs"
+    # truncate pruning on the source column: only the 1000-trunc dirs
+    # of the new vintage survive; the old vintage is kept wholesale
+    planned = tbl.plan_files(partition_eq=("id", 1050))
+    assert old_files <= set(planned)
+    kept_new = set(planned) - old_files
+    assert kept_new and kept_new < new_files
+    fm = tbl._files_meta()
+    assert all(fm[f]["partition"]["id_trunc"] == "1000" for f in kept_new)
+    assert tbl.read(partition_eq=("id", 1050)).count() == 1
+    # days pruning with a timestamp probe value
+    probe = datetime.datetime(2024, 1, 2)
+    planned_d = tbl.plan_files(partition_eq=("ts", probe))
+    kept_d = set(planned_d) - old_files
+    assert kept_d and kept_d < new_files
+    assert all(fm[f]["partition"]["ts_day"] == "2024-01-02" for f in kept_d)
+    # 100 matching rows in EACH vintage (old vintage kept by the
+    # conservative plan, filtered by the residual predicate — and its
+    # day-2 rows genuinely match)
+    assert tbl.read(partition_eq=("ts", probe)).count() == 200
+    # python twin ≡ recorded dir values for every transform kind
+    for entry in ("truncate(100, id)", "days(ts)"):
+        kind, col, param, pname = parse_spec_entry(entry)
+        assert pname in next(iter(fm[f]["partition"] for f in kept_new))
+    assert transform_value("truncate", 1050, 100) == 1000
+    assert transform_value("truncate", "abcdef", 3) == "abc"
+    assert transform_value("days", datetime.datetime(2024, 1, 2, 13, 7), None) == "2024-01-02"
+    # validation: malformed entries and unknown source columns raise
+    with pytest.raises(ValueError, match="bad partition spec"):
+        parse_spec_entry("median(id)")
+    with pytest.raises(ValueError, match="not in schema"):
+        tbl.set_partition_spec(["bucket(4, nope)"])

@@ -643,3 +643,103 @@ def test_snapshot_tail_batches_align_with_commits(spark, tmp_path):
             q2.processAllAvailable()
     finally:
         q2.stop()
+
+
+def test_snapshot_tail_offsets_walk_committed_chain(spark, tmp_path):
+    """r10 advice: snapshot ids are allocated to staged WAP snapshots
+    and CAS orphans too, so advancing the tail offset by id arithmetic
+    (lo + per_batch) can land ON a staged manifest — emitting
+    unaudited rows, then wedging on 'not an ancestor'. Offsets must
+    step along the COMMITTED parent chain, skipping off-chain ids."""
+    from iceberg_twist_spark.sources.snapshot_stream import (
+        _SnapshotTailReader,
+        _committed_above,
+    )
+    from iceberg_twist_spark.sources.snapshots import SnapshotTable
+
+    tbl = SnapshotTable(spark, str(tmp_path / "tailchain"))
+    s1 = tbl.create(spark.range(5).selectExpr("id"))
+    s2 = tbl.append(spark.range(5, 8).selectExpr("id"))
+    # a staged (unpublished WAP) snapshot takes the next id but is
+    # NOT on the committed chain
+    staged = tbl.stage(spark.range(100, 104).selectExpr("id"))
+    s3 = tbl.append(spark.range(8, 10).selectExpr("id"))
+    chain = _committed_above(tbl.path, 0)
+    assert staged not in chain
+    assert chain == [s1, s2, s3]
+    rdr = _SnapshotTailReader(
+        {"path": tbl.path, "columns": "id", "snapshots_per_batch": "1"}
+    )
+    off = rdr.initialOffset()
+    seen = []
+    for _ in range(5):
+        rows, off = rdr.read(off)
+        n = len(list(rows))
+        if n:
+            seen.append((off["snapshot"], n))
+    assert [s for s, _ in seen] == [s1, s2, s3], seen
+    assert [n for _, n in seen] == [5, 3, 2], seen
+
+
+def test_iceberg_sink_exactly_once_under_checkpoint_restart(spark, sf_dir, tmp_path):
+    """r10 verdict #1: foreachBatch is at-least-once — a crash AFTER
+    the snapshot commit but BEFORE the checkpoint's write-ahead record
+    replays the same batch on restart, and a non-idempotent sink
+    doubles those rows. snapshot_commit_batch records the batch id in
+    the commit summary and skips replayed ids, so the killed-and-
+    resumed run must hash-match the uninterrupted batch twin."""
+    import tempfile
+
+    from iceberg_twist_spark.sources.snapshots import SnapshotTable
+    from iceberg_twist_spark.streaming.jobs import (
+        EVENT_SCHEMA,
+        snapshot_commit_batch,
+        stage_replay_dir,
+    )
+
+    replay = stage_replay_dir(spark, sf_dir, 4)
+    ckpt = str(tmp_path / "ckpt")
+    tbl = SnapshotTable(spark, str(tmp_path / "tbl"))
+    inner = snapshot_commit_batch(tbl)
+    crash = {"armed": True}
+
+    def crashing(batch_df, batch_id):
+        inner(batch_df, batch_id)
+        # die after the table commit, before Spark checkpoints the
+        # batch — the exact window that produces a replay
+        if crash["armed"] and batch_id == 1:
+            crash["armed"] = False
+            raise RuntimeError("injected crash after commit")
+
+    def run(fn):
+        q = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(replay)
+            .writeStream.foreachBatch(fn)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    import pytest
+
+    with pytest.raises(Exception, match="injected crash"):
+        run(crashing)
+    committed_mid = tbl.last_streaming_batch_id()
+    assert committed_mid == 1, "crash landed after batch 1's commit"
+    run(inner)  # restart from the SAME checkpoint: batch 1 replays
+    # exactly-once: every event exactly once, equal to the batch twin
+    twin = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert tbl.read().count() == twin.count()
+    dups = (
+        tbl.read().groupBy("event_id").count().filter("count > 1").count()
+    )
+    assert dups == 0, "replayed micro-batch was committed twice"
+    # one commit per micro-batch, none duplicated
+    batch_ids = [
+        m.get("summary", {}).get("streaming-batch-id")
+        for m in tbl.snapshots()
+    ]
+    assert batch_ids == sorted(set(batch_ids)), batch_ids

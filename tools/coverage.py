@@ -18,7 +18,10 @@ from iceberg_twist_spark.registry import REGISTRY, _load_all_modules
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def main() -> int:
+def render() -> tuple[str, list[str], int, int]:
+    """Build COVERAGE.md's content; returns (text, missing, declared,
+    implemented) so both main() and the docs-sync freshness gate
+    (tests/test_docs_sync.py) consume one source of truth."""
     with open(os.path.join(REPO, "SURVEY.md")) as f:
         survey = f.read()
     sec = survey.split("### 2.B", 1)[1].split("\n## ", 1)[0]
@@ -80,10 +83,15 @@ def main() -> int:
     lines.append("")
     lines.append("Regenerate: `python tools/coverage.py` (fails if any declared id is missing).")
     lines.append("")
+    return "\n".join(lines), missing, len(declared), len(implemented)
+
+
+def main() -> int:
+    text, missing, n_decl, n_impl = render()
     out = os.path.join(REPO, "COVERAGE.md")
     with open(out, "w") as f:
-        f.write("\n".join(lines))
-    print(f"declared={len(declared)} implemented={len(implemented)} missing={missing or 'none'}")
+        f.write(text)
+    print(f"declared={n_decl} implemented={n_impl} missing={missing or 'none'}")
     print(f"wrote {out}")
     return 1 if missing else 0
 
