@@ -173,6 +173,8 @@ REVERIFY_FIRST = (
     "q_stream_iceberg_sink",
     # new in r11
     "q_iceberg_partition_transform",
+    "q_stream_changelog_tail",
+    "q_iceberg_merge_full_sync",
 )
 
 WITNESS_VINTAGE: dict[int, tuple[str, ...]] = {

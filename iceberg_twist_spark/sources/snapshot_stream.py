@@ -270,3 +270,387 @@ def q_stream_snapshot_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             q.stop()
     return spark.table(name)
+
+
+# ---- changelog tail: stream the CDC feed, not just appends -----------
+# The generalization the r10 verdict asked for: where the snapshot
+# tail RAISES on non-append commits (files-added ≠ rows-added), this
+# source emits read_changelog's (row, _change_type,
+# _commit_snapshot_id) rows for EVERY commit shape — append,
+# eq-delete, pos-delete, and content rewrites — one committed
+# snapshot per micro-batch, aligned by field id. The computation here
+# is the pyarrow twin of SnapshotTable.read_changelog (same per-op
+# planning, same sequence scoping); the batch scan is the oracle it
+# is hash-checked against. Like the plain tail, this is the
+# SimpleDataSourceStreamReader face: rows surface driver-side, which
+# is right for the checked fixture; a cluster-scale deployment would
+# implement streamReader and hand each commit's file set to executors
+# as input partitions — the offset model and per-commit planning are
+# identical, and they are what this module verifies.
+
+_NO_CHANGE_OPS = frozenset({
+    "rewrite", "add-column", "rename-column", "drop-column",
+    "widen-column", "set-partition-spec",
+})
+
+
+def _fmeta(path: str) -> dict:
+    p = os.path.join(path, "metadata", "files.json")
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        return json.load(f)
+
+
+def _read_file_pdf(fpath: str, info: dict, schema_meta: list):
+    """One data file → pandas frame under ``schema_meta`` (identity
+    partition values restored from the sidecar, columns resolved by
+    FIELD ID exactly like SnapshotTable._read_files)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    pdf = pq.read_table(fpath).to_pandas()
+    fids = info.get("field_ids", {})
+    type_by_fid = {int(f[0]): f[2] for f in schema_meta}
+    for k, v in (info.get("partition") or {}).items():
+        if k in pdf.columns or k not in fids:
+            continue  # transform-derived dirs never re-enter the data
+        t = type_by_fid.get(int(fids[k]), "string")
+        if t in ("long", "integer", "int", "bigint"):
+            val = int(v)
+        elif t in ("double", "float"):
+            val = float(v)
+        else:
+            val = v
+        pdf[k] = val
+    by_fid = {int(fid): name for name, fid in fids.items()}
+    cols = {}
+    for f in schema_meta:
+        fid, name = int(f[0]), f[1]
+        w = by_fid.get(fid)
+        if w is not None and w in pdf.columns:
+            cols[name] = pdf[w]
+        else:
+            cols[name] = pd.Series([None] * len(pdf), index=pdf.index)
+    return pd.DataFrame(cols)
+
+
+def _align_pdf(pdf, from_meta: list, to_meta: list):
+    """Field-id alignment between two schema vintages (the pandas twin
+    of SnapshotTable._align_to)."""
+    import pandas as pd
+
+    name_by_fid = {int(f[0]): f[1] for f in from_meta}
+    cols = {}
+    for f in to_meta:
+        fid, name = int(f[0]), f[1]
+        src = name_by_fid.get(fid)
+        if src is not None and src in pdf.columns:
+            cols[name] = pdf[src]
+        else:
+            cols[name] = pd.Series([None] * len(pdf), index=pdf.index)
+    return pd.DataFrame(cols)
+
+
+def _live_pdf(path: str, snap: int):
+    """MOR read of a snapshot as pandas: all data files, position
+    deletes dropped by (file, ordinal), equality deletes anti-joined
+    with Iceberg v2 SEQUENCE scoping (a delete applies only to
+    lower-sequence files), columns under the snapshot's schema."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    m = _manifest(path, snap)
+    fm = _fmeta(path)
+    meta = m["schema_meta"]
+    pos_drop: dict[str, set] = {}
+    for d in m.get("pos_deletes", []):
+        t = pq.read_table(d["path"]).to_pandas()
+        for fp, ix in zip(t.iloc[:, 0], t.iloc[:, 1]):
+            pos_drop.setdefault(os.path.basename(str(fp)), set()).add(int(ix))
+    name_by_fid = {int(f[0]): f[1] for f in meta}
+    eq = []
+    for d in m.get("eq_deletes", []):
+        kname = name_by_fid.get(d["fid"]) if "fid" in d else d["key"]
+        if kname is None:
+            continue  # key column since dropped — strict by-id skip
+        keys = set(pq.read_table(d["path"]).to_pandas().iloc[:, 0])
+        eq.append((d.get("seq", 1 << 62), kname, keys))
+    frames = []
+    for f in m["files"]:
+        info = fm.get(f, {})
+        drop = pos_drop.get(os.path.basename(f))
+        pdf = _read_file_pdf(f, info, meta)
+        if drop:
+            pdf = pdf.iloc[[i for i in range(len(pdf)) if i not in drop]]
+        fseq = info.get("seq", 0)
+        for dseq, kname, keys in eq:
+            if dseq > fseq and kname in pdf.columns:
+                pdf = pdf[~pdf[kname].isin(keys)]
+        frames.append(pdf)
+    names = [f[1] for f in meta]
+    if not frames:
+        return pd.DataFrame(columns=names)
+    return pd.concat(frames, ignore_index=True)
+
+
+def _multiset_diff(a, b):
+    """Rows of ``a`` not matched by ``b``, WITH multiplicity — the
+    pandas twin of DataFrame.exceptAll."""
+    import pandas as pd
+
+    if not len(a):
+        return a
+    cols = list(a.columns)
+    na = a.groupby(cols, dropna=False).size()
+    nb = b.groupby(cols, dropna=False).size() if len(b) else None
+    rows = []
+    for key, n in na.items():
+        n2 = int(nb.get(key, 0)) if nb is not None else 0
+        extra = int(n) - n2
+        if extra > 0:
+            rows.extend([key if isinstance(key, tuple) else (key,)] * extra)
+    return pd.DataFrame(rows, columns=cols)
+
+
+def _commit_change_rows(path: str, prev_id: int, sid: int, to_meta: list):
+    """The change rows one commit contributes, as a pandas frame under
+    ``to_meta`` plus (_change_type, _commit_snapshot_id) — mirroring
+    read_changelog's per-op planning."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    m = _manifest(path, sid)
+    pm = _manifest(path, prev_id)
+    fm = _fmeta(path)
+    op = m["operation"]
+    out = []  # (pdf_under_own_meta, own_meta, kind)
+    if op in _NO_CHANGE_OPS:
+        pass
+    elif op == "append":
+        base = set(pm["files"])
+        added = [f for f in m["files"] if f not in base]
+        frames = [_read_file_pdf(f, fm.get(f, {}), m["schema_meta"]) for f in added]
+        if frames:
+            out.append((pd.concat(frames, ignore_index=True), m["schema_meta"], "insert"))
+    elif op == "eq-delete":
+        prev_names = {int(f[0]): f[1] for f in pm["schema_meta"]}
+        seen = {x["path"] for x in pm.get("eq_deletes", [])}
+        new_entries = [d for d in m.get("eq_deletes", []) if d["path"] not in seen]
+        prev = None
+        for d in new_entries:
+            kname = prev_names.get(d["fid"]) if "fid" in d else d["key"]
+            if kname is None:
+                continue
+            if prev is None:
+                prev = _live_pdf(path, prev_id)
+            keys = set(pq.read_table(d["path"]).to_pandas().iloc[:, 0])
+            gone = prev[prev[kname].isin(keys)]
+            out.append((gone, pm["schema_meta"], "delete"))
+    elif op == "pos-delete":
+        seen = {x["path"] for x in pm.get("pos_deletes", [])}
+        new_entries = [d for d in m.get("pos_deletes", []) if d["path"] not in seen]
+        for d in new_entries:
+            t = pq.read_table(d["path"]).to_pandas()
+            by_file: dict[str, set] = {}
+            for fp, ix in zip(t.iloc[:, 0], t.iloc[:, 1]):
+                by_file.setdefault(os.path.basename(str(fp)), set()).add(int(ix))
+            for f in pm["files"]:
+                hit = by_file.get(os.path.basename(f))
+                if not hit:
+                    continue
+                pdf = _read_file_pdf(f, fm.get(f, {}), pm["schema_meta"])
+                out.append((pdf.iloc[sorted(hit)], pm["schema_meta"], "delete"))
+    else:  # overwrite / CoW delete / update / merge / rollback
+        cur = _live_pdf(path, sid)
+        prev = _live_pdf(path, prev_id)
+        cur_a = _align_pdf(cur, m["schema_meta"], to_meta)
+        prev_a = _align_pdf(prev, pm["schema_meta"], to_meta)
+        ins = _multiset_diff(cur_a, prev_a)
+        dele = _multiset_diff(prev_a, cur_a)
+        out.append((ins, to_meta, "insert"))
+        out.append((dele, to_meta, "delete"))
+    frames = []
+    for pdf, own_meta, kind in out:
+        a = _align_pdf(pdf, own_meta, to_meta)
+        a["_change_type"] = kind
+        a["_commit_snapshot_id"] = sid
+        frames.append(a)
+    names = [f[1] for f in to_meta] + ["_change_type", "_commit_snapshot_id"]
+    if not frames:
+        return pd.DataFrame(columns=names)
+    return pd.concat(frames, ignore_index=True)
+
+
+class _ChangelogTailReader(SimpleDataSourceStreamReader):
+    """Micro-batch CDC pull: each ``read`` advances the offset by up
+    to ``snapshots_per_batch`` committed snapshots along the parent
+    chain (staged/orphan ids skipped — same offset discipline as the
+    plain tail) and emits every commit's change rows. Offsets are
+    snapshot ids, so checkpoint replay recomputes the exact same
+    deterministic change set."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.per_batch = int(options.get("snapshots_per_batch", 1))
+        self.start_snap = int(options["from_snapshot"])
+        if self.start_snap < 1:
+            raise ValueError(
+                "changelog tail requires from_snapshot >= 1: bootstrap a "
+                "consumer with read(snapshot_id=first) and tail from there"
+            )
+        self.columns = [c.strip() for c in options["columns"].split(",")]
+
+    def initialOffset(self) -> dict:
+        return {"snapshot": self.start_snap}
+
+    def _rows(self, lo: int, hi: int):
+        # ids are allocated monotonically, so the committed chain above
+        # lo is ascending and truncates cleanly at hi
+        chain = [lo] + [
+            s for s in _committed_above(self.path, lo) if s <= hi
+        ]
+        to_meta = _manifest(self.path, hi)["schema_meta"]
+        rows = []
+        for prev_id, sid in zip(chain, chain[1:]):
+            pdf = _commit_change_rows(self.path, prev_id, sid, to_meta)
+            cols = self.columns + ["_change_type", "_commit_snapshot_id"]
+            for t in pdf[cols].itertuples(index=False, name=None):
+                rows.append(t)
+        return rows
+
+    def read(self, start: dict):
+        lo = int(start["snapshot"])
+        ahead = _committed_above(self.path, lo)
+        if not ahead:
+            return iter([]), {"snapshot": lo}
+        hi = ahead[min(self.per_batch, len(ahead)) - 1]
+        return iter(self._rows(lo, hi)), {"snapshot": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(self._rows(int(start["snapshot"]), int(end["snapshot"])))
+
+
+class ChangelogTailDataSource(DataSource):
+    """``spark.readStream.format("itws_cdctail")`` — options: path,
+    schema_ddl (data columns + _change_type string +
+    _commit_snapshot_id bigint), columns (data columns, comma list),
+    from_snapshot (>= 1), snapshots_per_batch."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "itws_cdctail"
+
+    def schema(self) -> str:
+        return self.options["schema_ddl"]
+
+    def simpleStreamReader(self, schema) -> _ChangelogTailReader:  # noqa: ANN001
+        return _ChangelogTailReader(self.options)
+
+
+def register_changelog_tail(spark: SparkSession) -> None:
+    try:
+        spark.dataSource.register(ChangelogTailDataSource)
+    except Exception as exc:  # noqa: BLE001
+        msg = str(exc).lower()
+        if "already" in msg and "regist" in msg:
+            return
+        raise
+
+
+# the same change sets q_iceberg_changelog derives — the stream must
+# produce byte-identical CDC rows to the batch scan over commits 1→4
+_CDC_TAIL_ORACLE = """
+SELECT o_orderkey, o_orderstatus,
+       floor(o_totalprice * 10000 + 0.5) / 10000 AS o_totalprice,
+       'insert' AS _change_type, CAST(2 AS BIGINT) AS _commit_snapshot_id
+FROM orders WHERE o_orderkey % 4 = 1
+UNION ALL
+SELECT o_orderkey, o_orderstatus,
+       floor(o_totalprice * 10000 + 0.5) / 10000,
+       'delete', CAST(3 AS BIGINT)
+FROM orders WHERE o_orderkey % 8 = 1
+UNION ALL
+SELECT o_orderkey, o_orderstatus,
+       floor(o_totalprice * 10000 + 0.5) / 10000,
+       'delete', CAST(4 AS BIGINT)
+FROM orders WHERE o_orderkey % 12 = 0
+"""
+
+
+@register(
+    "q_stream_changelog_tail",
+    oracle=_CDC_TAIL_ORACLE,
+    tags=("stream", "iceberg", "cdc", "source"),
+)
+def q_stream_changelog_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM the CDC feed (r10 verdict #4): readStream over the same
+    append / eq-delete / copy-on-write-delete commit chain that
+    q_iceberg_changelog scans in batch — where the plain snapshot tail
+    must RAISE on those non-append commits, this source emits
+    (row, ``_change_type``, ``_commit_snapshot_id``) per commit, one
+    committed snapshot per micro-batch (asserted via recentProgress),
+    offsets walking the committed chain. The accumulated append-mode
+    sink must hash-match the batch changelog's SQL derivation — a
+    duplicated, lost, or misattributed change row breaks the oracle.
+    """
+    import tempfile
+    import uuid
+
+    from iceberg_twist_spark.sources.snapshots import (
+        _TABLE_CACHE,
+        _changelog_table,
+    )
+    from iceberg_twist_spark.streaming.jobs import _state_partitions
+
+    register_changelog_tail(spark)
+    tbl = _changelog_table(spark, sf_dir)
+    ops = [m["operation"] for m in tbl.snapshots()]
+    assert ops == ["overwrite", "append", "eq-delete", "delete"], ops
+
+    stream = (
+        spark.readStream.format("itws_cdctail")
+        .option("path", tbl.path)
+        .option(
+            "schema_ddl",
+            "o_orderkey bigint, o_orderstatus string, o_totalprice double, "
+            "_change_type string, _commit_snapshot_id bigint",
+        )
+        .option("columns", "o_orderkey,o_orderstatus,o_totalprice")
+        .option("from_snapshot", "1")
+        .option("snapshots_per_batch", "1")
+        .load()
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.floor(F.col("o_totalprice") * 10000 + F.lit(0.5)) / 10000).alias(
+                "o_totalprice"
+            ),
+            "_change_type",
+            "_commit_snapshot_id",
+        )
+    )
+    name = f"itws_cdctail_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="itws_ckpt_")
+    with _state_partitions(spark):
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            # one committed snapshot per micro-batch: 3 commits above
+            # the bootstrap base → 3 data-bearing batches
+            prog = [
+                json.loads(p.json) if hasattr(p, "json") else p
+                for p in q.recentProgress
+            ]
+            fed = sum(1 for p in prog if p.get("numInputRows", 0) > 0)
+            n_commits = len(_committed_above(tbl.path, 1))
+            assert fed == n_commits, (fed, n_commits)
+        finally:
+            q.stop()
+    return spark.table(name)

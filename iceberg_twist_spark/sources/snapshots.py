@@ -1527,6 +1527,9 @@ class SnapshotTable:
         matched_update: dict | None = None,
         matched_delete=None,
         insert_not_matched: bool = True,
+        not_matched_by_source_update: dict | None = None,
+        not_matched_by_source_update_cond: str | None = None,
+        not_matched_by_source_delete: str | bool | None = None,
     ) -> int:
         """Full conditional MERGE INTO (Iceberg/SQL:2003 clause set),
         file-pruned like ``merge``:
@@ -1537,13 +1540,22 @@ class SnapshotTable:
           target as ``t.<col>`` and the source as ``s.<col>``;
           ``None`` = UPDATE SET * from the source)
         - WHEN NOT MATCHED [``insert_not_matched``] THEN INSERT *
+        - WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE
+          (``not_matched_by_source_delete``: SQL condition string over
+          ``t.<col>``, or ``True`` for unconditional)
+        - WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET
+          ``not_matched_by_source_update`` (column → expression over
+          ``t.<col>``; delete clause wins where both apply)
 
-        One metadata pass finds the files containing matched keys;
-        only those rewrite (their rows left-join the source — delete
-        condition filters, update expressions apply, inserts union
-        in); every untouched file carries verbatim. Duplicate source
-        keys raise (SQL MERGE cardinality violation), checked with
-        one aggregate over the SOURCE only — the small side."""
+        File pruning covers BOTH sides: one metadata pass finds the
+        files containing matched keys, a second (only when a
+        NOT-MATCHED-BY-SOURCE clause is present) finds files holding
+        not-matched rows that satisfy the clause conditions — the
+        union rewrites, every other file carries verbatim. A bounded
+        sync clause (``t.k < cutoff``) therefore touches only the
+        files covering that key range, never the table. Duplicate
+        source keys raise (SQL MERGE cardinality violation), checked
+        with one aggregate over the SOURCE only — the small side."""
         cur_id = self.current_snapshot_id()
         if cur_id == 0:
             raise ValueError(f"no snapshots in {self.path}")
@@ -1566,6 +1578,29 @@ class SnapshotTable:
             .collect()  # bounded by the manifest's file count
         )
         hit_paths = {self._norm_uri(r._file_path) for r in hits}
+        nmbs_conds: list[str | bool] = []
+        if not_matched_by_source_delete is not None:
+            nmbs_conds.append(not_matched_by_source_delete)
+        if not_matched_by_source_update is not None:
+            nmbs_conds.append(
+                True
+                if not_matched_by_source_update_cond is None
+                else not_matched_by_source_update_cond
+            )
+        if nmbs_conds:
+            extra = (
+                self.read(snapshot_id=cur_id, keep_meta=True)
+                .alias("t")
+                .join(keys_df, on=key, how="left_anti")
+            )
+            if not any(c is True for c in nmbs_conds):
+                extra = extra.filter(
+                    F.expr(" OR ".join(f"({c})" for c in nmbs_conds))
+                )
+            hit_paths |= {
+                self._norm_uri(r._file_path)
+                for r in extra.select("_file_path").distinct().collect()
+            }
         untouched = [f for f in cur["files"] if f not in hit_paths]
         to_rewrite = [f for f in cur["files"] if f in hit_paths]
         t = self._read_files(cur, to_rewrite).alias("t")
@@ -1578,20 +1613,40 @@ class SnapshotTable:
             joined = joined.filter(
                 ~(matched & F.coalesce(matched_delete, F.lit(False)))
             )
+        if not_matched_by_source_delete is not None:
+            dcond = (
+                F.lit(True)
+                if not_matched_by_source_delete is True
+                else F.expr(not_matched_by_source_delete)
+            )
+            joined = joined.filter(
+                ~(~matched & F.coalesce(dcond, F.lit(False)))
+            )
         if matched_update is None:
             matched_update = {c: F.col(f"s.{c}") for c in names if c != key}
-        survivors = joined.select(
-            *[
-                (
-                    F.when(matched, matched_update[c])
-                    .otherwise(F.col(f"t.{c}"))
-                    .alias(c)
-                    if c in matched_update
-                    else F.col(f"t.{c}").alias(c)
-                )
-                for c in names
-            ]
+        nmbs_update = not_matched_by_source_update or {}
+        nmbs_ucond = (
+            F.lit(True)
+            if not_matched_by_source_update_cond is None
+            else F.expr(not_matched_by_source_update_cond)
         )
+
+        def _out_col(c: str):
+            expr = None
+            if c in matched_update:
+                expr = F.when(matched, matched_update[c])
+            if c in nmbs_update:
+                branch = ~matched & F.coalesce(nmbs_ucond, F.lit(False))
+                expr = (
+                    F.when(branch, nmbs_update[c])
+                    if expr is None
+                    else expr.when(branch, nmbs_update[c])
+                )
+            if expr is None:
+                return F.col(f"t.{c}").alias(c)
+            return expr.otherwise(F.col(f"t.{c}")).alias(c)
+
+        survivors = joined.select(*[_out_col(c) for c in names])
         out = survivors
         if insert_not_matched:
             inserts = s.join(
@@ -3534,6 +3589,113 @@ def q_iceberg_partition_transform(spark: SparkSession, sf_dir: str) -> DataFrame
     return tbl.read(partition_eq=("o_custkey", ck)).select(
         "o_orderkey",
         "o_custkey",
+        "o_orderstatus",
+        (F.floor(F.col("o_totalprice") * 10000 + F.lit(0.5)) / 10000).alias(
+            "o_totalprice"
+        ),
+    )
+
+
+def _merge_sync_table(spark: SparkSession, sf_dir: str) -> SnapshotTable:
+    """Full-sync MERGE scenario (WHEN NOT MATCHED BY SOURCE):
+
+    snapshot 1  overwrite  keys ≡ 0,1 (mod 3), range-laid on
+                           o_orderkey (8 files, tight key bands)
+    snapshot 2  merge      source = the low-key segment's desired
+                           state (keys < cutoff: keys ≡ 0 with status
+                           'S' / price+1, keys ≡ 2 brand new):
+                           WHEN MATCHED            → UPDATE SET *
+                           WHEN NOT MATCHED        → INSERT
+                           WHEN NOT MATCHED BY SOURCE
+                             AND t.o_orderkey < cutoff → DELETE
+                           (keys ≡ 1 below the cutoff vanish — the
+                           classic "make the segment mirror the
+                           source" sync; rows ≥ cutoff untouched)
+    """
+    key = f"snapmergesync::{sf_dir}"
+    tbl = _TABLE_CACHE.get(key)
+    if tbl is not None:
+        return tbl
+    tbl = SnapshotTable(spark, tempfile.mkdtemp(prefix="itws_snapms_"))
+    orders = load_tables(spark, sf_dir)["orders"].select(*_ORDER_COLS)
+    k = F.col("o_orderkey")
+    tbl.overwrite(
+        orders.filter(k % 3 != 2).repartitionByRange(8, "o_orderkey")
+    )
+    cutoff = int(orders.agg(F.max("o_orderkey")).first()[0]) // 5
+    source = (
+        orders.filter((k % 3 == 0) & (k < cutoff))
+        .select(
+            "o_orderkey",
+            F.lit("S").alias("o_orderstatus"),
+            (F.col("o_totalprice") + 1).alias("o_totalprice"),
+        )
+        .unionByName(
+            orders.filter((k % 3 == 2) & (k < cutoff)).select(*_ORDER_COLS)
+        )
+    )
+    tbl.merge_into(
+        source,
+        key="o_orderkey",
+        not_matched_by_source_delete=f"t.o_orderkey < {cutoff}",
+    )
+    tbl._sync_cutoff = cutoff  # inspected by the fixture's asserts
+    _TABLE_CACHE[key] = tbl
+    return tbl
+
+
+_MERGE_SYNC_ORACLE = """
+WITH mx AS (
+    SELECT CAST(floor(max(o_orderkey) / 5) AS BIGINT) AS cutoff FROM orders
+)
+SELECT o_orderkey, o_orderstatus,
+       floor(o_totalprice * 10000 + 0.5) / 10000 AS o_totalprice
+FROM orders, mx
+WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey >= cutoff
+UNION ALL
+SELECT o_orderkey, 'S' AS o_orderstatus,
+       floor((o_totalprice + 1) * 10000 + 0.5) / 10000
+FROM orders, mx WHERE o_orderkey % 3 = 0 AND o_orderkey < cutoff
+UNION ALL
+SELECT o_orderkey, o_orderstatus,
+       floor(o_totalprice * 10000 + 0.5) / 10000
+FROM orders, mx WHERE o_orderkey % 3 = 2 AND o_orderkey < cutoff
+"""
+
+
+@register(
+    "q_iceberg_merge_full_sync",
+    oracle=_MERGE_SYNC_ORACLE,
+    tags=("iceberg", "cdc"),
+)
+def q_iceberg_merge_full_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE with WHEN NOT MATCHED BY SOURCE (r10 verdict #5): one
+    commit makes the low-key segment mirror the source — matched rows
+    UPDATE SET *, new source keys INSERT, and target rows the source
+    no longer carries DELETE under the bounded sync condition. File
+    pruning covers BOTH sides: the matched-key scan and the
+    not-matched-satisfying-condition scan union into the rewrite set,
+    so the high-key files (≥ cutoff, where neither clause can apply)
+    carry into the new manifest verbatim — asserted by path identity,
+    not just count. The oracle derives all three clause outcomes
+    independently in SQL."""
+    tbl = _merge_sync_table(spark, sf_dir)
+    ops = [m["operation"] for m in tbl.snapshots()]
+    assert ops == ["overwrite", "merge"], ops
+    before = tbl._manifest(1)
+    after = tbl._manifest(2)
+    carried = set(before["files"]) & set(after["files"])
+    rewritten = set(before["files"]) - set(after["files"])
+    assert carried and rewritten, (len(carried), len(rewritten))
+    # every carried file's key band lies wholly above the sync cutoff
+    stats = before["file_stats"]
+    assert all(
+        stats[f]["o_orderkey"][0] >= tbl._sync_cutoff
+        for f in carried
+        if "o_orderkey" in stats.get(f, {})
+    )
+    return tbl.read().select(
+        "o_orderkey",
         "o_orderstatus",
         (F.floor(F.col("o_totalprice") * 10000 + F.lit(0.5)) / 10000).alias(
             "o_totalprice"

@@ -1194,3 +1194,41 @@ def test_partition_transforms_prune_and_evolve(spark, tmp_path):
         parse_spec_entry("median(id)")
     with pytest.raises(ValueError, match="not in schema"):
         tbl.set_partition_spec(["bucket(4, nope)"])
+
+
+def test_merge_not_matched_by_source_clauses(spark, tmp_path):
+    """WHEN NOT MATCHED BY SOURCE, both verbs: the conditional UPDATE
+    touches only not-matched rows satisfying the condition, the file
+    scan unions both clause footprints so out-of-range files carry
+    VERBATIM (path identity), and an unconditional DELETE turns the
+    merge into a full sync (target ≡ source)."""
+    from iceberg_twist_spark.sources.snapshots import SnapshotTable
+
+    tbl = SnapshotTable(spark, str(tmp_path / "nmbs"))
+    tbl.create(
+        spark.range(100).selectExpr("id", "id * 2 AS v").repartitionByRange(4, "id")
+    )
+    src = spark.range(0, 25, 2).selectExpr("id", "id * 10 AS v").unionByName(
+        spark.range(100, 105).selectExpr("id", "id AS v")
+    )
+    before = set(tbl._manifest(tbl.current_snapshot_id())["files"])
+    tbl.merge_into(
+        src,
+        key="id",
+        not_matched_by_source_update={"v": F.col("t.v") + 1000},
+        not_matched_by_source_update_cond="t.id < 25",
+    )
+    after = tbl._manifest(tbl.current_snapshot_id())
+    carried = before & set(after["files"])
+    assert carried, "high-range files should carry verbatim"
+    rows = {r.id: r.v for r in tbl.read().collect()}
+    assert rows[4] == 40, "matched row took the source value"
+    assert rows[3] == 3 * 2 + 1000, "not-matched in-range row updated"
+    assert rows[50] == 100, "out-of-range row untouched"
+    assert rows[101] == 101, "source-only key inserted"
+    assert len(rows) == 105
+    # unconditional NMBS DELETE = full sync: target becomes the source
+    src2 = spark.range(10, 20).selectExpr("id", "id * 7 AS v")
+    tbl.merge_into(src2, key="id", not_matched_by_source_delete=True)
+    final = {r.id: r.v for r in tbl.read().collect()}
+    assert final == {i: i * 7 for i in range(10, 20)}

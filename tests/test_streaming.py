@@ -743,3 +743,45 @@ def test_iceberg_sink_exactly_once_under_checkpoint_restart(spark, sf_dir, tmp_p
         for m in tbl.snapshots()
     ]
     assert batch_ids == sorted(set(batch_ids)), batch_ids
+
+
+def test_changelog_tail_matches_batch_scan_all_commit_shapes(spark, tmp_path):
+    """The streaming CDC source must be a faithful twin of the batch
+    read_changelog across EVERY commit shape — append, eq-delete,
+    position delete, rewrite (no rows), CoW delete — and its
+    readBetweenOffsets replay must be deterministic (checkpoint
+    recovery recomputes identical change rows)."""
+    from pyspark.sql import functions as F
+
+    from iceberg_twist_spark.sources.snapshot_stream import _ChangelogTailReader
+    from iceberg_twist_spark.sources.snapshots import SnapshotTable
+
+    tbl = SnapshotTable(spark, str(tmp_path / "cdct"))
+    s1 = tbl.create(spark.range(24).selectExpr("id", "id % 4 AS g"))
+    tbl.append(spark.range(24, 30).selectExpr("id", "id % 4 AS g"))
+    tbl.delete_keys(spark.createDataFrame([(2,), (25,)], "id long"), "id")
+    tbl.delete_where_positional(F.col("id") % 9 == 0)
+    tbl.rewrite_data_files()  # changelog-silent commit
+    last = tbl.delete_where(F.col("g") == 3)
+
+    rdr = _ChangelogTailReader(
+        {"path": tbl.path, "columns": "id,g", "from_snapshot": str(s1)}
+    )
+    off = rdr.initialOffset()
+    streamed = []
+    for _ in range(10):
+        rows, off = rdr.read(off)
+        streamed.extend(rows)
+    assert off == {"snapshot": last}
+    batch = sorted(
+        tuple(r)
+        for r in tbl.read_changelog(s1, last)
+        .select("id", "g", "_change_type", "_commit_snapshot_id")
+        .collect()
+    )
+    assert sorted(streamed) == batch
+    # replay determinism: recomputing the whole range yields the same rows
+    replay = list(
+        rdr.readBetweenOffsets({"snapshot": s1}, {"snapshot": last})
+    )
+    assert sorted(replay) == batch
