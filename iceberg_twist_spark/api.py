@@ -775,7 +775,7 @@ class Engine:
         cb0 = sub.join(F.broadcast(seed_map), "vec_id").select(
             "code", "m", F.col("sv").alias("cw")
         )
-        cb1 = S._lloyd_update(S._pq_assign(sub, cb0), sub)
+        cb1 = S._lloyd_update(S._pq_assign(sub, cb0, carry_sv=True), sub)
         codes = S._pq_assign(sub, cb1)
         base = path.rstrip("/")
         codes.write.mode("overwrite").parquet(base + "/codes")

@@ -47,14 +47,20 @@ def connected_components(
     ordering sensitivity, so the result is identical on any engine or
     partitioning.
     """
+    # Lazy checkpoints throughout the loop: every checkpointed frame
+    # is immediately forced by the convergence-sum collect below, so
+    # the lazy form materializes the blocks INSIDE that collect's job
+    # instead of paying a separate eager-materialization job first —
+    # one scheduler round-trip per CC round instead of two, same
+    # lineage truncation (r11, guide §1.2: fewer passes).
     sym = edges.select(
         F.col(src).alias("node"), F.col(dst).alias("nbr")
     ).unionByName(edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr")))
-    sym = sym.localCheckpoint(eager=True)
+    sym = sym.localCheckpoint(eager=False)
 
     labels = (
         sym.select("node").distinct().withColumn("label", F.col("node"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     # Labels only ever decrease, so the label sum strictly decreases
     # until the fixpoint — a scalar compare replaces the old
     # join-the-previous-round convergence check (one fewer shuffle
@@ -87,7 +93,7 @@ def connected_components(
         new_labels = (
             propagated.join(lbl_map, propagated.label == lbl_map.l_node)
             .select("node", F.col("l_label").alias("label"))
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         cur_sum = new_labels.agg(_label_sum).collect()[0][0]
         labels = new_labels
         if cur_sum == prev_sum:

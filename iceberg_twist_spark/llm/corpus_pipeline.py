@@ -110,7 +110,11 @@ def q_llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     toks = gated.select(
         "lang", "doc_id", F.size(F.split("text", " ")).alias("tokens")
-    )
+    ).localCheckpoint(eager=False)  # three consumers read the gated
+    # corpus (the packer's bucket-bounds 1-row agg, its per-bucket
+    # offsets agg, and the main running-sum path) — without this the
+    # whole gate stage (two windows + the survivor join) re-executes
+    # once per consumer (r11)
     pb = attach_range_bucket(toks, "doc_id")
     packed = two_phase_cumsum(pb, ["lang"], ["doc_id"], "tokens", "cum_tokens")
     return (

@@ -186,23 +186,73 @@ def q_llm_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Correctness baseline only — at corpus scale use lsh_bucket() below
     to restrict comparisons to shared buckets. Guarded: refuses more
     than COSINE_PAIRS_MAX_ROWS vectors (the count is one cheap scan
-    next to the n² join it prevents)."""
+    next to the n² work it prevents).
+
+    The n² comparison itself is an Arrow-batched numpy kernel: the
+    guard bounds the corpus, so the comparison side is collected once
+    (the former nested-loop theta join broadcast the same rows anyway)
+    and each scan batch computes its (batch × corpus) similarity block
+    vectorized, emitting only the surviving pairs — the former form
+    materialized every a<b pair ROW through BroadcastNestedLoopJoin
+    and paid one interpreted HOF dot per pair (~9 s for 125k pairs at
+    sf0.01; the kernel's whole block is a few hundred ms). Arithmetic
+    is the ordered-IEEE-fold scheme of _pq_assign (dot accumulates
+    dims ascending from 0.0, sim groups as dot/(na·nb), the ≥ 0.3
+    gate compares the unrounded sim, output rounds r4), so the pair
+    set is bit-identical to the oracle's."""
+    import numpy as np
+    import pyarrow as pa
+
     emb = with_norm(spread(load_tables(spark, sf_dir)["embeddings"], "vec_id"), "embedding")
     _guard_exact_pairs(emb.count())
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
-        F.col("nrm").alias("na"),
-    )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nb"),
-    )
-    sim = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("sim", sim)  # evaluated once, reused by filter+project
-        .filter(F.col("sim") >= 0.3)
-        .select("vec_a", "vec_b", r4(F.col("sim")).alias("cos_sim"))
+    rows = emb.select("vec_id", "embedding", "nrm").collect()  # guard-bounded
+    ids_b = np.array([r[0] for r in rows], dtype=np.int64)
+    bmat = np.array([[float(x) for x in r[1]] for r in rows], dtype=np.float64)
+    nrm_b = np.array([float(r[2]) for r in rows], dtype=np.float64)
+
+    def pair_batches(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ida = batch.column(0).to_numpy(zero_copy_only=False)
+            e_arr = batch.column(1)
+            lens = np.diff(e_arr.offsets.to_numpy(zero_copy_only=False))
+            d = int(lens[0])
+            assert (lens == d).all(), "ragged embedding widths"
+            amat = (
+                e_arr.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64, copy=False)
+                .reshape(n, d)
+            )
+            na = batch.column(2).to_numpy(zero_copy_only=False)
+            # slice the a-side so the (slice × corpus) block stays ~32 MB
+            step = max(1, (4 << 20) // max(len(ids_b), 1))
+            for lo in range(0, n, step):
+                hi = min(lo + step, n)
+                dot = np.zeros((hi - lo, len(ids_b)))
+                for k in range(d):
+                    dot += amat[lo:hi, k, None] * bmat[None, :, k]
+                sims = dot / (na[lo:hi, None] * nrm_b[None, :])
+                mask = (ida[lo:hi, None] < ids_b[None, :]) & (sims >= 0.3)
+                ai, bi = np.nonzero(mask)
+                if not len(ai):
+                    continue
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(ida[lo:hi][ai], type=pa.int64()),
+                        pa.array(ids_b[bi], type=pa.int64()),
+                        pa.array(
+                            np.floor(sims[ai, bi] * 10000.0 + 0.5) / 10000.0,
+                            type=pa.float64(),
+                        ),
+                    ],
+                    names=["vec_a", "vec_b", "cos_sim"],
+                )
+
+    return emb.select("vec_id", "embedding", "nrm").mapInArrow(
+        pair_batches, "vec_a bigint, vec_b bigint, cos_sim double"
     )
 
 
@@ -239,23 +289,67 @@ FROM sims GROUP BY vec_id
 def q_llm_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flag corpus vectors semantically close to the eval set: each
     non-eval vector's max cosine over the {SEMDECON_N_EVAL}-vector
-    eval set, thresholded at {SEMDECON_TAU}. The eval probes
-    broadcast (benchmark sets are fixed-size even at 100 TB); per-row
-    work is |eval| interpreted dot products with the corpus-side norm
-    computed once — the q_llm_knn_join scan shape with a threshold
-    instead of a top-k."""
+    eval set, thresholded at {SEMDECON_TAU}. The eval probe set is a
+    bounded constant (benchmark sets are fixed-size even at 100 TB):
+    it is collected once and captured by an Arrow-batched numpy
+    kernel that computes each batch's (rows × |eval|) similarity
+    block and takes the per-row max in place — the former
+    crossJoin(broadcast) + groupBy form multiplied the corpus |eval|×
+    and shuffled every (vec_id, s) pair through the max aggregate's
+    exchange, paying |eval| interpreted HOF dots per row besides.
+    Arithmetic is the ordered-IEEE-fold scheme of _pq_assign (each
+    sim r4-rounds BEFORE the max, matching the oracle's max over
+    rounded sims), so the output is bit-identical."""
+    import numpy as np
+    import pyarrow as pa
+
     emb = with_norm(spread(load_tables(spark, sf_dir)["embeddings"], "vec_id"), "embedding")
-    probes = emb.filter(F.col("vec_id") < SEMDECON_N_EVAL).select(
-        F.col("embedding").alias("p"), F.col("nrm").alias("pn")
-    )
-    pair_sim = _dot(F.col("embedding"), F.col("p")) / (F.col("nrm") * F.col("pn"))
+    probe_rows = (
+        emb.filter(F.col("vec_id") < SEMDECON_N_EVAL)
+        .select("embedding", "nrm")
+        .collect()
+    )  # bounded: the fixed eval set (the former broadcast)
+    pmat = np.array([[float(x) for x in r[0]] for r in probe_rows], dtype=np.float64)
+    pn = np.array([float(r[1]) for r in probe_rows], dtype=np.float64)
+
+    def decon_batches(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            e_arr = batch.column(1)
+            lens = np.diff(e_arr.offsets.to_numpy(zero_copy_only=False))
+            d = int(lens[0])
+            assert (lens == d).all(), "ragged embedding widths"
+            evecs = (
+                e_arr.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64, copy=False)
+                .reshape(n, d)
+            )
+            nrm = batch.column(2).to_numpy(zero_copy_only=False)
+            dot = np.zeros((n, pmat.shape[0]))
+            for k in range(d):
+                dot += evecs[:, k, None] * pmat[None, :, k]
+            sims = dot / (nrm[:, None] * pn[None, :])
+            sims = np.floor(sims * 10000.0 + 0.5) / 10000.0
+            mx = np.max(sims, axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    pa.array(mx, type=pa.float64()),
+                    pa.array(mx >= SEMDECON_TAU),
+                ],
+                names=["vec_id", "max_eval_sim", "is_contaminated"],
+            )
+
     return (
         emb.filter(F.col("vec_id") >= SEMDECON_N_EVAL)
-        .crossJoin(F.broadcast(probes))
-        .select("vec_id", r4(pair_sim).alias("s"))
-        .groupBy("vec_id")
-        .agg(F.max("s").alias("max_eval_sim"))
-        .withColumn("is_contaminated", F.col("max_eval_sim") >= SEMDECON_TAU)
+        .select("vec_id", "embedding", "nrm")
+        .mapInArrow(
+            decon_batches,
+            "vec_id bigint, max_eval_sim double, is_contaminated boolean",
+        )
     )
 
 
@@ -274,26 +368,81 @@ IVF_NPROBE = 4
 def ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     """Attach each vector's nearest-centroid id (``cluster``).
 
-    Centroids broadcast (K rows); assignment is one scan of the corpus
-    with K interpreted dot products per row, then an argmax via
-    row_number partitioned by vector — shuffles only (vec_id, cluster)
-    pairs. Cosines are r4-rounded before the argmax with centroid-id
-    tiebreak, so near-ties resolve identically on any engine.
+    The centroid table is a bounded constant (K rows): it is collected
+    once and captured by an Arrow-batched numpy kernel (mapInArrow)
+    that scores all K cosines per vector and argmaxes in one
+    vectorized pass. The former crossJoin(broadcast) + row_number form
+    replicated every embedding K ways and pushed the |corpus|×K
+    (vec_id, embedding, nrm, cid, csim) rows — float arrays included —
+    through the window's hash exchange: the dominant shuffle of every
+    IVF-family query at scale. The kernel shuffles NOTHING (one
+    narrow scan, rows never leave their partition) and replaces K
+    interpreted HOF dot products per row with one vectorized distance
+    block per batch (guide §2.4/§4.2).
+
+    Bit-compatibility with the oracle's SQL: every accumulation is an
+    explicit ordered IEEE-double loop (acc starts 0.0, dims ascending
+    — elementwise numpy ops never reassociate), cosine groups as
+    ``dot / (nrm · cn)``, rounding is ``floor(x·1e4 + 0.5)/1e4``, and
+    ties keep the LOWEST centroid id: centroids scan cid-ascending and
+    ``argmax`` keeps the first maximum — the row_number(csim DESC,
+    cid) order the previous form and the oracle both use.
     """
-    cent = centroids.select(
-        F.col("vec_id").alias("cid"),
-        F.col("embedding").alias("c"),
-        F.col("nrm").alias("cn"),
+    import numpy as np
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    cent_rows = sorted(
+        (int(r[0]), [float(x) for x in r[1]], float(r[2]))
+        for r in centroids.select("vec_id", "embedding", "nrm").collect()
+    )  # bounded: K centroid rows (the former broadcast)
+    cids = np.array([c for c, _, _ in cent_rows], dtype=np.int64)
+    cmat = np.array([e for _, e, _ in cent_rows], dtype=np.float64)  # (K, d)
+    cn = np.array([nv for _, _, nv in cent_rows], dtype=np.float64)  # (K,)
+
+    narrow = emb.select("vec_id", "embedding", "nrm")
+    cid_type = centroids.schema["vec_id"].dataType
+    cid_pa = pa.int32() if cid_type.simpleString() == "int" else pa.int64()
+    out_schema = T.StructType(
+        [narrow.schema[c] for c in ("vec_id", "embedding", "nrm")]
+        + [T.StructField("cluster", cid_type, True)]
     )
-    sim = r4(_dot(F.col("embedding"), F.col("c")) / (F.col("nrm") * F.col("cn")))
-    w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cid"))
-    return (
-        emb.crossJoin(F.broadcast(cent))
-        .select("vec_id", "embedding", "nrm", "cid", sim.alias("csim"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "nrm", F.col("cid").alias("cluster"))
-    )
+
+    def assign_batches(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            e_arr = batch.column(1)
+            lens = np.diff(e_arr.offsets.to_numpy(zero_copy_only=False))
+            d = int(lens[0])
+            assert (lens == d).all(), "ragged embedding widths"
+            evecs = (
+                e_arr.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64, copy=False)
+                .reshape(n, d)
+            )
+            nrm = batch.column(2).to_numpy(zero_copy_only=False)
+            # ordered fold: acc = 0.0, one IEEE add per dim, k ascending
+            dot = np.zeros((n, cmat.shape[0]))
+            for k in range(d):
+                dot += evecs[:, k, None] * cmat[None, :, k]
+            sims = dot / (nrm[:, None] * cn[None, :])
+            sims = np.floor(sims * 10000.0 + 0.5) / 10000.0
+            best = cids[np.argmax(sims, axis=1)]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    batch.column(1),
+                    batch.column(2),
+                    pa.array(best, type=cid_pa),
+                ],
+                names=["vec_id", "embedding", "nrm", "cluster"],
+            )
+
+    return narrow.mapInArrow(assign_batches, out_schema)
 
 
 _DUCK_R4COS = (
@@ -914,32 +1063,47 @@ def _pq_d2(a: Column, b: Column) -> Column:
 
 
 def _pq_assign(
-    sub: DataFrame, cb: DataFrame, keys: tuple[str, ...] = ("vec_id",)
+    sub: DataFrame,
+    cb: DataFrame,
+    keys: tuple[str, ...] = ("vec_id",),
+    carry_sv: bool = False,
 ) -> DataFrame:
-    """Collected-codebook argmin assignment: (*keys, m, code).
+    """Collected-codebook argmin assignment: (*keys, m, code[, sv]).
 
-    The codebook is a CONSTANT (≤ PQ_M×PQ_K rows), so it is collected
-    once and shipped back as ONE broadcast row holding the nested
-    array-of-subspace-codeword-structs; each subvector row then folds
-    over its subspace's codewords in a single aggregate() — no join-row
-    blowup, no struct-min exchange. This replaced the broadcast-join +
-    struct-min form, which materialized |vectors|×PQ_M×PQ_K joined rows
-    (204.8M at the 100k-vector twin): 29.1 s → 11.9 s per assignment
-    pass, codes verified identical. (An expression-literal variant was
-    1.7 s faster at the twin but its ~2k-node constant tree cost tens
-    of seconds of DRIVER analysis per query — a one-row broadcast
-    carries the same constant as data, not as plan.)
+    The codebook is a CONSTANT (≤ PQ_M×PQ_K rows): it is collected
+    once and captured by the kernel below. ``carry_sv=True`` passes
+    the subvector column through unchanged, so a following Lloyd
+    update can aggregate codes and subvectors from ONE frame instead
+    of re-joining the assignment back to the corpus on (vec_id, m) —
+    at scale that join is a full shuffle of the subvector table.
 
-    Arithmetic is kept bit-compatible with the oracle's
-    ``dot(a,a) − 2·dot(a,b) + dot(b,b)``: |sv|² is computed once per
-    ROW (hoisted out of the lambda — HOF lambdas get no subexpression
-    elimination, so the naive _pq_d2 per element costs 3 dots where 1
-    suffices), |cw|² is pre-summed in Python left-to-right (same IEEE
-    fold as both engines' sequential dot), and ties keep the LOWEST
-    code: codewords iterate code-ascending and only a strictly smaller
-    r4(d2) replaces the accumulator — the oracle's (d2, code)
+    The argmin itself is an Arrow-batched numpy kernel (mapInArrow):
+    the interpreted Catalyst when-fold it replaces paid a per-element
+    lambda walk over K codewords per subvector row (r11 bench: 4.5 s
+    PER assignment pass at 16k subvector rows — >99% expression
+    interpretation), while the kernel computes the same (rows ×
+    codewords) distance matrix in vectorized native code (guide §4.2:
+    Spark distributes, numpy computes). Only (*keys, m, sv) cross the
+    Python boundary — ~80 B/row — and the codebook constant rides the
+    task closure.
+
+    Arithmetic is bit-compatible with the oracle's
+    ``dot(a,a) − 2·dot(a,b) + dot(b,b)``: every accumulation is an
+    explicit ordered loop over the subspace dims (acc starts 0.0,
+    k ascending — one IEEE-double add per step, elementwise numpy ops
+    never reassociate), |cw|² is pre-summed in Python left-to-right
+    (same fold), d2 groups as ``(sv2 − 2·dot) + c2`` and rounds as
+    ``floor(d2·1e4 + 0.5)/1e4`` — the identical operation sequence
+    both engines execute, so equal inputs give bit-equal distances.
+    Ties keep the LOWEST code: codewords scan code-ascending and
+    ``argmin`` keeps the first minimum — the oracle's (d2, code)
     row_number order. ``keys`` lets IVF-PQ carry the cluster id
     through the assignment instead of re-joining it afterwards."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
     per_m: dict[int, list] = {}
     for r in cb.collect():  # bounded: the constant codebook
         cw = [float(x) for x in r.cw]
@@ -948,40 +1112,65 @@ def _pq_assign(
             c2 += v * v
         per_m.setdefault(int(r.m), []).append((int(r.code), cw, c2))
     assert sorted(per_m) == list(range(len(per_m))), "non-contiguous m"
-    cb_row = sub.sparkSession.createDataFrame(
-        [([sorted(per_m[m]) for m in sorted(per_m)],)],
-        "cbarr array<array<struct<code:int,cw:array<double>,c2:double>>>",
-    )
-    sv, sv2 = F.col("sv"), F.col("__sv2")
+    cb_np: dict[int, tuple] = {}
+    for m, entries in per_m.items():
+        entries.sort()  # code-ascending: argmin's first-min = lowest code
+        cb_np[m] = (
+            np.array([e[0] for e in entries], dtype=np.int32),
+            np.array([e[1] for e in entries], dtype=np.float64),  # (K, d)
+            np.array([e[2] for e in entries], dtype=np.float64),  # (K,)
+        )
 
-    def d2(e):
-        return r4(sv2 - 2 * _dot(sv, e["cw"]) + e["c2"])
+    narrow = sub.select(*keys, "m", "sv")
+    n_key = len(keys)
+    out_fields = [narrow.schema[k] for k in (*keys, "m")] + [
+        T.StructField("code", T.IntegerType(), True)
+    ]
+    if carry_sv:
+        out_fields.append(narrow.schema["sv"])
+    out_schema = T.StructType(out_fields)
 
-    # A when-fold, NOT array_min(transform(..., e -> struct(d2, code))):
-    # the transform form evaluates d2 exactly once per codeword but
-    # allocates a PQ_K-struct array per subvector row — at K=256 that
-    # is 256 short-lived structs × |vecs|×M rows, and the r7 corpus
-    # twin measured it ~2× SLOWER end-to-end (ann_pq 79 s → 165 s at
-    # 100k vectors) with enough extra GC pressure to destabilize the
-    # suite. The fold's only redundancy is re-evaluating d2 when a
-    # codeword REPLACES the accumulator (~log K times expected), which
-    # is noise next to K allocations. Ties keep the LOWEST code:
-    # codewords iterate code-ascending and only a strictly smaller
-    # r4(d2) replaces the accumulator — the oracle's (d2, code)
-    # row_number order.
-    best = F.aggregate(
-        F.element_at(F.col("cbarr"), F.col("m").cast("int") + 1),
-        F.struct(F.lit(float("inf")).alias("d"), F.lit(-1).alias("code")),
-        lambda acc, e: F.when(
-            d2(e) < acc["d"],
-            F.struct(d2(e).alias("d"), e["code"].alias("code")),
-        ).otherwise(acc),
-    )
-    return (
-        sub.withColumn("__sv2", _dot(sv, sv))
-        .crossJoin(F.broadcast(cb_row))
-        .select(*keys, "m", best["code"].alias("code"))
-    )
+    def assign_batches(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            m_col = batch.column(n_key).to_numpy(zero_copy_only=False)
+            sv_arr = batch.column(n_key + 1)
+            lens = np.diff(sv_arr.offsets.to_numpy(zero_copy_only=False))
+            d = int(lens[0]) if n else 0
+            assert (lens == d).all(), "ragged subvector widths"
+            sv = (
+                sv_arr.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64, copy=False)
+                .reshape(n, d)
+            )
+            # ordered folds: acc = 0.0, then one add per dim, k ascending
+            sv2 = np.zeros(n)
+            for k in range(d):
+                sv2 += sv[:, k] * sv[:, k]
+            code_out = np.empty(n, dtype=np.int32)
+            for m, (codes, cws, c2s) in cb_np.items():
+                mask = m_col == m
+                if not mask.any():
+                    continue
+                svm = sv[mask]
+                dot = np.zeros((svm.shape[0], codes.shape[0]))
+                for k in range(d):
+                    dot += svm[:, k, None] * cws[None, :, k]
+                d2 = (sv2[mask][:, None] - 2.0 * dot) + c2s[None, :]
+                d2 = np.floor(d2 * 10000.0 + 0.5) / 10000.0
+                code_out[mask] = codes[np.argmin(d2, axis=1)]
+            cols = [batch.column(i) for i in range(n_key + 1)]
+            cols.append(pa.array(code_out, type=pa.int32()))
+            names = [*keys, "m", "code"]
+            if carry_sv:
+                cols.append(sv_arr)
+                names.append("sv")
+            yield pa.RecordBatch.from_arrays(cols, names=names)
+
+    return narrow.mapInArrow(assign_batches, out_schema)
 
 
 def _lloyd_update(codes0: DataFrame, sub: DataFrame) -> DataFrame:
@@ -992,8 +1181,25 @@ def _lloyd_update(codes0: DataFrame, sub: DataFrame) -> DataFrame:
     pq_encode, ivfpq_encode, and the Engine.build_pq_ann_index facade
     so the refinement arithmetic cannot drift between the
     oracle-checked queries and the user API."""
+    # Lazy checkpoint: every caller both COLLECTS this frame (the
+    # argmin assignment ships the codebook as a task constant) and
+    # re-reads it IN-PLAN (the ADC lookup table / the index write) —
+    # without the checkpoint the whole update pipeline, including the
+    # init assignment feeding it, re-executed once per consumer
+    # (r11: the duplicated subtree was ~40% of q_llm_ann_pq's wall).
+    # The frame is constant-size (PQ_M×PQ_K rows), so the checkpoint
+    # blocks are a few hundred KB.
+    #
+    # When the assignment carried ``sv`` through (carry_sv=True), the
+    # (vec_id, m) re-join of codes back onto the corpus — a full
+    # shuffle of the subvector table at scale — is unnecessary.
+    joined = (
+        codes0
+        if "sv" in codes0.columns
+        else codes0.join(sub, ["vec_id", "m"])
+    )
     return (
-        codes0.join(sub, ["vec_id", "m"])
+        joined
         .select("m", "code", F.posexplode("sv").alias("p0", "val"))
         .groupBy("m", "code", (F.col("p0") + 1).alias("pos"))
         .agg(r4(F.avg("val")).alias("cv"))
@@ -1004,6 +1210,7 @@ def _lloyd_update(codes0: DataFrame, sub: DataFrame) -> DataFrame:
                 lambda s: s["cv"],
             ).alias("cw")
         )
+        .localCheckpoint(eager=False)
     )
 
 
@@ -1022,7 +1229,7 @@ def pq_encode(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     cb0 = sub.filter(F.col("vec_id") < PQ_K).select(
         F.col("vec_id").alias("code"), "m", F.col("sv").alias("cw")
     )
-    codes0 = _pq_assign(sub, cb0)
+    codes0 = _pq_assign(sub, cb0, carry_sv=True)
     cb1 = _lloyd_update(codes0, sub)
     return _pq_assign(sub, cb1), cb1
 
@@ -1334,7 +1541,7 @@ def ivfpq_encode(
         sub.filter(F.col("vec_id") < PQ_K)
         .select(F.col("vec_id").alias("code"), "m", F.col("sv").alias("cw"))
     )
-    codes0 = _pq_assign(sub, cb0)
+    codes0 = _pq_assign(sub, cb0, carry_sv=True)
     cb1 = _lloyd_update(codes0, sub)
     return _pq_assign(rsub, cb1, keys=("vec_id", "cluster")), cb1, cmean
 
@@ -1833,19 +2040,102 @@ GROUP BY new_label
 """
 
 
+def _km_assign(
+    df: DataFrame, cent: DataFrame, keys: tuple[str, ...] = ("vec_id",)
+) -> DataFrame:
+    """(*keys, cand, dist2): nearest centroid by squared L2 — the
+    k-means assignment step as an Arrow-batched numpy kernel.
+
+    ``cent`` is the bounded (cand, c) centroid table (k rows): it is
+    collected once and captured by the kernel, which computes the
+    (rows × k) distance matrix per batch in vectorized native code.
+    The former crossJoin(broadcast) + row_number form replicated every
+    vector k ways through the argmin window's hash exchange
+    (|vecs|×k rows carrying nothing useful — the whole exchange
+    existed to rank k numbers per vector) and paid k interpreted
+    zip_with/aggregate folds per row. Here nothing shuffles and the
+    scan stays narrow (guide §2.4/§4.2).
+
+    Bit-compatibility: dist2 accumulates as an explicit ordered
+    IEEE-double loop over dims (acc starts 0.0, (x−y)·(x−y) per
+    element — the zip_with + fold order), rounds as
+    ``floor(x·1e8 + 0.5)/1e8``, and ties keep the LOWEST candidate:
+    centroids scan cand-ascending and ``argmin`` keeps the first
+    minimum — the oracle's row_number(dist2, cand) order. (The
+    oracle's own sum is an unordered SQL aggregate; the r8 rounding
+    that made the previous fold match it covers this kernel
+    identically.)"""
+    import numpy as np
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    rows = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in cent.select("cand", "c").collect()
+    )  # bounded: k centroid rows (the former broadcast)
+    cands = np.array([c for c, _ in rows], dtype=np.int64)
+    cmat = np.array([v for _, v in rows], dtype=np.float64)  # (k, d)
+    cand_type = cent.schema["cand"].dataType
+    cand_pa = pa.int32() if cand_type.simpleString() == "int" else pa.int64()
+
+    narrow = df.select(*keys, "e")
+    nk = len(keys)
+    out_schema = T.StructType(
+        [narrow.schema[k] for k in keys]
+        + [
+            T.StructField("cand", cent.schema["cand"].dataType, True),
+            T.StructField("dist2", T.DoubleType(), True),
+        ]
+    )
+
+    def assign_batches(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            e_arr = batch.column(nk)
+            lens = np.diff(e_arr.offsets.to_numpy(zero_copy_only=False))
+            d = int(lens[0])
+            assert (lens == d).all(), "ragged vector widths"
+            evecs = (
+                e_arr.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64, copy=False)
+                .reshape(n, d)
+            )
+            acc = np.zeros((n, cmat.shape[0]))
+            for k in range(d):
+                diff = evecs[:, k, None] - cmat[None, :, k]
+                acc += diff * diff
+            acc = np.floor(acc * 100_000_000.0 + 0.5) / 100_000_000.0
+            idx = np.argmin(acc, axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(i) for i in range(nk)]
+                + [
+                    pa.array(cands[idx], type=cand_pa),
+                    pa.array(acc[np.arange(n), idx], type=pa.float64()),
+                ],
+                names=[*keys, "cand", "dist2"],
+            )
+
+    return narrow.mapInArrow(assign_batches, out_schema)
+
+
 @register("q_ml_kmeans_step", oracle=_KMEANS_ORACLE, tags=("llm", "similarity", "agg"))
 def q_ml_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One full k-means iteration over the embeddings: label centroids
     (q_vec_centroid, the update step) → nearest-centroid reassignment
     (the assignment step) → movement report per new cluster.
 
-    The 10 centroid vectors broadcast; squared distances run JVM-side
-    via ``zip_with``+``aggregate`` (sequential, deterministic float
-    order) and are rounded to 8 decimals before the argmin rank so the
-    winner matches the oracle's unordered SQL sum. Per-vector argmin
-    is a WindowGroupLimit. At 100 TB this is the per-iteration plan of
-    distributed k-means: one broadcast, one linear scan, one |k|-row
-    aggregate — iterate with the driver loop exactly like PageRank.
+    The centroid table (k rows) is a bounded constant consumed by the
+    ``_km_assign`` numpy kernel: distances are rounded to 8 decimals
+    before the argmin so the winner matches the oracle's unordered SQL
+    sum, and the corpus is never replicated k ways (see the kernel's
+    docstring for the exchange it removes). At 100 TB this is the
+    per-iteration plan of distributed k-means: one bounded collect,
+    one linear scan, one |k|-row aggregate — iterate with the driver
+    loop exactly like PageRank.
     """
     emb = spread(load_tables(spark, sf_dir)["embeddings"], "vec_id").select(
         "vec_id", F.col("label").alias("old_label"),
@@ -1861,16 +2151,7 @@ def q_ml_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("c")
         )
     )
-    dist2 = F.aggregate(
-        F.zip_with(F.col("e"), F.col("c"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    d = emb.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "old_label", "cand", r4(dist2, 100_000_000).alias("dist2")
-    )
-    w = Window.partitionBy("vec_id").orderBy("dist2", "cand")
-    best = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    best = _km_assign(emb, cent, keys=("vec_id", "old_label"))
     return best.groupBy(F.col("cand").alias("new_label")).agg(
         F.count("*").cast("long").alias("n_assigned"),
         r4(F.avg(F.sqrt("dist2"))).alias("avg_dist"),
@@ -1970,18 +2251,8 @@ def q_ml_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("c")
             )
         )
-        dist2 = F.aggregate(
-            F.zip_with(F.col("e"), F.col("c"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        d = vecs.crossJoin(F.broadcast(cent)).select(
-            "vec_id", "cand", r4(dist2, 100_000_000).alias("dist2")
-        )
-        w = Window.partitionBy("vec_id").orderBy("dist2", "cand")
         labels = (
-            d.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
+            _km_assign(vecs, cent)
             .select("vec_id", F.col("cand").alias("label"), "dist2")
             .localCheckpoint(eager=True)
         )

@@ -175,6 +175,19 @@ REVERIFY_FIRST = (
     "q_iceberg_partition_transform",
     "q_stream_changelog_tail",
     "q_iceberg_merge_full_sync",
+    # plan changed in r11 (optimization round): the PQ/IVF argmin
+    # assignments are Arrow-batched numpy kernels (bit-identical
+    # arithmetic; Exchange count halved across the family) and the
+    # Lloyd codebook is checkpointed instead of recomputed per
+    # consumer
+    "q_llm_ann_pq",
+    "q_llm_ann_pq_indexed",
+    "q_llm_ann_ivf",
+    "q_llm_ann_ivf_indexed",
+    "q_llm_ann_ivfpq",
+    "q_llm_ann_ivfpq_indexed",
+    "q_llm_semdedup",
+    "q_llm_semdedup_capped",
 )
 
 WITNESS_VINTAGE: dict[int, tuple[str, ...]] = {
