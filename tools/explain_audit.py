@@ -444,8 +444,6 @@ BROADCAST_BOUNDED: dict[str, dict[str, str]] = {
         "pb": "probe bucket signature (constant rows)",
         "brute": "brute-force top-k baseline (k rows)",
         "probe_sub": "probe subvectors (PQ_M rows, constant)",
-        "cb_row": "collected PQ codebook as one nested-array row "
-        "(PQ_M×PQ_K structs, constant)",
         "dt": "ADC distance table (PQ_M×PQ_K rows, constant)",
         "cmean": "IVF cluster means (K×dim values, constant)",
         "psub": "probe residual subvectors (nprobe×PQ_M rows, constant)",
