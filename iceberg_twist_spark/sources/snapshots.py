@@ -1493,6 +1493,27 @@ class SnapshotTable:
             parent=cur_id,
         )
 
+    def row_count(self, snapshot_id: int | None = None) -> int:
+        """Total DATA-FILE rows at a snapshot, served from the
+        manifest + per-file sidecar facts without any data scan (the
+        same bookkeeping ``.partitions`` serves — Iceberg's
+        total-records snapshot summary). Files recorded before the
+        sidecar grew row facts fall back to a driver-side parquet
+        footer read. NOTE: this is the pre-merge-on-read total — it
+        does not subtract pending equality/position deletes; on
+        append-only tables (the streaming-sink ledger this serves) it
+        equals ``read().count()`` exactly, without the full scan that
+        count costs at 100 TB (r11, guide §5)."""
+        sid = self.current_snapshot_id() if snapshot_id is None else snapshot_id
+        if sid == 0:
+            return 0
+        fm = self._files_meta()
+        total = 0
+        for p in self._manifest(sid)["files"]:
+            rows = fm.get(p, {}).get("rows")
+            total += self._file_rows(p) if rows is None else rows
+        return total
+
     def partitions_metadata(self) -> list[dict]:
         """The ``.partitions`` metadata table, computed WITHOUT any
         data scan: per partition tuple, file count and record count,

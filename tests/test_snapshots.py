@@ -894,6 +894,24 @@ def test_partitions_metadata_no_data_scan_accounting(spark, tmp_path):
     )
 
 
+def test_row_count_serves_from_metadata(spark, tmp_path):
+    """row_count: per-snapshot data-file row totals from manifest +
+    sidecar facts equal read().count() on an append-only table at
+    every snapshot (the streaming sink's invariant check reads these
+    instead of paying two full scans — r11)."""
+    from iceberg_twist_spark.sources.snapshots import SnapshotTable
+
+    tbl = SnapshotTable(spark, str(tmp_path / "rcnt"))
+    assert tbl.row_count() == 0  # empty table: no snapshot yet
+    df = spark.range(70).selectExpr("id", "CAST(id % 7 AS STRING) AS b")
+    s1 = tbl.create(df.filter("id < 20"))
+    s2 = tbl.append(df.filter("id >= 20 AND id < 50"))
+    s3 = tbl.append(df.filter("id >= 50"))
+    assert tbl.row_count(s1) == tbl.read(snapshot_id=s1).count() == 20
+    assert tbl.row_count(s2) == tbl.read(snapshot_id=s2).count() == 50
+    assert tbl.row_count(s3) == tbl.row_count() == tbl.read().count() == 70
+
+
 def test_commit_conflict_detection(spark, tmp_path):
     """Optimistic concurrency (Iceberg's catalog compare-and-swap): a
     commit built against a snapshot that is no longer current must
