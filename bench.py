@@ -295,6 +295,30 @@ def _loadavg() -> list[float] | None:
 # code, so it reads ~1× on a quiet machine and the raw limit applies.
 SENTINEL_REF_S = 0.25  # min of 6 warm runs, quiet machine (loadavg 0.6)
 
+# r12 (r11 verdict #2 / advice): the load factor is CAPPED — an
+# uncapped factor forgave a real plan regression by exactly the load
+# inflation (a 2× regression during a 2.4× spike passed silently). A
+# capped factor bounds what weather can excuse; anything past the cap
+# trips the gate regardless of load, and a query that passes ONLY via
+# the factor gets one confirming re-run at the end of the suite (the
+# spike has usually passed by then; a quiet confirm that still
+# exceeds the raw limit trips).
+GATE_LOAD_FACTOR_CAP = 2.0
+QUIET_FACTOR = 1.2  # sentinel below this = machine is quiet
+
+
+def gate_load_factor(obs: float) -> float:
+    """Band-gate inflation from a sentinel observation, capped."""
+    return min(GATE_LOAD_FACTOR_CAP, max(1.0, obs / SENTINEL_REF_S))
+
+
+def trips_band_gate(best: float, limit: float, obs: float) -> bool:
+    """True when a best-of-N over the quiet-machine limit is a gate
+    failure even after (capped) load normalization. Pure so the
+    contract test can pin the cap: a 2.5× regression trips even when
+    the sentinel reads 10× inflated."""
+    return best > limit * gate_load_factor(obs)
+
 
 def _sentinel(spark) -> float:
     best = float("inf")
@@ -415,19 +439,62 @@ def main() -> int:
             obs = _sentinel(spark)
             _stage_metrics(spark, seen_stages)  # never bill sentinel
             # stages (a ~KB final-agg exchange) to the next query
-            factor = max(1.0, obs / SENTINEL_REF_S)
+            factor = gate_load_factor(obs)
             sentinels[name] = {"obs": obs, "factor": round(factor, 2)}
-            if timings[name] > limit * factor:
+            if factor > QUIET_FACTOR:
+                print(
+                    f"# WARNING: {name} passed its raw band limit only "
+                    f"under load (sentinel {obs}s = {factor:.2f}x quiet "
+                    "ref, capped at "
+                    f"{GATE_LOAD_FACTOR_CAP}) — confirming re-run queued",
+                    file=sys.stderr,
+                )
+            if trips_band_gate(timings[name], limit, obs):
                 time_regressions[name] = (
                     f"best-of-N {timings[name]}s > band limit "
                     f"{round(limit, 2)}s × load factor {round(factor, 2)} "
-                    f"(sentinel {obs}s vs {SENTINEL_REF_S}s quiet ref; "
+                    f"(sentinel {obs}s vs {SENTINEL_REF_S}s quiet ref, "
+                    f"cap {GATE_LOAD_FACTOR_CAP}; "
                     f"observed band {TIME_BANDS_SF01[name]})"
                 )
         print(
             f"# {name}: {timings[name]:.3f}s best-of-{len(per_run)} "
             f"(runs={[round(t, 3) for t in per_run]}, {n} rows, "
             f"shufW={shuffle[name]['write']})",
+            file=sys.stderr,
+        )
+
+    # Confirming pass (r12): any query that passed its raw limit ONLY
+    # via the load factor gets one more attempt now that the suite (and
+    # usually the spike) has moved on. The re-run's min still feeds the
+    # reported best-of-N; if the machine reads quiet at re-run time and
+    # the query STILL exceeds its raw limit, that is a regression, not
+    # weather — trip the gate.
+    for name in [n for n in sentinels if n not in time_regressions]:
+        limit = time_limit(name)
+        if limit is None or timings[name] <= limit:
+            continue
+        obs = _sentinel(spark)
+        t0 = time.perf_counter()
+        df = REGISTRY[name].builder(spark, sf_dir)
+        if name in _NOOP_SINK:
+            df.write.format("noop").mode("overwrite").save()
+        else:
+            df.collect()
+        confirm = time.perf_counter() - t0
+        _stage_metrics(spark, seen_stages)  # never bill to next query
+        timings[name] = round(min(timings[name], confirm), 3)
+        sentinels[name]["confirm_obs"] = obs
+        sentinels[name]["confirm_s"] = round(confirm, 3)
+        if gate_load_factor(obs) <= QUIET_FACTOR and timings[name] > limit:
+            time_regressions[name] = (
+                f"quiet confirm run (sentinel {obs}s) still over the raw "
+                f"band limit: best {timings[name]}s > {round(limit, 2)}s "
+                f"(observed band {TIME_BANDS_SF01[name]})"
+            )
+        print(
+            f"# confirm {name}: {confirm:.3f}s (sentinel {obs}s) -> "
+            f"best {timings[name]:.3f}s",
             file=sys.stderr,
         )
 
@@ -496,8 +563,10 @@ def emit_lines(
             # 2 warm runs, plus a 3rd only when the first two
             # disagree by >10%, plus up to 2 more ONLY while the best
             # still exceeds the band gate limit (shared-sandbox load
-            # spikes; see the attempt loop) — label the policy
-            "timing": "adaptive-best-of-2-5-warm",
+            # spikes; see the attempt loop), plus one end-of-suite
+            # confirming run for queries that passed ONLY via the
+            # (capped) load factor — label the policy
+            "timing": "adaptive-best-of-2-6-warm",
         }
     )
     assert len(final_line) < 1500, (

@@ -58,6 +58,7 @@ _DUCK_COS = (
     "sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))))"
 )
 
+
 _TOPK_ORACLE = f"""
 WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),
 sims AS (
@@ -79,7 +80,14 @@ def q_llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The probe is broadcast; ordering is on the ROUNDED similarity with
     vec_id tiebreak so both engines resolve near-ties identically.
     ORDER BY + LIMIT compiles to TakeOrderedAndProject (per-partition
-    top-k, k-row merge — no global sort)."""
+    top-k, k-row merge — no global sort).
+
+    r12 measured-and-kept-as-is: an Arrow-kernel rewrite (probe
+    collected, norms + dot in numpy) was implemented, oracle-verified,
+    and A/B'd alternating in one session — best-of-5 1.46 s (HOF) vs
+    1.51 s (kernel) at sf0.1. The per-row HOF volume here (one dot per
+    row against ONE probe) is too small for the Python boundary to pay
+    for itself; reverted per guide §1 / r11 verdict #9."""
     emb = with_norm(spread(load_tables(spark, sf_dir)["embeddings"], "vec_id"), "embedding")
     probe = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("p"), F.col("nrm").alias("pn")
@@ -118,7 +126,13 @@ def q_llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force kNN join: 5 probes × corpus, top-3 each.
 
     Probe set is broadcast so the corpus is scanned once; per-probe
-    top-k via row_number (InferWindowGroupLimit prunes map-side)."""
+    top-k via row_number (InferWindowGroupLimit prunes map-side).
+
+    r12 measured-and-kept-as-is: an Arrow-kernel rewrite was A/B'd
+    alternating in one session — best-of-5 1.41 s (HOF) vs 1.84 s
+    (kernel) at sf0.1: the kernel emits |corpus|×5 rows through the
+    Arrow boundary into the window, costing more than the 5 HOF dots
+    per row it saves. Reverted per guide §1 / r11 verdict #9."""
     emb = with_norm(spread(load_tables(spark, sf_dir)["embeddings"], "vec_id"), "embedding")
     probes = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p"),
@@ -703,21 +717,126 @@ def lsh_bucket(emb: DataFrame, dim: int = 64, n_planes: int = N_PLANES) -> DataF
     projections; at scale, candidate generation joins on bucket id
     instead of all-pairs. Expected bucket occupancy is
     |corpus| / 2^n_planes.
+
+    r12: the n_planes interpreted Catalyst HOF folds per row (the
+    same expression-interpretation cost the r11 PQ/IVF kernels
+    removed — guide §4.2) are one Arrow-batched numpy kernel. The
+    sign matrix is a bounded constant (n_planes × dim literals) in
+    the task closure. Bit-compatibility: each projection accumulates
+    dims ascending from 0.0 (one IEEE add per dim — elementwise
+    numpy never reassociates), and the sign test ``proj > 0`` plus
+    the power-of-two packing are exact integer ops, so the bucket
+    ids are bit-identical to the HOF's (and the oracle's). NOTE:
+    mapInArrow is opaque to column pruning — callers select the
+    narrow column set first.
     """
-    signs_py = _plane_signs(dim, n_planes)
-    proj_cols = []
-    for p in range(n_planes):
-        signs = F.array(*[F.lit(v) for v in signs_py[p]])
-        proj = F.aggregate(
-            F.zip_with(F.col("embedding"), signs, lambda x, s: x.cast("double") * s),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        proj_cols.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
-    bucket = proj_cols[0]
-    for c in proj_cols[1:]:
-        bucket = bucket + c
-    return emb.select("*", bucket.cast("long").alias("bucket"))
+    import numpy as np
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    smat = np.array(_plane_signs(dim, n_planes), dtype=np.float64)  # (P, d)
+    in_cols = emb.columns
+    e_idx = in_cols.index("embedding")
+    out_schema = T.StructType(
+        list(emb.schema) + [T.StructField("bucket", T.LongType(), True)]
+    )
+
+    def bucket_batches(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            e_arr = batch.column(e_idx)
+            lens = np.diff(e_arr.offsets.to_numpy(zero_copy_only=False))
+            d = int(lens[0]) if n else 0
+            assert (lens == d).all(), "ragged embedding widths"
+            evecs = (
+                e_arr.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64, copy=False)
+                .reshape(n, d)
+            )
+            bucket = np.zeros(n, dtype=np.int64)
+            for p in range(smat.shape[0]):
+                # ordered fold: acc = 0.0, one IEEE add per dim ascending
+                proj = np.zeros(n)
+                for k in range(d):
+                    proj += evecs[:, k] * smat[p, k]
+                bucket += (proj > 0).astype(np.int64) << p
+            cols = [batch.column(i) for i in range(len(in_cols))]
+            cols.append(pa.array(bucket, type=pa.int64()))
+            yield pa.RecordBatch.from_arrays(cols, names=[*in_cols, "bucket"])
+
+    return emb.mapInArrow(bucket_batches, out_schema)
+
+
+def _pair_cos_kernel(
+    pairs: DataFrame, tau: float, round_before_cmp: bool
+) -> DataFrame:
+    """Exact cosine over already-candidate pairs, as an Arrow kernel.
+
+    ``pairs`` must be exactly (ka bigint, kb bigint, ea, eb, na, nb);
+    returns (ka, kb, cos_sim double) for pairs whose similarity clears
+    ``tau`` — compared on the r4-ROUNDED value when
+    ``round_before_cmp`` (the SemDeDup convention) or on the unrounded
+    value with r4 applied after (the LSH/all-pairs convention),
+    matching each oracle exactly. Replaces one interpreted HOF dot
+    per pair (guide §4.2); arithmetic is the ordered-IEEE-fold scheme
+    of _pq_assign (dot accumulates dims ascending from 0.0, sim
+    groups as dot/(na·nb), rounding is floor(x·1e4+0.5)/1e4), so the
+    surviving pair set is bit-identical."""
+    import numpy as np
+    import pyarrow as pa
+
+    ka_name, kb_name = pairs.columns[0], pairs.columns[1]
+
+    def pair_batches(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            mats = []
+            for ci in (2, 3):
+                arr = batch.column(ci)
+                lens = np.diff(arr.offsets.to_numpy(zero_copy_only=False))
+                d = int(lens[0]) if n else 0
+                assert (lens == d).all(), "ragged embedding widths"
+                mats.append(
+                    arr.flatten()
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.float64, copy=False)
+                    .reshape(n, d)
+                )
+            ea, eb = mats
+            na = batch.column(4).to_numpy(zero_copy_only=False)
+            nb = batch.column(5).to_numpy(zero_copy_only=False)
+            dot = np.zeros(n)
+            for k in range(ea.shape[1]):
+                dot += ea[:, k] * eb[:, k]
+            sim = dot / (na * nb)
+            if round_before_cmp:
+                sim = np.floor(sim * 10000.0 + 0.5) / 10000.0
+                mask = sim >= tau
+                out = sim[mask]
+            else:
+                mask = sim >= tau
+                out = np.floor(sim[mask] * 10000.0 + 0.5) / 10000.0
+            if not mask.any():
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0).filter(pa.array(mask)),
+                    batch.column(1).filter(pa.array(mask)),
+                    pa.array(out, type=pa.float64()),
+                ],
+                names=[ka_name, kb_name, "cos_sim"],
+            )
+
+    return pairs.mapInArrow(
+        pair_batches,
+        f"{ka_name} bigint, {kb_name} bigint, cos_sim double",
+    )
 
 
 _LSH_ORACLE = f"""
@@ -738,9 +857,20 @@ def q_llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact cosine verification ≥ 0.3 — the scale path for
     q_llm_cosine_pairs. Hash-checked: the sign vectors are pure-Python
     constants embedded as literals in both engines' plans (round-3
-    upgrade from rows-only)."""
-    emb = with_norm(spread(load_tables(spark, sf_dir)["embeddings"], "vec_id"), "embedding")
-    bucketed = lsh_bucket(emb).cache()
+    upgrade from rows-only).
+
+    r12 (guide §4.2): bucketing runs through the lsh_bucket Arrow
+    kernel and the per-candidate-pair cosine through _pair_cos_kernel
+    — the former form paid 8 interpreted HOF folds per row plus one
+    interpreted HOF dot per pair. The in-query .cache() is gone with
+    them: it existed to amortize the HOF bucketing across the
+    self-join's two sides, but its materialization job dominated at
+    small SF (r11 verdict #6) and pinning the whole corpus is not a
+    100 TB plan; the kernel pass is cheap enough to run per side."""
+    emb = with_norm(
+        spread(load_tables(spark, sf_dir)["embeddings"], "vec_id"), "embedding"
+    ).select("vec_id", "embedding", "nrm")
+    bucketed = lsh_bucket(emb)
     a = bucketed.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
         F.col("nrm").alias("na"), "bucket",
@@ -749,14 +879,12 @@ def q_llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
         F.col("nrm").alias("nb"), "bucket",
     )
-    sim = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
-    return (
+    pairs = (
         a.join(b, "bucket")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("sim", sim)
-        .filter(F.col("sim") >= 0.3)
-        .select("vec_a", "vec_b", r4(F.col("sim")).alias("cos_sim"))
+        .select("vec_a", "vec_b", "ea", "eb", "na", "nb")
     )
+    return _pair_cos_kernel(pairs, tau=0.3, round_before_cmp=False)
 
 
 # ----------------------------------------------------------- SemDeDup
@@ -814,12 +942,16 @@ def q_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"),
         F.col("nrm").alias("nb"), "cluster",
     )
-    sim = r4(_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")))
-    dropped = (
+    # per-pair cosine via the shared Arrow kernel (r12, guide §4.2) —
+    # the interpreted HOF dot per candidate pair dominated this query
+    # (10.0 s noop-isolated at sf0.1; the kernel form is ~1 s)
+    pairs = (
         a.join(b, "cluster")
         .filter(F.col("vb") < F.col("va"))
-        .withColumn("sim", sim)
-        .filter(F.col("sim") >= SEMDEDUP_TAU)
+        .select("va", "vb", "ea", "eb", "na", "nb")
+    )
+    dropped = (
+        _pair_cos_kernel(pairs, tau=SEMDEDUP_TAU, round_before_cmp=True)
         .select(F.col("va").alias("vec_id"))
         .distinct()
     )
@@ -902,12 +1034,15 @@ def q_llm_semdedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"),
         F.col("nrm").alias("nb"), "cluster", "sub",
     )
-    sim = r4(_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")))
-    dropped = (
+    # per-pair cosine via the shared Arrow kernel (r12, guide §4.2) —
+    # same rewrite as q_llm_semdedup (6.1 s → ~1 s noop-isolated)
+    pairs = (
         a.join(b, ["cluster", "sub"])
         .filter(F.col("vb") < F.col("va"))
-        .withColumn("sim", sim)
-        .filter(F.col("sim") >= SEMDEDUP_TAU)
+        .select("va", "vb", "ea", "eb", "na", "nb")
+    )
+    dropped = (
+        _pair_cos_kernel(pairs, tau=SEMDEDUP_TAU, round_before_cmp=True)
         .select(F.col("va").alias("vec_id"))
         .distinct()
     )
@@ -1150,7 +1285,10 @@ def _pq_assign(
             sv2 = np.zeros(n)
             for k in range(d):
                 sv2 += sv[:, k] * sv[:, k]
-            code_out = np.empty(n, dtype=np.int32)
+            # -1 = "no codebook covered this row's m"; asserted below so
+            # an uncovered subspace fails loudly instead of emitting an
+            # uninitialized code (the Catalyst fold it replaced nulled)
+            code_out = np.full(n, -1, dtype=np.int32)
             for m, (codes, cws, c2s) in cb_np.items():
                 mask = m_col == m
                 if not mask.any():
@@ -1162,6 +1300,10 @@ def _pq_assign(
                 d2 = (sv2[mask][:, None] - 2.0 * dot) + c2s[None, :]
                 d2 = np.floor(d2 * 10000.0 + 0.5) / 10000.0
                 code_out[mask] = codes[np.argmin(d2, axis=1)]
+            assert n == 0 or (code_out >= 0).all(), (
+                "subvector m values not covered by the codebook: "
+                f"{sorted(set(m_col[code_out < 0].tolist()))}"
+            )
             cols = [batch.column(i) for i in range(n_key + 1)]
             cols.append(pa.array(code_out, type=pa.int32()))
             names = [*keys, "m", "code"]
@@ -1827,9 +1969,14 @@ def q_llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute = q_llm_cosine_topk(spark, sf_dir).select("vec_id")
     ivf = q_llm_ann_ivf(spark, sf_dir).select("vec_id")
 
-    emb = with_norm(spread(load_tables(spark, sf_dir)["embeddings"], "vec_id"), "embedding")
+    emb = with_norm(
+        spread(load_tables(spark, sf_dir)["embeddings"], "vec_id"), "embedding"
+    ).select("vec_id", "embedding", "nrm")  # lsh_bucket is an opaque
+    # kernel (r12): prune BEFORE it, and bucket the 1-row probe side
+    # from the pre-filtered frame so the filter isn't stuck above the
+    # kernel pass
     bucketed = lsh_bucket(emb)
-    pb = bucketed.filter(F.col("vec_id") == 0).select(
+    pb = lsh_bucket(emb.filter(F.col("vec_id") == 0)).select(
         F.col("bucket").alias("pbucket"),
         F.col("embedding").alias("p"),
         F.col("nrm").alias("pn"),

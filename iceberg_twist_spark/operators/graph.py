@@ -213,7 +213,17 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "rank"
                 ),
             )
-            .localCheckpoint(eager=True)  # cut lineage: plan stays one-step deep
+            # cut lineage: plan stays one-step deep. LAZY since r12
+            # (the r11 connected-components trick, guide §1.2): there
+            # is no per-iteration driver decision here — the loop is a
+            # fixed N_ITER — so eager checkpoints just paid one
+            # scheduler round-trip per iteration. Lazy checkpoints
+            # still truncate the plan (LogicalRDD) and persist each
+            # iteration's blocks on first compute; all N_ITER
+            # iterations + the final projection now run as ONE job
+            # inside the consumer's action (pinned by
+            # test_pagerank_job_count).
+            .localCheckpoint(eager=False)
         )
     # rebuild the oracle's string ids from the parity encoding — a
     # final |V|-row projection, outside every shuffle

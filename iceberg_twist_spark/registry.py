@@ -188,6 +188,15 @@ REVERIFY_FIRST = (
     "q_llm_ann_ivfpq_indexed",
     "q_llm_semdedup",
     "q_llm_semdedup_capped",
+    # plan changed in r11 but omitted from this block (r11 advice):
+    # the all-pairs cosine / decontam / kmeans argmin machinery moved
+    # to the same Arrow kernels, and corpus_pipeline checkpoints its
+    # gate-stage frame — none were driver-witnessed at sf0.1 yet
+    "q_llm_cosine_pairs",
+    "q_llm_semantic_decontam",
+    "q_ml_kmeans_step",
+    "q_ml_kmeans_train",
+    "q_llm_corpus_pipeline",
 )
 
 WITNESS_VINTAGE: dict[int, tuple[str, ...]] = {

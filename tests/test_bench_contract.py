@@ -67,6 +67,24 @@ def test_diagnostic_line_carries_shuffle_and_violations():
     assert diag["shuffle_violations"] == violations
 
 
+def test_band_gate_load_factor_is_capped():
+    # r11 verdict #2: the uncapped factor forgave a real regression by
+    # exactly the ambient load. The cap bounds what weather can excuse:
+    # a 2.5x-over-limit best-of-N trips the gate even when the sentinel
+    # reads 10x inflated (loadavg ~5 territory).
+    limit = 2.0
+    wildly_loaded = 10 * bench.SENTINEL_REF_S
+    assert bench.gate_load_factor(wildly_loaded) == bench.GATE_LOAD_FACTOR_CAP
+    assert bench.trips_band_gate(2.5 * limit, limit, wildly_loaded)
+    # a genuine transient (within the cap) is still forgiven...
+    assert not bench.trips_band_gate(
+        1.5 * limit, limit, 1.8 * bench.SENTINEL_REF_S
+    )
+    # ...and on a quiet machine the raw limit applies unrelaxed
+    assert bench.gate_load_factor(bench.SENTINEL_REF_S) == 1.0
+    assert bench.trips_band_gate(1.01 * limit, limit, bench.SENTINEL_REF_S)
+
+
 def test_headroom_for_future_headline_growth():
     # The contract line must survive a wider headline set than today's:
     # if it only just fits, the next added query breaks the driver again.

@@ -364,3 +364,23 @@ def test_broadcast_hint_sites_all_classified():
         "iceberg_twist_spark",
     )
     assert broadcast_hint_violations(pkg) == []
+
+
+def test_pagerank_job_count(spark, sf_dir):
+    """r12: the per-iteration rank checkpoints are LAZY — a fixed
+    N_ITER loop has no per-round driver decision, so the eager form
+    paid one scheduler round-trip (one job) per iteration for
+    nothing; the iterations now materialize inside the consumer's
+    action. AQE materializes every shuffle stage as its own job, so
+    the absolute count is AQE-shaped: measured 26 jobs lazy vs 29
+    eager at sf0.001 (N_ITER = 3 round-trips saved). The pin sits
+    between the two so a regression back to per-iteration eager
+    checkpoints (+3 jobs) fails."""
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or ())
+    df = REGISTRY["q_graph_pagerank"].builder(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    after = set(tracker.getJobIdsForGroup(None) or ())
+    n_jobs = len(after - before)
+    assert n_jobs <= 27, f"pagerank ran {n_jobs} jobs (expected ≤ 27)"

@@ -1250,3 +1250,24 @@ def test_merge_not_matched_by_source_clauses(spark, tmp_path):
     tbl.merge_into(src2, key="id", not_matched_by_source_delete=True)
     final = {r.id: r.v for r in tbl.read().collect()}
     assert final == {i: i * 7 for i in range(10, 20)}
+
+
+def test_mor_query_equivalence(spark):
+    """The invariants q_iceberg_mor_delete / _mor_pos_delete asserted
+    in-plan until r12 (every bench run paid ~4 extra full scans + two
+    exceptAll shuffles for them): time travel to the pre-delete
+    snapshot shows more rows, and the merge-on-read view is row-for-row
+    identical to the post-compaction view."""
+    from iceberg_twist_spark.sources.snapshots import (
+        _mor_table,
+        _pos_delete_table,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    for build in (_mor_table, _pos_delete_table):
+        tbl = build(spark, sf_dir)
+        assert tbl.read(snapshot_id=1).count() > tbl.read(snapshot_id=2).count()
+        mor = tbl.read(snapshot_id=2)
+        compacted = tbl.read(snapshot_id=3)
+        assert mor.exceptAll(compacted).isEmpty()
+        assert compacted.exceptAll(mor).isEmpty()
