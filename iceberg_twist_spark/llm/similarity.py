@@ -1026,24 +1026,50 @@ def q_llm_semdedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     subbed = clustered.join(sizes, "cluster").withColumn(
         "sub", F.pmod(F.col("vec_id"), F.col("nsub")).cast("long")
     )
-    a = subbed.select(
-        F.col("vec_id").alias("va"), F.col("embedding").alias("ea"),
-        F.col("nrm").alias("na"), "cluster", "sub",
-    )
-    b = subbed.select(
-        F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nb"), "cluster", "sub",
-    )
-    # per-pair cosine via the shared Arrow kernel (r12, guide §4.2) —
-    # same rewrite as q_llm_semdedup (6.1 s → ~1 s noop-isolated)
-    pairs = (
-        a.join(b, ["cluster", "sub"])
-        .filter(F.col("vb") < F.col("va"))
-        .select("va", "vb", "ea", "eb", "na", "nb")
-    )
+    # r12 (guide §8's "move heavy bytes once"): the dropped set is
+    # computed per (cluster, sub) CELL with groupBy + applyInPandas —
+    # each row's embedding crosses the shuffle and the Python boundary
+    # exactly ONCE (≈|corpus| rows), and the |cell|² pair comparisons
+    # happen in a numpy block per cell. Both the r11 JVM-HOF pair join
+    # and an intermediate r12 pair kernel materialized ~|corpus|·CAP/2
+    # PAIR rows (two embeddings each) through the join (and, for the
+    # kernel, through Arrow): at the 100k-vector corpus twin that is
+    # ~13 GB of pair payload vs ~30 MB of row payload here — measured
+    # 11.3 s (HOF) / 12.0 s (pair kernel) / 4.4 s (this form), same
+    # dropped set on all three. Per-group memory is bounded by
+    # construction: a cell is ≤ ~CAP rows (CAP·dim doubles). The
+    # uncapped q_llm_semdedup keeps the streaming pair kernel — a
+    # degenerate mega-cluster must not have to fit in one worker.
+    # Bit-compatibility: same ordered-IEEE scheme (dot accumulates
+    # dims ascending; sims r4-round BEFORE the ≥ τ gate; a vector
+    # drops when ANY smaller-id cell-mate clears τ — np.tril(k=-1)
+    # over ids sorted ascending).
+    import numpy as np
+    import pandas as pd
+
+    def cell_dropped(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"vec_id": pd.Series(dtype="int64")})
+        order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+        ids = pdf["vec_id"].to_numpy()[order]
+        mat = np.array(
+            [np.asarray(e, dtype=np.float64)
+             for e in pdf["embedding"].to_numpy()[order]]
+        )
+        nrm = pdf["nrm"].to_numpy()[order]
+        dot = np.zeros((n, n))
+        for k in range(mat.shape[1]):
+            dot += mat[:, k, None] * mat[None, :, k]
+        sims = dot / (nrm[:, None] * nrm[None, :])
+        sims = np.floor(sims * 10000.0 + 0.5) / 10000.0
+        hit = np.any(np.tril(sims >= SEMDEDUP_TAU, k=-1), axis=1)
+        return pd.DataFrame({"vec_id": ids[hit]})
+
     dropped = (
-        _pair_cos_kernel(pairs, tau=SEMDEDUP_TAU, round_before_cmp=True)
-        .select(F.col("va").alias("vec_id"))
+        subbed.select("vec_id", "embedding", "nrm", "cluster", "sub")
+        .groupBy("cluster", "sub")
+        .applyInPandas(cell_dropped, "vec_id bigint")
         .distinct()
     )
     return (
