@@ -464,13 +464,20 @@ def main() -> int:
             file=sys.stderr,
         )
 
-    # Confirming pass (r12): any query that passed its raw limit ONLY
-    # via the load factor gets one more attempt now that the suite (and
-    # usually the spike) has moved on. The re-run's min still feeds the
-    # reported best-of-N; if the machine reads quiet at re-run time and
-    # the query STILL exceeds its raw limit, that is a regression, not
-    # weather — trip the gate.
-    for name in [n for n in sentinels if n not in time_regressions]:
+    # Confirming pass (r12): every query whose best-of-N exceeded its
+    # RAW limit — whether the in-loop gate passed it via the (capped)
+    # load factor or tripped it — gets one more attempt now that the
+    # suite (and usually the spike) has moved on. This closes BOTH
+    # directions of the sentinel's timing hole: a spike that has
+    # passed by probe time reads factor ≈ 1 and would otherwise trip
+    # an untouched query (the sentinel measures the probe moment, not
+    # the query's attempts), while a spike still present at probe time
+    # would otherwise forgive up to the cap. The re-run's min feeds
+    # the reported best-of-N (still a raw timing). Decision on the
+    # confirm: quiet machine + inside the raw limit → weather, clear
+    # any trip; quiet machine + still over → regression, trip; loaded
+    # machine → keep whatever the in-loop decision was (conservative).
+    for name in [n for n in sentinels]:
         limit = time_limit(name)
         if limit is None or timings[name] <= limit:
             continue
@@ -486,12 +493,16 @@ def main() -> int:
         timings[name] = round(min(timings[name], confirm), 3)
         sentinels[name]["confirm_obs"] = obs
         sentinels[name]["confirm_s"] = round(confirm, 3)
-        if gate_load_factor(obs) <= QUIET_FACTOR and timings[name] > limit:
-            time_regressions[name] = (
-                f"quiet confirm run (sentinel {obs}s) still over the raw "
-                f"band limit: best {timings[name]}s > {round(limit, 2)}s "
-                f"(observed band {TIME_BANDS_SF01[name]})"
-            )
+        if gate_load_factor(obs) <= QUIET_FACTOR:
+            if timings[name] > limit:
+                time_regressions[name] = (
+                    f"quiet confirm run (sentinel {obs}s) still over the "
+                    f"raw band limit: best {timings[name]}s > "
+                    f"{round(limit, 2)}s "
+                    f"(observed band {TIME_BANDS_SF01[name]})"
+                )
+            else:
+                time_regressions.pop(name, None)  # weather, confirmed
         print(
             f"# confirm {name}: {confirm:.3f}s (sentinel {obs}s) -> "
             f"best {timings[name]:.3f}s",

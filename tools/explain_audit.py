@@ -98,11 +98,15 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
     "q_cdc_upsert": (["WindowGroupLimit"], ["CartesianProduct"]),
     # repetition stats: hash aggregates with map-side partials only
     "q_llm_rep_ngrams": (["HashAggregate"], ["SortAggregate", "CartesianProduct"]),
-    # table profile: ONE scan (multi-distinct via Expand), no per-column
-    # rescans. SortAggregate is expected: min/max over string columns
-    # need variable-length buffers hash agg can't hold, and the global
-    # (group-less) aggregate makes the sort trivial.
-    "q_profile_table": (["Expand"], ["CartesianProduct"]),
+    # table profile (r12 shape): per-type long form — stack (Generate)
+    # to (col_name, value), two-phase hash agg by (col_name, value)
+    # then per-column merge; min/max ride the same pass on the NATIVE
+    # type. The former multi-distinct Expand (×|cols|+1 on every scan
+    # row) and the second min/max scan are regressions if they return.
+    "q_profile_table": (
+        ["Generate", "HashAggregate", "Union"],
+        ["Expand", "CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
     # histogram: bounds broadcast in-plan; bin agg partial-combines map-side
     "q_agg_histogram": (["HashAggregate"], ["SortMergeJoin", "CartesianProduct"]),
     # per-key mode: winner rank prunes map-side after the keyed count
@@ -316,7 +320,6 @@ BNLJ_ALLOWED: dict[str, str] = {
     "q_agg_histogram_eqdepth": "1-row decile-edge array broadcast",
     "q_cdc_upsert": "1-row max(o_orderkey) insert-offset broadcast",
     "q_join_bloom_prune": "1-row bloom bit-set broadcast onto fact scan",
-    "q_profile_table": "1-row agg × 1-row agg column stitch",
     "q_dq_checks": "1-row violation-count × 1-row total stitch per constraint",
     "q_tpch_q11": "1-row group-value threshold broadcast (spec'd HAVING)",
     "q_tpch_q22": "1-row avg(acctbal) scalar broadcast (spec'd subquery)",
