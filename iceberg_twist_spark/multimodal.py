@@ -956,17 +956,31 @@ def build_png_table(docs: DataFrame) -> DataFrame:
             ),
         )
         .withColumn("raw_len", F.col("h") * (F.lit(3) * F.col("w") + F.lit(1)))
-        # Adler-32 over the filtered stream: s1/s2 running sums mod
-        # 65521; s2 folds the POST-update s1 (acc.s2 + acc.s1 + byte)
+        # Adler-32 over the filtered stream, CLOSED FORM (r12, guide
+        # §4.2 "make the per-element work cheap"): the running-sum
+        # definition (s1_i = 1 + Σ_{j≤i} b_j; s2 = Σ_i s1_i) telescopes
+        # to s1 = (1 + Σ b_j) mod 65521 and s2 = (n + Σ (n−j+1)·b_j)
+        # mod 65521. The former per-BYTE struct fold evaluated
+        # ascii(substr(...)) TWICE per byte plus two mods and a struct
+        # allocation — ~10⁹ interpreted ops at the 1M-doc twin; this
+        # form materializes the byte array once and runs two flat long
+        # folds. The deferred mod is exact: raw_len ≤ 15·(3·15+1) and
+        # bytes ≤ 122, so Σ (n−j+1)·b_j < 2³⁶ ≪ 2⁶³. Same bits out —
+        # the decoder's zlib re-verification and the byte-level oracle
+        # pin it.
+        .withColumn(
+            "bytes_arr",
+            F.expr("transform(sequence(1, raw_len), i -> "
+                   "cast(ascii(substr(raw_str, i, 1)) as bigint))"),
+        )
         .withColumn(
             "adler",
             F.expr(
-                "aggregate(sequence(1, raw_len), "
-                "named_struct('s1', 1L, 's2', 0L), "
-                "(acc, i) -> named_struct("
-                "  's1', (acc.s1 + ascii(substr(raw_str, i, 1))) % 65521, "
-                "  's2', (acc.s2 + acc.s1 + ascii(substr(raw_str, i, 1))) % 65521), "
-                "acc -> acc.s2 * 65536 + acc.s1)"
+                "((raw_len + aggregate(zip_with(bytes_arr, "
+                "sequence(cast(raw_len as bigint), 1L, -1L), "
+                "(b, w) -> b * w), 0L, (acc, x) -> acc + x)) % 65521) "
+                "* 65536 + "
+                "(1 + aggregate(bytes_arr, 0L, (acc, x) -> acc + x)) % 65521"
             ),
         )
     )
